@@ -1,0 +1,170 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+
+/**
+ * Scalar function surface (SURVEY.md §2b): string / date / math / array /
+ * json / cast families, one query each, all codegen'd built-ins (no UDFs —
+ * everything stays inside whole-stage codegen).
+ *
+ * Cross-engine parity notes:
+ *  - int-returning Spark functions (length, year, ceil, rank…) are cast
+ *    to LONG because DuckDB returns BIGINT;
+ *  - per-row double arithmetic (products, sqrt) is IEEE-identical across
+ *    engines and left unrounded; only libm-backed functions (ln) round 4dp;
+ *  - float array elements are cast to double *inside* lambdas so both
+ *    engines multiply in double (a float×float product would round
+ *    differently);
+ *  - double→int conversions go through FLOOR explicitly: Spark's cast
+ *    truncates while DuckDB's rounds — never rely on the bare cast.
+ */
+object ScalarFns {
+
+  val queries: Map[String, QFn] = Map(
+    "fn_string" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          substring(col("p_name"), 1, 8).as("sub_name"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          expr("replace(p_name, ' ', '_')").as("snake_name"),
+          size(split(col("p_name"), " ")).cast("long").as("n_words"),
+          rtrim(col("p_name"), "aeiou").as("rtrimmed"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("months_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_math" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_sz"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          pow(col("p_size"), 2).as("sz_sq"),
+          Q.r4(log(col("p_retailprice"))).as("ln_price"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          pmod(col("p_partkey"), lit(7L)).as("key_mod"),
+          greatest(col("p_size"), lit(25)).cast("long").as("g_sz"),
+          least(col("p_size"), lit(25)).cast("long").as("l_sz"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "fn_array" -> ((s, d) => {
+      // Higher-order functions over the 64-dim float vectors; all lambda
+      // arithmetic promoted to double before multiplying (see header).
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          transform(slice(col("embedding"), 1, 3), x => x.cast("double")).as("first3"),
+          Q.r4(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sum_sq"),
+          size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
+          array_max(col("embedding")).cast("double").as("max_val"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "fn_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("sum_value"))
+        .orderBy(col("k"))
+    }),
+
+    "fn_cast" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          concat(lit("O"), col("o_orderkey").cast("string")).as("okey_str"),
+          floor(col("o_totalprice")).cast("long").as("price_int"),
+          col("o_orderdate").cast("timestamp_ntz").cast("string").as("date_str"),
+          col("o_orderdate").cast("timestamp_ntz").cast("string")
+            .cast("timestamp_ntz").as("back_ts"),
+          col("o_custkey").cast("double").as("cust_dbl"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        | UPPER(p_name) AS up_name,
+        | SUBSTRING(p_name, 1, 8) AS sub_name,
+        | p_brand || '-' || p_type AS brand_type,
+        | LENGTH(p_name) AS name_len,
+        | REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+        | REPLACE(p_name, ' ', '_') AS snake_name,
+        | LEN(STRING_SPLIT(p_name, ' ')) AS n_words,
+        | RTRIM(p_name, 'aeiou') AS rtrimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+        | YEAR(o_orderdate) AS y,
+        | MONTH(o_orderdate) AS m,
+        | DAYOFMONTH(o_orderdate) AS dom,
+        | CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        | (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS months_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_math" ->
+      """SELECT p_partkey,
+        | ABS(p_size - 25) AS abs_sz,
+        | CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+        | CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+        | POW(p_size, 2) AS sz_sq,
+        | ROUND(LN(p_retailprice), 4) AS ln_price,
+        | SQRT(p_retailprice) AS sqrt_price,
+        | p_partkey % 7 AS key_mod,
+        | GREATEST(p_size, 25) AS g_sz,
+        | LEAST(p_size, 25) AS l_sz
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_array" ->
+      """SELECT vec_id,
+        | LEN(embedding) AS n_dims,
+        | LIST_TRANSFORM(embedding[1:3], x -> CAST(x AS DOUBLE)) AS first3,
+        | ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+        | LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
+        | CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_json" ->
+      """SELECT CAST(REGEXP_EXTRACT(props, '"k": *(-?\d+)', 1) AS BIGINT) AS k,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "fn_cast" ->
+      """SELECT o_orderkey,
+        | 'O' || CAST(o_orderkey AS VARCHAR) AS okey_str,
+        | CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+        | CAST(o_orderdate AS VARCHAR) AS date_str,
+        | CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS back_ts,
+        | CAST(o_custkey AS DOUBLE) AS cust_dbl
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational core, part 2: aggregation family (SURVEY.md §2a).
+ *
+ * All money sums accumulate in DECIMAL (exact → partial/final agg order
+ * can't diverge from DuckDB's single-threaded sum); averages are one
+ * double division over the decimal sum; statistical moments are rounded
+ * to 4 dp on both engines (SURVEY.md §7d).
+ *
+ * Scale notes (100 TB): every query here is a hash aggregate with
+ * map-side partial aggregation — shuffle volume is #groups × #partitions,
+ * not #rows. rollup/cube expand rows by the number of grouping sets
+ * before the shuffle; at extreme scale, prefer re-aggregating the finest
+ * grouping instead of cube() over high-cardinality dims.
+ */
+object Aggregates {
+
+  val queries: Map[String, QFn] = Map(
+    "agg_group" -> ((s, d) => {
+      // TPC-H Q1 shape: 600 M rows → 6 groups at scale; partial aggs make
+      // the shuffle negligible.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Q.moneySum(col("l_quantity")).as("sum_qty"),
+          Q.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("sum_disc_price"),
+          Q.moneyAvg(col("l_quantity")).as("avg_qty"),
+          Q.moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_distinct" -> ((s, d) => {
+      // countDistinct plans as a two-phase expand+agg — scales by
+      // (group, partkey) cardinality, no driver-side set.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_rollup" -> ((s, d) => {
+      // Null-coded subtotal rows surfaced via COALESCE sentinels so the
+      // output has non-nullable sort keys (§7d rule 1; DuckDB's default
+      // NULLS LAST differs from Spark's NULLS FIRST).
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), Q.moneySum(col("c_acctbal")).as("sum_bal"))
+        .select(
+          coalesce(col("n_name"), lit("<all>")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("<all>")).as("segment"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy(col("nation"), col("segment"))
+    }),
+
+    "agg_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Q.moneySum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("<all>")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("segment"), col("priority"))
+    }),
+
+    "agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          Q.r4(var_samp(col("l_quantity"))).as("var_qty"),
+          Q.r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(Q.r4(median(col("l_quantity"))).as("med_qty"),
+          Q.r4(median(col("l_discount"))).as("med_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sketch-based distinct: HLL++ differs from DuckDB's HLL, so this is
+    // a rows-only gate (SURVEY.md §2a); accuracy vs exact is unit-tested
+    // to ±5% in AggregateSpec.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_collect" -> ((s, d) => {
+      // collect_list order is nondeterministic → array_sort before output
+      // (§7d rule 4: arrays only if sorted).
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_sort(collect_list(col("n_name"))).as("nations"))
+        .orderBy(col("r_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT COALESCE(n_name, '<all>') AS nation,
+        | COALESCE(c_mktsegment, '<all>') AS segment,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+        | COALESCE(o_orderpriority, '<all>') AS priority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY segment, priority""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+        | ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+        | ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | MIN(l_quantity) AS min_qty,
+        | MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_median" ->
+      """SELECT l_returnflag,
+        | ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+        | ROUND(MEDIAN(l_discount), 4) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT r_name, LIST_SORT(LIST(n_name)) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+}

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Relational core, part 1: scan/projection, filters, and the join family
+ * (SURVEY.md §2a). plankton itself has no relational operators (it is a
+ * task-DAG orchestrator — SURVEY.md §1a); this is the engine capability
+ * surface a plankton-style ETL pipeline exercises, expressed declaratively
+ * so Catalyst handles pushdown, pruning, and join-strategy selection.
+ *
+ * Scale notes (100 TB):
+ *  - dim joins (nation/region/supplier at any sf, customer at small sf)
+ *    are explicitly `broadcast()` — no shuffle of the fact side;
+ *  - fact⋈fact joins shuffle on the join key once; with bucketed tables
+ *    (bucketBy(orderkey)) they'd become zero-shuffle — noted, not needed
+ *    at test sf;
+ *  - the theta join keeps the small build side broadcast (BNLJ), never a
+ *    shuffled cartesian;
+ *  - the as-of join is a single partition-local window after one shuffle
+ *    by user — the standard scalable formulation (no per-row lookup).
+ */
+object Relational {
+
+  val queries: Map[String, QFn] = Map(
+    "scan_project" -> ((s, d) => {
+      // Projection + computed column; filter and 4-col ReadSchema reach the
+      // parquet scan via Catalyst pushdown/pruning.
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "filter_pred" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate").between("1996-01-01", "1996-12-31") &&
+          col("l_quantity").isin(10, 20, 30, 40) &&
+          (col("l_returnflag") === "A" || col("l_discount").between(0.05, 0.07)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "filter_null_case" -> ((s, d) => {
+      // CASE WHEN buckets + coalesce over LEFT-JOIN-produced nulls.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("okey"),
+          when(col("o_totalprice").isNull, "none")
+            .when(col("o_totalprice") > 300000, "big")
+            .otherwise("small").as("bucket"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("val"))
+        .orderBy(col("c_custkey"), col("okey"))
+    }),
+
+    "join_inner" -> ((s, d) => {
+      // Fact⋈fact equi-join; Catalyst picks shuffle join, AQE may demote
+      // to broadcast at small sf. At 100 TB: bucket both by orderkey.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), "inner")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "join_broadcast" -> ((s, d) => {
+      // Two explicitly broadcast dims — zero shuffle on the probe side.
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Q.moneySum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "join_sortmerge" -> ((s, d) => {
+      // Pinned SortMergeJoin via merge hint (plan-shape asserted in tests).
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Q.moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      // count(o_orderkey) counts non-nulls → customers with zero orders
+      // appear with n_orders = 0.
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_anti" -> ((s, d) => {
+      // NOT EXISTS: customers with no urgent order (plain "no orders" is
+      // empty at every sf — all customers have orders).
+      val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "join_theta_range" -> ((s, d) => {
+      // Inequality-only condition → BroadcastNestedLoopJoin with the small
+      // side broadcast. At scale: band-partition the range to avoid NLJ.
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("s_acctbal") >= col("p_retailprice") - 500 &&
+          col("s_acctbal") <= col("p_retailprice") + 500)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_parts"),
+          Q.moneySum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "join_asof" -> ((s, d) => {
+      // As-of join: each purchase paired with the same user's most recent
+      // signup at-or-before it. One shuffle by user_id, then a running
+      // last(signup_ts) window — the scalable formulation (no row lookups).
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        // timestamp_ntz out: Spark would otherwise write parquet
+        // isAdjustedToUTC=true and DuckDB-side compares see tz-aware vs
+        // naive. Session TZ is UTC, so the cast is value-identity.
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("signup_ts").cast("timestamp_ntz").as("signup_ts"))
+        .orderBy(col("event_id"))
+    }))
+
+  /** DuckDB-dialect oracles (run by the driver against the same tables). */
+  val oracleSql: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_quantity IN (10, 20, 30, 40)
+        |  AND (l_returnflag = 'A' OR l_discount BETWEEN 0.05 AND 0.07)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "filter_null_case" ->
+      """SELECT c_custkey, COALESCE(o_orderkey, -1) AS okey,
+        | CASE WHEN o_totalprice IS NULL THEN 'none'
+        |      WHEN o_totalprice > 300000 THEN 'big'
+        |      ELSE 'small' END AS bucket,
+        | COALESCE(o_totalprice, 0.0) AS val
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, okey""".stripMargin,
+
+    "join_inner" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_extendedprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_sortmerge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM supplier JOIN part
+        |  ON s_acctbal >= p_retailprice - 500 AND s_acctbal <= p_retailprice + 500
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "join_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, ts, signup_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        |  FROM e) t
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Relational core, part 3: window functions, top-k, sort/limit
+ * (SURVEY.md §2a).
+ *
+ * Ranking outputs are cast to LONG: Spark's rank/dense_rank/row_number
+ * return IntegerType while DuckDB's return BIGINT — without the cast the
+ * driver's schema compare would fail on dtype.
+ *
+ * Scale notes (100 TB): windows shuffle once by partition key, then sort
+ * within partitions — scales with the largest single key's row count (a
+ * customer's orders fit trivially). Global sort_limit plans as
+ * TakeOrderedAndProject: per-partition top-k + driver merge of k·p rows,
+ * never a full global sort.
+ */
+object Windows {
+
+  // Deterministic per-customer order: totalprice desc, orderkey tiebreak.
+  private def byCustPrice = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  private def byCustDate = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_orderdate"), col("o_orderkey"))
+
+  val queries: Map[String, QFn] = Map(
+    "window_rank" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byCustPrice).cast("long").as("rnk"),
+          dense_rank().over(byCustPrice).cast("long").as("drnk"),
+          row_number().over(byCustPrice).cast("long").as("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "window_lag_lead" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(byCustDate).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byCustDate).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "window_running" -> ((s, d) => {
+      // Running money sum in exact DECIMAL per frame → double out (§7d).
+      val w = byCustDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "window_range_frame" -> ((s, d) => {
+      // RANGE frame on the numeric order key: all orders within 10k below
+      // the current price. Peer rows (price ties) are all included, so the
+      // result is deterministic even with duplicate prices.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("nearby_sum"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "topk_per_group" -> ((s, d) => {
+      // Window + filter: the standard scalable top-k-per-group (no global
+      // sort; AQE handles skewed customers).
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(byCustPrice).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "sort_limit" -> ((s, d) => {
+      // Global top-100 with full tiebreak → TakeOrderedAndProject.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        | ROW_NUMBER() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_totalprice
+        |   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS nearby_sum
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin)
+}

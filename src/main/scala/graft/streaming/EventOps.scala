@@ -1,0 +1,115 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Streaming surface, batch-mode equivalents (SURVEY.md §2c): tumbling /
+ * sliding / session windows and dedup over the `events` table. The same
+ * transformations run under Structured Streaming in
+ * [[graft.streaming.StreamPipelines]] (readStream + watermark), which the
+ * driver's batch Verify can't oracle-check; these batch twins pin the
+ * semantics against DuckDB.
+ *
+ * Scale notes (100 TB): time-window aggs shuffle by (window, key) with
+ * map-side partials; session windows shuffle by user then merge in-state;
+ * skewed users are handled by AQE skew-split in batch and by state-store
+ * partitioning in streaming. At cluster scale `events` would be
+ * date-partitioned so window queries prune to the hot partitions.
+ */
+object EventOps {
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    "stream_sliding" -> ((s, d) => {
+      // 1h windows every 15min: each event lands in 4 overlapping windows.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("w_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    "stream_session" -> ((s, d) => {
+      // Per-user sessions with a 30-minute inactivity gap. Spark's
+      // session_window end = last event + gap, so last_ts = end - 30m.
+      // The DuckDB oracle is the gaps-and-islands formulation; a new
+      // session starts when the gap is >= 30m (matching Spark's
+      // [start, end) window-merge semantics).
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          (col("w.end") - expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
+            .as("last_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "stream_dedup" -> ((s, d) => {
+      // Deterministic dropDuplicates: keep the earliest-ts row per
+      // event_id (row_number, not dropDuplicates, whose survivor is
+      // partition-order-dependent).
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts"), col("user_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts").cast("timestamp_ntz").as("ts"))
+        .orderBy(col("event_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |w AS (SELECT MAKE_TIMESTAMP(
+        |   (EPOCH_US(ts) // 900000000 - o.o) * 900000000) AS w_start, value
+        |  FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) o(o))
+        |SELECT w_start, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+        | COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Hand-computed expectations on tiny literal frames + sf0.001 sanity
+  * (SURVEY.md §5.2). The DuckDB oracle (tools/preflight.py) is the primary
+  * gate; these pin semantics independently of DuckDB. */
+class OperatorSpec extends SparkSpec {
+
+  test("agg_group: Q1 shape on a 6-row literal lineitem") {
+    val s = spark
+    import s.implicits._
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.10),
+      ("A", "F", 20.0, 200.0, 0.00),
+      ("N", "O", 5.0, 50.0, 0.50),
+      ("N", "O", 5.0, 50.0, 0.50),
+      ("R", "F", 1.0, 10.0, 0.00),
+      ("R", "F", 3.0, 30.0, 0.00)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+    val out = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(Q.moneySum($"l_quantity").as("sum_qty"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("sum_disc_price"))
+      .orderBy($"l_returnflag")
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq ===
+      Seq(("A", 290.0), ("N", 50.0), ("R", 40.0)))
+    assert(out.map(_.getDouble(2)).toSeq === Seq(30.0, 10.0, 4.0))
+  }
+
+  test("join_asof: purchase pairs with most recent prior signup") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    // user 1: signup@10, purchase@20 (→10), signup@30, purchase@40 (→30)
+    // user 2: purchase@5 (→ null)
+    val e = Seq(
+      (1L, 1L, ts(10), "signup"), (2L, 1L, ts(20), "purchase"),
+      (3L, 1L, ts(30), "signup"), (4L, 1L, ts(40), "purchase"),
+      (5L, 2L, ts(5), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Long.MinValue, 0)
+    val out = e.withColumn("signup_ts",
+        last(when($"event_type" === "signup", $"ts"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"signup_ts").orderBy($"event_id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime / 1000))).toSeq ===
+      Seq((2L, Some(10L)), (4L, Some(30L)), (5L, None)))
+  }
+
+  test("window_running: final row of each group equals the group sum (sf0.001)") {
+    val out = operators.Windows.queries("window_running")(spark, sf0001)
+    val s = spark
+    import s.implicits._
+    val last = out.groupBy($"o_custkey")
+      .agg(max($"running_total").as("final_total"))
+    val direct = Tables.orders(spark, sf0001).groupBy($"o_custkey")
+      .agg(Q.moneySum($"o_totalprice").as("direct_total"))
+    val joined = last.join(direct, "o_custkey")
+      .filter(abs($"final_total" - $"direct_total") > 1e-9)
+    assert(joined.count() === 0)
+  }
+
+  test("set ops algebra: intersect + except partition the left slice (sf0.001)") {
+    val inter = operators.SetOps.queries("set_intersect")(spark, sf0001).count()
+    val exc = operators.SetOps.queries("set_except")(spark, sf0001).count()
+    val s = spark
+    import s.implicits._
+    val left = Tables.orders(spark, sf0001)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct().count()
+    assert(inter + exc === left)
+  }
+
+  test("agg_approx_distinct within 5% of exact (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    val approx = operators.Aggregates.queries("agg_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("stream_dedup is idempotent (sf0.001)") {
+    val once = streaming.EventOps.queries("stream_dedup")(spark, sf0001)
+    assert(once.count() === once.dropDuplicates("event_id").count())
+  }
+
+  test("every declared query returns rows at sf0.001 (except join variants that may be empty)") {
+    val allowEmpty = Set.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      assert(n > 0 || allowEmpty(name), s"$name returned 0 rows at sf0.001")
+    }
+  }
+}

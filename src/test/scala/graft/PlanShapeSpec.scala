@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan assertions: the declared join strategies and pushdowns
+  * actually materialize (SURVEY.md §4 — these are the properties that
+  * matter at 100 TB, asserted at test sf). */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("join_broadcast plans BroadcastHashJoin") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("join_sortmerge plans SortMergeJoin") {
+    assert(plan("join_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("join_theta_range plans BroadcastNestedLoopJoin (small side broadcast)") {
+    assert(plan("join_theta_range").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sort_limit plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("scan_project pushes the filter into the parquet scan") {
+    val p = plan("scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+      || p.contains("GreaterThan(l_quantity"))
+  }
+
+  test("scan_project prunes columns (ReadSchema has only the 4 needed)") {
+    val p = plan("scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_quantity") && !read.contains("l_shipdate"))
+  }
+
+  test("agg_group does partial aggregation before the shuffle") {
+    val p = plan("agg_group")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract-level checks on the SparkEntry registry (no Spark needed). */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("no duplicate query keys across operator families") {
+    val groups = Seq(
+      operators.Relational.queries.keySet,
+      operators.Aggregates.queries.keySet,
+      operators.Windows.queries.keySet,
+      operators.SetOps.queries.keySet,
+      functions.ScalarFns.queries.keySet,
+      streaming.EventOps.queries.keySet)
+    val total = groups.map(_.size).sum
+    assert(SparkEntry.queries.size === total,
+      "a query key is defined in more than one family object")
+  }
+
+  test("every oracleSql key has a corresponding query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without query: $orphans")
+  }
+
+  test("oracle SQL strings are DuckDB-shaped (no read_parquet paths, bare table names)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("read_parquet"), s"$name embeds a path")
+      assert(sql.trim.nonEmpty)
+    }
+  }
+}
