@@ -17,13 +17,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("agg_group")(spark, "/root/testdata/sf0.001")
 
-  private def groups: Seq[(Map[String, QFn], Map[String, String])] = Seq(
+  private[graft] def groups: Seq[(Map[String, QFn], Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracleSql),
     (operators.Aggregates.queries, operators.Aggregates.oracleSql),
     (operators.Windows.queries, operators.Windows.oracleSql),
     (operators.SetOps.queries, operators.SetOps.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
-    (streaming.EventOps.queries, streaming.EventOps.oracleSql))
+    (streaming.EventOps.queries, streaming.EventOps.oracleSql),
+    (llm.TextOps.queries, llm.TextOps.oracleSql),
+    (llm.Dedup.queries, llm.Dedup.oracleSql),
+    (llm.Similarity.queries, llm.Similarity.oracleSql),
+    (llm.Multimodal.queries, llm.Multimodal.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = groups.map(_._1).reduce(_ ++ _)

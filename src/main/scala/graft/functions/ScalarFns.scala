@@ -93,6 +93,21 @@ object ScalarFns {
         .orderBy(col("k"))
     }),
 
+    // Map construction + element access. Non-oracle (SURVEY.md §2b):
+    // DuckDB's MAP dialect diverges; the flattened projection of the same
+    // values is covered by fn_json's oracle. Unit-tested instead.
+    "fn_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+              lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("m_type"),
+          element_at(col("m"), "k").cast("long").as("m_k"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
+        .orderBy(col("event_id"))
+    }),
+
     "fn_cast" -> ((s, d) => {
       Tables.orders(s, d)
         .select(

@@ -1,0 +1,168 @@
+package graft.llm
+
+import graft.Tables
+import graft.Q.QFn
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication family (SURVEY.md §2d): exact (hash), near-dup by
+ * token-set Jaccard, n-gram (token-bigram) Jaccard, MinHash+LSH, and
+ * SimHash — the standard training-corpus dedup toolchain.
+ *
+ * Exact-small vs approximate-at-scale pairing: `dedup_near` /
+ * `ngram_jaccard` are the O(candidate-pairs) exact formulations used as
+ * the oracle stand-ins at test sf; `minhash_lsh` (banded signatures →
+ * bucket self-join → verify) and `simhash` (64-bit sketch, hamming
+ * neighborhoods) are the 100 TB paths: candidate generation is
+ * linear-ish in #docs × #bands, never all-pairs. Thresholds (0.95
+ * token-set, 0.3 bigram) are calibrated on the synthetic corpus — its
+ * tiny shared vocabulary skews raw token-set Jaccard high
+ * (FIXTURES.md), while bigrams discriminate sharply.
+ */
+object Dedup {
+
+  /** (doc_id, tok) with per-doc distinct tokens. */
+  private def distinctTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** (doc_id, tok) distinct token *bigrams*. */
+  private def distinctBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, '_', toks[i + 1]))")))
+        .as("tok"))
+
+  /** Exact Jaccard over a (doc_id, tok) relation: shared-token blocking
+    * self-join, |∩| by count, |∪| = na + nb − |∩|. One shuffle by token,
+    * one by pair. */
+  private def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame = {
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = toks.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= thresh)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- MinHash + LSH (the at-scale near-dedup path; non-oracle) ----
+
+  val MinHashK = 32   // signature length
+  val LshBands = 8    // 8 bands × 4 rows; P(candidate) ≈ 1-(1-j^4)^8
+
+  /** doc_id → MinHash signature via the custom Aggregator (the
+    * demonstrative UDAF surface, SURVEY.md §7b). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val minhash = udaf(new MinHashAgg(MinHashK))
+    distinctTokens(docs)
+      .groupBy(col("doc_id"))
+      .agg(minhash(col("tok")).as("sig"))
+  }
+
+  /** Candidate pairs from banded LSH + exact-Jaccard verification. */
+  def minhashLsh(docs: DataFrame, thresh: Double): DataFrame = {
+    val banded = signatures(docs)
+      .select(col("doc_id"), posexplode(
+        expr(s"""transform(sequence(0, ${LshBands - 1}),
+                 | b -> concat_ws(':', transform(slice(sig, b * ${MinHashK / LshBands} + 1,
+                 |   ${MinHashK / LshBands}), x -> cast(x as string))))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates with exact token-set Jaccard (array ops per pair —
+    // candidates are few, never all-pairs).
+    val tokArrays = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+    cands
+      .join(tokArrays.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(tokArrays.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double")
+          / size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= thresh)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document (sketch-based near-dup at scale;
+    * non-oracle — property-tested). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokH = distinctTokens(docs).withColumn("h", xxhash64(col("tok")))
+    val bits = docs.sparkSession.range(32).toDF("j")
+    tokH.crossJoin(broadcast(bits))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> j) & 1") === 1, 1L).otherwise(-1L)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w") > 0, expr("shiftleft(1L, cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "dedup_exact" -> ((s, d) => {
+      // Hash-groupBy exact dedup: keep the lowest doc_id per md5(text).
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_near" -> ((s, d) =>
+      jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95)),
+
+    "ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(distinctBigrams(Tables.documents(s, d)), 0.3)),
+
+    "minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d), 0.95)),
+
+    "simhash" -> ((s, d) => simhash(Tables.documents(s, d))))
+
+  private def jaccardOracle(tokenCte: String, thresh: Double): String =
+    s"""WITH t AS ($tokenCte),
+       | s AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+       | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       | ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $thresh
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_near" -> jaccardOracle(
+      "SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents",
+      0.95),
+
+    "ngram_jaccard" -> jaccardOracle(
+      """SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        |   RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+        |   i -> STRING_SPLIT(text, ' ')[i] || '_' || STRING_SPLIT(text, ' ')[i + 1])))
+        |   AS tok FROM documents""".stripMargin,
+      0.3)
+    // minhash_lsh / simhash: sketch-based, engine-specific hashes → rows-only
+    // gate; recall property-tested against dedup_near in LlmSpec.
+  )
+}

@@ -1,0 +1,112 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing (driver mandate): media payloads as opaque
+ * `binary` columns with typed metadata, flowing through joins,
+ * feature-extraction, and batch-shaped partition processing.
+ *
+ * The container has no image/audio codecs, so the *decode* step is a
+ * clearly-marked deterministic stub ([[decodeStub]]); everything around
+ * it — schema, binary column handling, partition-batch iteration,
+ * metadata struct shape — is real and tested. Swapping the stub for a
+ * JNI/codec call changes no plumbing.
+ *
+ * Scale notes (100 TB): payloads ride in the same parquet row group as
+ * their metadata (no small-file side-channel); decode/feature-extract is
+ * mapPartitions — one task per partition, no shuffle; binary columns are
+ * pruned away unless a query touches them, so metadata-only queries never
+ * read payload bytes (columnar pruning).
+ */
+object Multimodal {
+
+  /** Fake payload: 16 md5 bytes of the text stand in for media bytes. */
+  private def payload = unhex(md5(col("text")))
+
+  /** Feature-extraction output schema for the decode path. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_len", IntegerType),
+    StructField("checksum", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /**
+   * Partition-batch "decode + feature extract" over binary payloads via
+   * mapPartitions (the Scala analogue of a vectorized python UDF: one
+   * iterator per partition, no per-row lambda dispatch in the plan).
+   *
+   * REAL DECODE STUB: a production build replaces the body marked below
+   * with an actual codec (e.g. image header parse); the fake derives
+   * width/height deterministically from payload bytes so tests are stable.
+   */
+  def decodeFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rows = withPayload.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          // ---- decode stub: replace with real codec ----
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          val w = (bytes(0) & 0xff) % 64 + 1
+          val h = (bytes(1) & 0xff) % 64 + 1
+          // ----------------------------------------------
+          org.apache.spark.sql.Row(id, bytes.length, sum, w, h)
+        }
+      }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "multimodal_join" -> ((s, d) => {
+      // documents ⋈ embeddings on doc_id = vec_id: text metadata + vector
+      // norm + label in one frame (the typical multimodal training row).
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+          round(sqrt(Similarity.sumSq(col("embedding"))), 4).as("vec_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_features" -> ((s, d) => {
+      // Binary payload column + metadata derived from its bytes, computed
+      // with codegen'd expressions (the no-decode fast path). The md5-hex
+      // derived width/height mirror decodeFeatures' stub.
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          payload.as("payload"),
+          octet_length(payload).cast("long").as("byte_len"),
+          (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 64 + 1)
+            .cast("int").as("width"),
+          (conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 64 + 1)
+            .cast("int").as("height"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_join" ->
+      """SELECT doc_id, lang, label, n_chars,
+        | ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+        |   x -> x * x))), 4) AS vec_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id,
+        | UNHEX(MD5(text)) AS payload,
+        | OCTET_LENGTH(UNHEX(MD5(text))) AS byte_len,
+        | CAST(CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INTEGER) % 64 + 1
+        |   AS INTEGER) AS width,
+        | CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
+        |   AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

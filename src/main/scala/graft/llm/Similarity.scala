@@ -1,0 +1,193 @@
+package graft.llm
+
+import graft.Tables
+import graft.Q.QFn
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Similarity search over the `embeddings` table (SURVEY.md §2d):
+ * brute-force cosine top-k as the exact baseline, kNN label vote on top,
+ * embedding-space near-dup pairs, and an IVF-bucketed ANN variant as the
+ * scale path.
+ *
+ * All dot products promote float elements to double inside the lambda
+ * (float×float would round differently from DuckDB's double math), and
+ * cosine is always dot / (sqrt(na)·sqrt(nb)) — the same expression the
+ * oracle SQL spells out, rounded to 4 dp on both engines.
+ *
+ * Scale notes (100 TB): probes are broadcast (a probe set is small by
+ * definition), so brute-force is a single scan of the corpus — no
+ * shuffle — followed by a per-probe top-k window over (probe_id), which
+ * aggregates k·#partitions rows. The O(n²) self-join in `embed_neardup`
+ * is the oracle stand-in; `ann_ivf` is the scale path: corpus assigned
+ * to nearest centroid once (nlist buckets), probes search nprobe
+ * buckets → candidate set is nprobe/nlist of the corpus. Centroids here
+ * derive from the label column (k-means lives upstream in a real
+ * pipeline); the mechanism — bucket join + in-bucket rerank — is the
+ * part that must scale.
+ */
+object Similarity {
+
+  /** dot(a, b) in double via zip_with + aggregate (codegen'd HOFs). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def sumSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** cosine(a, b) rounded to 4 dp (§7d rule 3). */
+  def cos4(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(sumSq(a)) * sqrt(sumSq(b))), 4)
+
+  /** Exact top-k neighbors for the fixed probe set vec_id < 10. */
+  def bruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("label"),
+        cos4(col("p_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF-style ANN: nlist=10 centroid buckets (from label means),
+    * nprobe=3 — probes only score vectors in their 3 nearest buckets. */
+  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // Centroids: mean embedding per label, computed distributed —
+    // posexplode to (label, pos, x), avg per component, re-assemble the
+    // vector ordered by pos (struct array_sort orders by first field).
+    val centroids = emb
+      .select(col("label").as("cl"), posexplode(col("embedding")))
+      .groupBy(col("cl"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("cl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cl"), expr("transform(pm, x -> x.m)").as("centroid"))
+    val cb = broadcast(centroids)
+    // Assign every corpus vector to its nearest centroid (one scan).
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_dot").desc, col("cl"))
+    val assigned = emb.crossJoin(cb)
+      .select(col("vec_id"), col("embedding"), col("cl"),
+        dot(col("embedding"), col("centroid")).as("c_dot"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cl").as("bucket"))
+    // Probes pick their nprobe nearest buckets, then rerank exactly.
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("c_dot").desc, col("cl"))
+    val probeBuckets = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .crossJoin(cb)
+      .select(col("probe_id"), col("p_emb"), col("cl"),
+        dot(col("p_emb"), col("centroid")).as("c_dot"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("p_emb"), col("cl").as("bucket"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probeBuckets), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cos4(col("p_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "sim_topk" -> ((s, d) =>
+      bruteTopK(s, d, 5)
+        .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rn"))
+        .orderBy(col("probe_id"), col("rn"))),
+
+    "knn_label" -> ((s, d) => {
+      // Majority label among the 5 nearest neighbors; ties break to the
+      // smaller label (deterministic — never mode(), whose tie winner is
+      // implementation-defined).
+      val wVote = Window.partitionBy(col("probe_id"))
+        .orderBy(col("votes").desc, col("label"))
+      bruteTopK(s, d, 5)
+        .groupBy(col("probe_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("label").as("pred_label"), col("votes"))
+        .orderBy(col("probe_id"))
+    }),
+
+    "embed_neardup" -> ((s, d) => {
+      // Exact near-dup pairs in embedding space (threshold calibrated on
+      // the corpus: cos >= 0.35 keeps a few hundred pairs at sf0.01).
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), cos4(col("ea"), col("eb")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)))
+
+  private val embCte =
+    """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+      |      FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e WHERE vec_id < 10),
+      |topk AS (
+      |  SELECT probe_id, vec_id, label, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id
+      |      ORDER BY cos_sim DESC, vec_id) AS rn
+      |  FROM (
+      |    SELECT p.probe_id, e.vec_id, e.label,
+      |      ROUND(
+      |        LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> p_emb[i] * emb[i]))
+      |        / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> p_emb[i] * p_emb[i])))
+      |         * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])))),
+      |        4) AS cos_sim
+      |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) t)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH $embCte
+         |SELECT probe_id, vec_id, cos_sim, rn FROM topk
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
+
+    "knn_label" ->
+      s"""WITH $embCte,
+         |votes AS (
+         |  SELECT probe_id, label, COUNT(*) AS votes FROM topk
+         |  WHERE rn <= 5 GROUP BY probe_id, label)
+         |SELECT probe_id, label AS pred_label, votes FROM votes
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+         |  ORDER BY votes DESC, label) = 1
+         |ORDER BY probe_id""".stripMargin,
+
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | ROUND(
+        |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
+        |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
+        |   4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
+        |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
+        |   4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin
+    // ann_ivf: approximate (bucketed) → rows-only gate; recall vs sim_topk
+    // is property-tested in LlmSpec.
+  )
+}

@@ -1,0 +1,188 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines (SURVEY.md §2d +
+ * driver mandate): per-language stats, word counts, quality scoring,
+ * token counting, language-ID heuristic, and document fingerprinting —
+ * all over the `documents` table, all pure codegen'd built-ins.
+ *
+ * Scale notes (100 TB): everything here is scan → per-row expressions →
+ * (at most) one hash aggregate; shuffle volume is #groups (languages,
+ * tokens), never #docs. Wordcount's token explode is the only row
+ * expansion; at extreme scale cap it with a per-partition top-k
+ * pre-aggregation (explode → partial count) which Spark's partial
+ * HashAggregate already provides.
+ */
+object TextOps {
+
+  /** 31-based rolling hash over per-token values, mod 2^31-1. Token value
+    * = ascii(first char)*131 + length — chosen because both Spark and
+    * DuckDB compute it identically (no engine-specific hash function).
+    * Fold stays < 2^37, so no BIGINT overflow on either engine. */
+  private val fpExpr =
+    """aggregate(
+      |  transform(split(text, ' '), t -> ascii(t) * 131L + length(t)),
+      |  0L,
+      |  (acc, v) -> pmod(acc * 31 + v, 2147483647L))""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "text_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    "text_quality" -> ((s, d) => {
+      // Length / stopword / uniqueness signals; each ratio is one double
+      // division with identical integer operands on both engines. The
+      // composite score is exact integer basis points via `div` — a
+      // rounded weighted double hits half-up tie divergence between
+      // engines (measured: 0.86875 → 0.8688 Spark vs 0.8687 DuckDB).
+      val toks = col("toks")
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("stop_cnt",
+          size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+        .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
+        .withColumn("sum_len", aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"),
+          round(col("sum_len").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+          round(col("stop_cnt").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          round(col("uniq_cnt").cast("double") / col("n_tokens"), 4).as("uniq_ratio"),
+          expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens")
+            .as("quality_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tokens" -> ((s, d) => {
+      // Whitespace tokens vs a BPE-ish regex segmentation (letter runs /
+      // digit runs / single other chars) — the standard pre-tokenizer
+      // shape, kept POSIX-simple so both regex engines agree.
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+            .as("bpe_tokens"),
+          round(col("n_chars").cast("double")
+            / size(split(col("text"), " ")), 4).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "lang_id" -> ((s, d) => {
+      // Marker-token heuristic (n-gram language ID degenerates to marker
+      // counting on the synthetic single-vocabulary corpus — the shape of
+      // the operator is what matters: per-language evidence scores +
+      // deterministic argmax with alphabetic tiebreak).
+      val toks = array_distinct(split(col("text"), " "))
+      def score(markers: String*) =
+        size(array_intersect(toks, array(markers.map(lit): _*))).cast("long")
+      val en = score("the", "a", "and", "query")
+      val de = score("der", "und", "das")
+      val es = score("el", "la", "los")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(en >= de && en >= es && en > 0, "en")
+            .when(de >= es && de > 0, "de")
+            .when(es > 0, "es")
+            .otherwise("unknown").as("pred_lang"))
+        .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(fpExpr).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        | ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        | ROUND(CAST(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS DOUBLE)
+        |   / COUNT(*), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_wordcount" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        | SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        | LEN(toks) AS n_tokens,
+        | ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE)
+        |   / LEN(toks), 4) AS avg_token_len,
+        | ROUND(CAST(LEN(LIST_FILTER(toks,
+        |   x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / LEN(toks), 4)
+        |   AS stop_ratio,
+        | ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4)
+        |   AS uniq_ratio,
+        | (LEN(LIST_DISTINCT(toks)) * 7000
+        |   + (LEN(toks) - LEN(LIST_FILTER(toks,
+        |       x -> x IN ('the', 'a', 'of', 'and')))) * 3000) // LEN(toks)
+        |   AS quality_bp
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        | LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+        | LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        | ROUND(CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4)
+        |   AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  LIST_DISTINCT(STRING_SPLIT(text, ' ')) AS toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  LEN(LIST_INTERSECT(toks, ['the', 'a', 'and', 'query'])) AS en,
+        |  LEN(LIST_INTERSECT(toks, ['der', 'und', 'das'])) AS de,
+        |  LEN(LIST_INTERSECT(toks, ['el', 'la', 'los'])) AS es
+        | FROM t)
+        |SELECT doc_id, lang,
+        | CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |      WHEN de >= es AND de > 0 THEN 'de'
+        |      WHEN es > 0 THEN 'es'
+        |      ELSE 'unknown' END AS pred_lang,
+        | CAST(CASE WHEN (CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |      WHEN de >= es AND de > 0 THEN 'de'
+        |      WHEN es > 0 THEN 'es'
+        |      ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS is_match
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |  LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+        |    t -> CAST(ASCII(t) * 131 + LENGTH(t) AS BIGINT)) AS vals
+        |  FROM documents)
+        |SELECT doc_id,
+        | LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], vals),
+        |   (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin)
+}

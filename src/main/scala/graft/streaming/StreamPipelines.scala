@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Canonical event record for typed streaming ops (mirrors
+  * events.parquet after the ns→µs conversion, FIXTURES.md). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
+/** Per-user streaming state and its update record. */
+case class UserState(count: Long, lastTsMillis: Long)
+case class UserUpdate(user_id: Long, total_events: Long, last_ts_millis: Long)
+
+/**
+ * Structured Streaming surface (SURVEY.md §2c `stream_watermark` /
+ * `stream_stateful`): the same event transformations as the batch twins
+ * in [[EventOps]], wired as incremental queries. Verified with
+ * MemoryStream in StreamingSpec (the driver's Verify is batch-only, so
+ * these are deliberately non-oracle).
+ *
+ * Scale notes (100 TB/day event streams): state is partitioned by group
+ * key across executors (state store per shuffle partition); watermarks
+ * bound state size (windows older than watermark are evicted); the
+ * stateful op uses Update output so the sink sees deltas, not scans.
+ */
+object StreamPipelines {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Production entry: incremental file-stream over an events directory
+    * (new parquet files picked up per micro-batch). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(StructType(eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f => f
+      }))
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /**
+   * Tumbling 1 h counts with a 1 h watermark, append mode: a window is
+   * emitted once the watermark passes its end, and rows arriving more
+   * than 1 h late are dropped — the semantics the batch twin
+   * `stream_tumbling` cannot express.
+   */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+
+  /**
+   * Per-user running counter + last-seen timestamp via
+   * flatMapGroupsWithState (arbitrary stateful processing; Update mode).
+   */
+  def statefulUserCounts(events: Dataset[Event]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserState]) =>
+          var st = state.getOption.getOrElse(UserState(0L, 0L))
+          it.foreach { e =>
+            st = UserState(st.count + 1, math.max(st.lastTsMillis, e.ts.getTime))
+          }
+          state.update(st)
+          Iterator(UserUpdate(uid, st.count, st.lastTsMillis))
+      }
+  }
+}

@@ -91,6 +91,14 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("fn_map: element_at round-trips the constructed map (sf0.001)") {
+    val out = functions.ScalarFns.queries("fn_map")(spark, sf0001)
+    val s = spark
+    import s.implicits._
+    assert(out.filter($"n_keys" =!= 2L).count() === 0)
+    assert(out.filter($"m_k".isNull || $"m_type".isNull).count() === 0)
+  }
+
   test("stream_dedup is idempotent (sf0.001)") {
     val once = streaming.EventOps.queries("stream_dedup")(spark, sf0001)
     assert(once.count() === once.dropDuplicates("event_id").count())

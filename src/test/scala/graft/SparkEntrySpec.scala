@@ -6,14 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkEntrySpec extends AnyFunSuite {
 
   test("no duplicate query keys across operator families") {
-    val groups = Seq(
-      operators.Relational.queries.keySet,
-      operators.Aggregates.queries.keySet,
-      operators.Windows.queries.keySet,
-      operators.SetOps.queries.keySet,
-      functions.ScalarFns.queries.keySet,
-      streaming.EventOps.queries.keySet)
-    val total = groups.map(_.size).sum
+    val total = SparkEntry.groups.map(_._1.size).sum
     assert(SparkEntry.queries.size === total,
       "a query key is defined in more than one family object")
   }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.{Event, StreamPipelines}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** MemoryStream-driven checks for the Structured Streaming surface
+  * (SURVEY.md §5.4): watermark late-drop and stateful accumulation. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+  private def ev(id: Long, t: Timestamp, user: Long = 1L, typ: String = "click") =
+    Event(id, t, user, typ, 1.0, "{}")
+
+  test("watermark: windows finalize after watermark passes; late rows dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamPipelines.tumblingWithWatermark(in.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // two events in [10:00, 11:00)
+      in.addData(ev(1, ts(10, 15)), ev(2, ts(10, 45)))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark still at 9:45)
+      assert(s.sql("SELECT * FROM wm_out").count() === 0)
+      // advance event time to 13:00 → watermark 12:00 → 10:00 window closes
+      in.addData(ev(3, ts(13, 0)))
+      q.processAllAvailable()
+      val closed = s.sql("SELECT n_events FROM wm_out WHERE w_start = '2024-01-01 10:00:00'")
+        .collect().map(_.getLong(0))
+      assert(closed.toSeq === Seq(2L))
+      // a >1h-late row for the closed window must be dropped
+      in.addData(ev(4, ts(10, 5)))
+      in.addData(ev(5, ts(14, 30))) // push watermark again
+      q.processAllAvailable()
+      val after = s.sql("SELECT n_events FROM wm_out WHERE w_start = '2024-01-01 10:00:00'")
+        .collect().map(_.getLong(0))
+      assert(after.toSeq === Seq(2L), "late row leaked into a finalized window")
+    } finally q.stop()
+  }
+
+  test("stateful: per-user counter accumulates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamPipelines.statefulUserCounts(in.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      in.addData(ev(1, ts(10, 0), user = 7), ev(2, ts(10, 1), user = 7))
+      q.processAllAvailable()
+      in.addData(ev(3, ts(10, 2), user = 7), ev(4, ts(9, 0), user = 8))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT user_id, max(total_events) FROM state_out GROUP BY user_id""")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(7L) === 3L)
+      assert(rows(8L) === 1L)
+    } finally q.stop()
+  }
+}
