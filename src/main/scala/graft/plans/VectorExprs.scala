@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+
+/**
+ * Codegen'd float-vector kernels (SURVEY.md §4 / §7b contingency): the
+ * HOF formulation of a dot product (`aggregate(zip_with(...))`)
+ * materializes an intermediate array per row and dispatches a lambda per
+ * element; at 2M pairs × 64 dims that dominated the measured baseline
+ * (38.8 s probe). This expression compiles to a tight primitive loop over
+ * the two `ArrayData` buffers inside whole-stage codegen — no
+ * intermediate allocation, no boxing.
+ *
+ * Float elements are widened to double before multiplying, matching the
+ * HOF formulation and the DuckDB oracle exactly (bit-identical sums,
+ * since the accumulation order is the same left-to-right).
+ */
+case class DotF32(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"dot_f32 expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Exact Jaccard similarity of two SORTED long arrays (token-hash sets) via
+ * a single merge scan — no per-pair hash set, no intermediate arrays.
+ * Replaces `size(array_intersect(a,b)) / size(array_union(a,b))` in
+ * near-dup verification, where string-array set ops dominated the
+ * measured LSH cost at sf0.1. Inputs must be sorted and deduplicated
+ * (produced with `array_sort(transform(array_distinct(...), xxhash64))`).
+ */
+case class JaccardSortedLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"jaccard_sorted expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val u = ctx.freshName("u")
+      val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
+      s"""
+         |int $na = $a.numElements(); int $nb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; } else { $j++; }
+         |}
+         |int $u = $na + $nb - $inter;
+         |${ev.value} = ($u == 0) ? 1.0 : ((double) $inter) / $u;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Position-wise equality count of two long arrays (MinHash signature
+ * match count). The HOF spelling — `size(filter(zip_with(a,b,(x,y)->x=y),
+ * b->b))` — dispatches two lambdas per element and allocates two
+ * intermediate arrays per pair; over millions of LSH candidates that was
+ * the dominant cost after verification was kernelized.
+ */
+case class SigMatchCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"sig_match expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var m = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) m += 1; i += 1 }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |}
+         |${ev.value} = $m;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** dot(a, b) over float arrays, accumulated in double. */
+  def dotF32(a: Column, b: Column): Column =
+    GraftShims.exprColumn(DotF32(GraftShims.expr(a), GraftShims.expr(b)))
+
+  /** Jaccard of sorted long arrays via merge scan. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftShims.exprColumn(JaccardSortedLong(GraftShims.expr(a), GraftShims.expr(b)))
+
+  /** Position-wise match count of two long arrays. */
+  def sigMatch(a: Column, b: Column): Column =
+    GraftShims.exprColumn(SigMatchCount(GraftShims.expr(a), GraftShims.expr(b)))
+}

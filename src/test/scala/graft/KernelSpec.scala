@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.VectorExprs
+import org.apache.spark.sql.functions._
+
+/** The custom codegen'd kernels must be drop-in equal to their HOF
+  * reference formulations — bit-identical for DotF32 (same left-to-right
+  * double accumulation), exactly equal for the set kernels. */
+class KernelSpec extends SparkSpec {
+
+  test("DotF32 == aggregate(zip_with(...)) bit-for-bit on real embeddings") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    val pairs = emb.select($"vec_id".as("ida"), $"embedding".as("ea"))
+      .crossJoin(emb.select($"vec_id".as("idb"), $"embedding".as("eb")).limit(50))
+    val hof = aggregate(zip_with($"ea", $"eb", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diff = pairs
+      .select(VectorExprs.dotF32($"ea", $"eb").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref")   // exact double equality required
+      .count()
+    assert(diff === 0)
+  }
+
+  test("JaccardSortedLong == size-intersect/size-union on token hash sets") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf0001).limit(60)
+      .select($"doc_id", array_sort(transform(
+        array_distinct(split($"text", " ")), t => xxhash64(t))).as("tv"))
+    val pairs = docs.select($"doc_id".as("ida"), $"tv".as("ta"))
+      .crossJoin(docs.select($"doc_id".as("idb"), $"tv".as("tb")))
+    val ref = size(array_intersect($"ta", $"tb")).cast("double") /
+      size(array_union($"ta", $"tb"))
+    val diff = pairs
+      .select(VectorExprs.jaccardSorted($"ta", $"tb").as("fast"), ref.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff === 0)
+  }
+
+  test("SigMatchCount == size(filter(zip_with == )))") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq(5L, 5L), Seq(5L, 5L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L), Seq(2L))
+    ).toDF("a", "b")
+    val ref = size(filter(zip_with($"a", $"b", (x, y) => x === y), p => p))
+    val out = df.select(VectorExprs.sigMatch($"a", $"b").as("fast"), ref.as("ref"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = emb.select(VectorExprs.dotF32($"embedding", $"embedding").as("d"))
+      .queryExecution.executedPlan.toString
+    // whole-stage-codegen'd operators print with a "*(stageId)" prefix
+    assert(plan.linesIterator.exists(l => l.trim.startsWith("*(")), plan)
+  }
+}
