@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Session-extension surface: exposes the custom kernels as SQL functions
+ * (`dot_f32`, `jaccard_sorted`, `sig_match`) so `spark.sql(...)` users get
+ * them too, not only the Column API in [[VectorExprs]].
+ *
+ * Two registration paths:
+ *  - config-time: `spark.sql.extensions=graft.plans.GraftExtensions`
+ *    (standard SparkSessionExtensions injection);
+ *  - runtime: [[GraftExtensions.register]] on an existing session (used by
+ *    the test harness, whose session is built before our code runs).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_f32",
+      info("dot_f32", "dot_f32(a, b) - double dot product of two float arrays"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))),
+    ("jaccard_sorted",
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of sorted bigint arrays"),
+      (args: Seq[Expression]) => JaccardSortedLong(args(0), args(1))),
+    ("sig_match",
+      info("sig_match", "sig_match(a, b) - positionwise match count of bigint arrays"),
+      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))))
+
+  /** Runtime registration on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

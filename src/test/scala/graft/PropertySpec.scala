@@ -1,0 +1,104 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck-generator-driven properties (SURVEY.md §5.3) over generated
+  * frames: dedup idempotence, Jaccard algebra, set-op algebra, running-sum
+  * invariant. Sampling uses fixed seeds (no scalatest bridge dependency,
+  * and deterministic across runs). */
+class PropertySpec extends SparkSpec {
+
+  private val params = Gen.Parameters.default
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(params, Seed(42L + i)))
+
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 30)
+    texts <- Gen.listOfN(n, Gen.nonEmptyListOf(
+      Gen.oneOf("join", "scan", "filter", "agg", "sort", "window", "merge"))
+      .map(_.mkString(" ")))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val s = spark
+    import s.implicits._
+    samples(docsGen, 8).foreach { rows =>
+      val df = rows.toDF("doc_id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.count() === twice.count())
+      assert(once.select(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0) ===
+        twice.select(coalesce(sum(col("doc_id")), lit(0L))).head.getLong(0))
+    }
+  }
+
+  test("jaccard_sorted is symmetric, bounded, and 1.0 on self") {
+    val s = spark
+    import s.implicits._
+    val arrGen = Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)).map(_.distinct.sorted)
+    samples(Gen.zip(arrGen, arrGen), 25).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val r = df.select(
+        graft.plans.VectorExprs.jaccardSorted(col("a"), col("b")),
+        graft.plans.VectorExprs.jaccardSorted(col("b"), col("a")),
+        graft.plans.VectorExprs.jaccardSorted(col("a"), col("a")))
+        .head
+      val (ab, ba, aa) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(ab === ba)
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(aa === 1.0)
+    }
+  }
+
+  test("set algebra: |A∩B| + |A\\B| == |A| on distinct key sets") {
+    val s = spark
+    import s.implicits._
+    val keysGen = Gen.listOf(Gen.choose(0, 50)).map(_.distinct)
+    samples(Gen.zip(keysGen, keysGen), 8).foreach { case (ka, kb) =>
+      val a = ka.toDF("k")
+      val b = kb.toDF("k")
+      assert(a.intersect(b).count() + a.except(b).count() === ka.size)
+    }
+  }
+
+  test("running sum's final row equals the group total (generated groups)") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 3), Gen.choose(-100, 100)))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (g, i, v) }
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("g", "seq", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("seq"))
+        .rowsBetween(Long.MinValue, 0)
+      val last = df.withColumn("run", sum(col("v")).over(w))
+        .groupBy(col("g")).agg(max_by(col("run"), col("seq")).as("final"))
+      val direct = df.groupBy(col("g")).agg(sum(col("v")).as("total"))
+      val bad = last.join(direct, "g").filter(col("final") =!= col("total")).count()
+      assert(bad === 0)
+    }
+  }
+
+  test("SQL function surface: dot_f32 / jaccard_sorted usable from spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_f32(array(cast(1.0 as float), cast(2.0 as float)),
+        |              array(cast(3.0 as float), cast(4.0 as float))) AS d,
+        |       jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |       sig_match(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m""".stripMargin)
+      .head
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 0.5)
+    assert(r.getInt(2) === 2)
+  }
+}
