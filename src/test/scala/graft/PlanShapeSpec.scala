@@ -40,4 +40,17 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("agg_group")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
   }
+
+  test("join_asof shuffles once by user_id and windows in-partition") {
+    val p = plan("join_asof")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(user_id"),
+      "as-of window should partition by user_id")
+  }
+
+  test("minhash_lsh verification joins are broadcast (no payload shuffle)") {
+    val p = plan("minhash_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "sig/token side tables should broadcast")
+  }
 }
