@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Aggregates.queries, operators.Aggregates.oracleSql),
     (operators.Windows.queries, operators.Windows.oracleSql),
     (operators.SetOps.queries, operators.SetOps.oracleSql),
+    (operators.Reshape.queries, operators.Reshape.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
     (llm.TextOps.queries, llm.TextOps.oracleSql),

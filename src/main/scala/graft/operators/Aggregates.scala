@@ -107,6 +107,29 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    "agg_percentiles" -> ((s, d) => {
+      // Exact interpolated percentiles (DuckDB QUANTILE_CONT twin); both
+      // engines interpolate linearly — rounded 4dp since the two
+      // formulations differ in final-ulp arithmetic.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.r4(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
+          Q.r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+          Q.r4(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_stringagg" -> ((s, d) => {
+      // Ordered string aggregation (collect → sort → join; DuckDB
+      // STRING_AGG ... ORDER BY twin).
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"))
+        .orderBy(col("r_name"))
+    }),
+
     "agg_collect" -> ((s, d) => {
       // collect_list order is nondeterministic → array_sort before output
       // (§7d rule 4: arrays only if sorted).
@@ -169,6 +192,18 @@ object Aggregates {
 
     "agg_collect" ->
       """SELECT r_name, LIST_SORT(LIST(n_name)) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_stringagg" ->
+      """SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin)
 }

@@ -81,6 +81,17 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    "window_distribution" -> ((s, d) => {
+      // Distribution functions: ntile quartiles, percent_rank, cume_dist —
+      // total order (price desc, orderkey) keeps tile assignment stable.
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(byCustPrice).cast("long").as("quartile"),
+          Q.r4(percent_rank().over(byCustPrice)).as("pct_rank"),
+          Q.r4(cume_dist().over(byCustPrice)).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "sort_limit" -> ((s, d) => {
       // Global top-100 with full tiebreak → TakeOrderedAndProject.
       Tables.lineitem(s, d)
@@ -129,6 +140,15 @@ object Windows {
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        | NTILE(4) OVER w AS quartile,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 4) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
