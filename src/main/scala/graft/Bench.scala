@@ -22,7 +22,8 @@ object Bench {
     "filter_pred", "agg_group", "join_inner", "join_broadcast",
     "window_rank", "topk_per_group", "stream_tumbling", "stream_session",
     "fn_json", "text_wordcount", "text_quality", "dedup_exact",
-    "minhash_lsh", "sim_topk", "knn_label", "embed_neardup", "sort_limit")
+    "minhash_lsh", "sim_topk", "knn_label", "embed_neardup", "sort_limit",
+    "pivot_wide", "subquery_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
