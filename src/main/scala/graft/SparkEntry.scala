@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracleSql),
     (operators.SetOps.queries, operators.SetOps.oracleSql),
     (operators.Reshape.queries, operators.Reshape.oracleSql),
+    (operators.Profiling.queries, operators.Profiling.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
     (llm.TextOps.queries, llm.TextOps.oracleSql),

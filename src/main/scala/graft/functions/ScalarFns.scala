@@ -84,6 +84,24 @@ object ScalarFns {
         .orderBy(col("vec_id"))
     }),
 
+    "fn_vector" -> ((s, d) => {
+      // Vector arithmetic surface: norm, normalization, elementwise
+      // combine, scaling — all double-promoted inside lambdas/kernels.
+      val sq = graft.plans.VectorExprs.dotF32(col("embedding"), col("embedding"))
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          round(sqrt(sq), 4).as("l2_norm"),
+          round(element_at(col("embedding"), 1).cast("double") / sqrt(sq), 4)
+            .as("unit_first"),
+          round(aggregate(zip_with(col("embedding"), reverse(col("embedding")),
+            (x, y) => x.cast("double") + y.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 4).as("sum_with_rev"),
+          round(array_max(transform(col("embedding"), x => x.cast("double") * 2.0)), 4)
+            .as("scaled_max"))
+        .orderBy(col("vec_id"))
+    }),
+
     "fn_json" -> ((s, d) => {
       Tables.events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
@@ -167,6 +185,19 @@ object ScalarFns {
         | LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
         | CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_vector" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  LIST_SUM(LIST_TRANSFORM(emb, x -> x * x)) AS sq FROM e)
+        |SELECT vec_id,
+        | ROUND(SQRT(sq), 4) AS l2_norm,
+        | ROUND(emb[1] / SQRT(sq), 4) AS unit_first,
+        | ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(emb) + 1),
+        |   i -> emb[i] + emb[LEN(emb) - i + 1])), 4) AS sum_with_rev,
+        | ROUND(LIST_MAX(LIST_TRANSFORM(emb, x -> x * 2.0)), 4) AS scaled_max
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "fn_json" ->
       """SELECT CAST(REGEXP_EXTRACT(props, '"k": *(-?\d+)', 1) AS BIGINT) AS k,

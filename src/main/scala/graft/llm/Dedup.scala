@@ -157,6 +157,21 @@ object Dedup {
     "ngram_jaccard" -> ((s, d) =>
       jaccardPairs(distinctBigrams(Tables.documents(s, d)), 0.3)),
 
+    "dedup_groups" -> ((s, d) => {
+      // Canonicalization: docs with identical token SETS form a group
+      // (group id = min doc_id). At scale this collapses exact-duplicate
+      // mass before any pairwise work — the cheap first stage of a dedup
+      // pipeline (3935 distinct sets among 5000 docs at sf0.1).
+      val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      val w = Window.partitionBy(col("sig"))
+      Tables.documents(s, d)
+        .withColumn("sig", sig)
+        .select(col("doc_id"),
+          min(col("doc_id")).over(w).as("group_id"),
+          count(lit(1)).over(w).as("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     "minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d), 0.95)),
 
     "simhash" -> ((s, d) => simhash(Tables.documents(s, d))))
@@ -182,6 +197,15 @@ object Dedup {
     "dedup_near" -> jaccardOracle(
       "SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents",
       0.95),
+
+    "dedup_groups" ->
+      """WITH t AS (SELECT doc_id,
+        |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+        |  AS sig FROM documents)
+        |SELECT doc_id,
+        | MIN(doc_id) OVER (PARTITION BY sig) AS group_id,
+        | COUNT(*) OVER (PARTITION BY sig) AS group_size
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard" -> jaccardOracle(
       """SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.Tables
+import graft.Q.QFn
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality / pipeline-hygiene operators: deterministic sampling and
+ * per-column profiling — the inspection stages of an ETL pipeline.
+ *
+ * Sampling is modulo-arithmetic on keys, NOT `df.sample()`: a random
+ * sample isn't reproducible across engines or runs, and at 100 TB a
+ * deterministic hash/mod sample is also what lets two pipeline stages
+ * agree on the same sample without coordination.
+ *
+ * Profiling is one aggregate per column unioned — at scale this is a
+ * single pass per column batch with partial aggregation; no driver-side
+ * describe().
+ */
+object Profiling {
+
+  val queries: Map[String, QFn] = Map(
+    "sample_mod" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(10)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "profile_orders" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def prof(cname: String) =
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(cname).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(cname)).as("n_distinct"),
+          min(col(cname)).cast("double").as("min_val"),
+          max(col(cname)).cast("double").as("max_val"))
+          .withColumn("col_name", lit(cname))
+      prof("o_orderkey")
+        .unionByName(prof("o_custkey"))
+        .unionByName(prof("o_totalprice"))
+        .orderBy(col("col_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_mod" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE (l_orderkey * 31 + l_linenumber) % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "profile_orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         | COUNT(DISTINCT $c) AS n_distinct,
+         | CAST(MIN($c) AS DOUBLE) AS min_val,
+         | CAST(MAX($c) AS DOUBLE) AS max_val
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+}

@@ -58,6 +58,50 @@ object EventOps {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "event_funnel" -> ((s, d) => {
+      // Ordered funnel: signup → first click at/after signup → first
+      // purchase at/after that click. Three aggregates, each a broadcast
+      // join on the (small) per-user milestone frame — the standard
+      // scalable funnel shape (no per-user collect).
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("st"))
+      val click = e.filter(col("event_type") === "click").as("e")
+        .join(signup.as("s"), col("e.user_id") === col("s.user_id") && col("e.ts") >= col("st"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("ts")).as("ct"))
+      val purchase = e.filter(col("event_type") === "purchase").as("e")
+        .join(click.as("c"), col("e.user_id") === col("c.user_id") && col("e.ts") >= col("ct"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("ts")).as("pt"))
+      e.select(col("user_id")).distinct()
+        .join(signup, Seq("user_id"), "left")
+        .join(click, Seq("user_id"), "left")
+        .join(purchase, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("pt").isNotNull, "purchase")
+            .when(col("ct").isNotNull, "click")
+            .when(col("st").isNotNull, "signup")
+            .otherwise("none").as("funnel_stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    "event_cohort" -> ((s, d) => {
+      // Weekly cohort retention: users bucketed by first-seen week,
+      // counted per week-offset of later activity.
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val cohort = e.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      e.withColumn("activity_week", date_trunc("week", col("ts")))
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("activity_week"), col("cohort_week")) / 7).cast("long")
+            .as("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+          col("wk_offset"), col("n_users"))
+        .orderBy(col("cohort_week"), col("wk_offset"))
+    }),
+
     "stream_dedup" -> ((s, d) => {
       // Deterministic dropDuplicates: keep the earliest-ts row per
       // event_id (row_number, not dropDuplicates, whose survivor is
@@ -106,6 +150,40 @@ object EventOps {
         | COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s AS (SELECT user_id, MIN(ts) AS st FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM e
+        |  JOIN s ON e.user_id = s.user_id AND e.ts >= s.st
+        |  WHERE event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+        |  WHERE event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id,
+        | CASE WHEN pt IS NOT NULL THEN 'purchase'
+        |      WHEN ct IS NOT NULL THEN 'click'
+        |      WHEN st IS NOT NULL THEN 'signup'
+        |      ELSE 'none' END AS funnel_stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        | LEFT JOIN s ON u.user_id = s.user_id
+        | LEFT JOIN c ON u.user_id = c.user_id
+        | LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    "event_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |co AS (SELECT user_id,
+        |   CAST(DATE_TRUNC('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        |  FROM e GROUP BY user_id)
+        |SELECT cohort_week,
+        | DATE_DIFF('day', cohort_week,
+        |   CAST(DATE_TRUNC('week', ts) AS TIMESTAMP)) // 7 AS wk_offset,
+        | COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN co ON e.user_id = co.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, wk_offset""".stripMargin,
 
     "stream_dedup" ->
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
