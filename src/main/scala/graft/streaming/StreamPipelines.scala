@@ -63,6 +63,25 @@ object StreamPipelines {
       .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
 
   /**
+   * Incremental scheduled run: process exactly the files that appeared
+   * since the last invocation, then stop — the engine equivalent of
+   * plankton's cron trigger + param-hash skip-if-done (SURVEY.md §2e):
+   * the checkpoint IS the "which work is already complete" record, and
+   * re-running is idempotent (exactly-once file-sink semantics).
+   */
+  def mirrorAvailableNow(spark: SparkSession, srcDir: String,
+      schema: StructType, outDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+  }
+
+  /**
    * Per-user running counter + last-seen timestamp via
    * flatMapGroupsWithState (arbitrary stateful processing; Update mode).
    */
