@@ -84,6 +84,16 @@ object ScalarFns {
         .orderBy(col("vec_id"))
     }),
 
+    "fn_explode" -> ((s, d) => {
+      // Positional generator (table-valued function surface): token +
+      // 0-based position per document, lateral-view style.
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+        .filter(col("pos") < 5)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "fn_vector" -> ((s, d) => {
       // Vector arithmetic surface: norm, normalization, elementwise
       // combine, scaling — all double-promoted inside lambdas/kernels.
@@ -185,6 +195,13 @@ object ScalarFns {
         | LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
         | CAST(LIST_MAX(embedding) AS DOUBLE) AS max_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_explode" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+        |FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) AS r(i)
+        |WHERE i <= 5
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "fn_vector" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

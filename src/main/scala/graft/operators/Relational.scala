@@ -140,6 +140,29 @@ object Relational {
         .orderBy(col("s_suppkey"))
     }),
 
+    "join_time_range" -> ((s, d) => {
+      // Interval/range join: pairs of a user's events within 5 minutes of
+      // each other. The equi key (user_id) carries the join — the range
+      // predicate is a residual filter on each hash/merge match, so this
+      // stays a single shuffle by user, never a cartesian. At 100 TB the
+      // same shape holds; for range-only joins (no equi key) bucketize
+      // time into join keys first.
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val a = e.select(col("user_id"),
+        col("event_id").as("event_a"), col("ts").as("ts_a"))
+      val b = e.select(col("user_id").as("user_b"),
+        col("event_id").as("event_b"), col("ts").as("ts_b"))
+      a.join(b,
+          col("user_id") === col("user_b") &&
+          col("event_a") < col("event_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+        .select(col("user_id"), col("event_a"), col("event_b"),
+          (col("ts_b").cast("long") - col("ts_a").cast("long")).as("gap_sec"))
+        .orderBy(col("user_id"), col("event_a"), col("event_b"))
+    }),
+
     "join_asof" -> ((s, d) => {
       // As-of join: each purchase paired with the same user's most recent
       // signup at-or-before it. One shuffle by user_id, then a running
@@ -231,6 +254,16 @@ object Relational {
         |FROM supplier JOIN part
         |  ON s_acctbal >= p_retailprice - 500 AND s_acctbal <= p_retailprice + 500
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
+    "join_time_range" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        | EPOCH_US(b.ts) // 1000000 - EPOCH_US(a.ts) // 1000000 AS gap_sec
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
 
     "join_asof" ->
       """WITH e AS (
