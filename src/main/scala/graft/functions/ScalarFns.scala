@@ -72,11 +72,16 @@ object ScalarFns {
     "fn_array" -> ((s, d) => {
       // Higher-order functions over the 64-dim float vectors; all lambda
       // arithmetic promoted to double before multiplying (see header).
+      // The slice/transform result is projected to scalar columns: the
+      // driver's comparator can't hash array cells (§7d).
+      val first3 = transform(slice(col("embedding"), 1, 3), x => x.cast("double"))
       Tables.embeddings(s, d)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_dims"),
-          transform(slice(col("embedding"), 1, 3), x => x.cast("double")).as("first3"),
+          element_at(first3, 1).as("e1"),
+          element_at(first3, 2).as("e2"),
+          element_at(first3, 3).as("e3"),
           Q.r4(aggregate(col("embedding"), lit(0.0),
             (acc, x) => acc + x.cast("double") * x.cast("double"))).as("sum_sq"),
           size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"),
@@ -121,9 +126,8 @@ object ScalarFns {
         .orderBy(col("k"))
     }),
 
-    // Map construction + element access. Non-oracle (SURVEY.md §2b):
-    // DuckDB's MAP dialect diverges; the flattened projection of the same
-    // values is covered by fn_json's oracle. Unit-tested instead.
+    // Map construction + element access; oracled via DuckDB's MAP literal
+    // (element access there returns a 1-list → indexed [1]).
     "fn_map" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_id"),
@@ -189,7 +193,9 @@ object ScalarFns {
     "fn_array" ->
       """SELECT vec_id,
         | LEN(embedding) AS n_dims,
-        | LIST_TRANSFORM(embedding[1:3], x -> CAST(x AS DOUBLE)) AS first3,
+        | (LIST_TRANSFORM(embedding[1:3], x -> CAST(x AS DOUBLE)))[1] AS e1,
+        | (LIST_TRANSFORM(embedding[1:3], x -> CAST(x AS DOUBLE)))[2] AS e2,
+        | (LIST_TRANSFORM(embedding[1:3], x -> CAST(x AS DOUBLE)))[3] AS e3,
         | ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
         | LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos,
@@ -221,6 +227,17 @@ object ScalarFns {
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "fn_map" ->
+      """WITH t AS (SELECT event_id,
+        |  MAP {'type': event_type,
+        |       'k': REGEXP_EXTRACT(props, '"k": *(-?\d+)', 1)} AS m
+        |  FROM events)
+        |SELECT event_id,
+        | m['type'][1] AS m_type,
+        | CAST(m['k'][1] AS BIGINT) AS m_k,
+        | CAST(CARDINALITY(m) AS BIGINT) AS n_keys
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "fn_cast" ->
       """SELECT o_orderkey,

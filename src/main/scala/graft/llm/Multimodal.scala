@@ -79,11 +79,13 @@ object Multimodal {
     "multimodal_features" -> ((s, d) => {
       // Binary payload column + metadata derived from its bytes, computed
       // with codegen'd expressions (the no-decode fast path). The md5-hex
-      // derived width/height mirror decodeFeatures' stub.
+      // derived width/height mirror decodeFeatures' stub. The payload is
+      // emitted hex-encoded: the driver's comparator can't hash binary
+      // cells (§7d), and unhex→hex still round-trips the binary column.
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          payload.as("payload"),
+          lower(hex(payload)).as("payload_hex"),
           octet_length(payload).cast("long").as("byte_len"),
           (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 64 + 1)
             .cast("int").as("width"),
@@ -102,7 +104,7 @@ object Multimodal {
 
     "multimodal_features" ->
       """SELECT doc_id,
-        | UNHEX(MD5(text)) AS payload,
+        | LOWER(HEX(UNHEX(MD5(text)))) AS payload_hex,
         | OCTET_LENGTH(UNHEX(MD5(text))) AS byte_len,
         | CAST(CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INTEGER) % 64 + 1
         |   AS INTEGER) AS width,

@@ -131,12 +131,16 @@ object Aggregates {
     }),
 
     "agg_collect" -> ((s, d) => {
-      // collect_list order is nondeterministic → array_sort before output
-      // (§7d rule 4: arrays only if sorted).
+      // collect_list order is nondeterministic → array_sort; the sorted
+      // array is then serialized to CSV because the driver's comparator
+      // can't hash array cells (§7d: no array/binary verify output, ever —
+      // round-1 CORRECTNESS proved SURVEY's old "sorted arrays OK" wrong).
       Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(array_sort(collect_list(col("n_name"))).as("nations"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
         .orderBy(col("r_name"))
     }))
 
@@ -191,7 +195,9 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect" ->
-      """SELECT r_name, LIST_SORT(LIST(n_name)) AS nations
+      """SELECT r_name,
+        | ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations,
+        | COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
