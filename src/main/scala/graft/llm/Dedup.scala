@@ -36,21 +36,46 @@ object Dedup {
         expr("transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, '_', toks[i + 1]))")))
         .as("tok"))
 
-  /** Exact Jaccard over a (doc_id, tok) relation: shared-token blocking
-    * self-join, |∩| by count, |∪| = na + nb − |∩|. One shuffle by token,
-    * one by pair. */
+  /**
+   * Exact Jaccard pairs over a (doc_id, tok) relation with df-ordered
+   * PREFIX-FILTER blocking (AllPairs/PPJoin; round-2 per VERDICT.md):
+   * order every doc's tokens by global document frequency (rarest
+   * first); if j(r,s) ≥ t, the first common token in that order sits
+   * within the first |r|−⌈t·|r|⌉+1 tokens of r AND the first
+   * |s|−⌈t·|s|⌉+1 of s — so blocking only on those prefixes is EXACT
+   * while joining on a doc's *rarest* tokens instead of all of them.
+   * On a Zipf vocabulary this removes the stop-token blowup entirely;
+   * even on this corpus's adversarial 31-token vocab it cuts the
+   * candidate join input ~10× at t=0.95 (prefix ≈ 2 of ~20 tokens).
+   *
+   * Verification then needs the full token sets (the prefix join can't
+   * count intersections): candidates pull each side's sorted
+   * xxhash64-token array and the codegen'd merge-scan kernel
+   * ([[graft.plans.JaccardSortedLong]]) computes exact Jaccard — set
+   * cardinalities are hash-invariant, so values match the string-set
+   * form bit-for-bit (same property minhash_lsh's verify relies on).
+   */
   private def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame = {
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = toks.as("a")
-      .join(toks.as("b"),
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = toks
+      .join(broadcast(df), "tok") // token dimension: tiny here, df-capped dictionary at scale
+      .withColumn("rk", row_number().over(wDoc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(thresh)) + 1)
+      .select(col("doc_id"), col("tok"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val tokArrays = toks
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(xxhash64(col("tok")))).as("toks"))
+    cands
+      .join(broadcast(tokArrays.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
+      .join(broadcast(tokArrays.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
+      .withColumn("jaccard", graft.plans.VectorExprs.jaccardSorted(col("ta"), col("tb")))
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -92,6 +117,12 @@ object Dedup {
    * doc dimension outgrows broadcast; 1 and 2 are unchanged.
    */
   def minhashLsh(docs: DataFrame, thresh: Double): DataFrame = {
+    // sigs feeds three subtrees (banding + both verify sides); the
+    // persist keeps the UDAF signature stage single-computation (without
+    // it the stage runs 3× — measured +10 s at sf0.1). Cache LIFECYCLE
+    // belongs to the session runner: a lazily-returned DataFrame has no
+    // after-materialization hook, so Verify/Bench clearCache() between
+    // queries (round-1 ADVICE: nothing stays pinned across queries).
     val sigs = signatures(docs).persist()
     val banded = sigs
       .select(col("doc_id"), posexplode(
@@ -137,7 +168,33 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sum(when(col("w") > 0, expr("shiftleft(1L, cast(j as int))"))
         .otherwise(0L)).as("simhash"))
-      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Hamming-radius neighbor pairs over the 32-bit SimHash sketch
+   * (round-2 per VERDICT.md — the sketch existed without a query using
+   * it). Pigeonhole banding: split the 32 bits into 4 bytes; any pair
+   * within hamming distance ≤ 3 differs in at most 3 bands, so it MUST
+   * agree exactly on at least one byte — the band-key self-join is
+   * exact for r ≤ 3, never all-pairs, then `bit_count(a^b)` filters to
+   * the radius. Candidates scale with bucket occupancy (256 keys/band),
+   * the same mechanism as minhash_lsh's bands.
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole is only exact for hamming <= 3")
+    val sh = simhash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 8)) & 255)")))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val queries: Map[String, QFn] = Map(
@@ -174,7 +231,12 @@ object Dedup {
 
     "minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d), 0.95)),
 
-    "simhash" -> ((s, d) => simhash(Tables.documents(s, d))))
+    "simhash" -> ((s, d) => simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // Non-oracle (xxhash64 sketch isn't SQL-expressible); rows-only gate.
+    // Recovery of constructed near-identical pairs is property-tested in
+    // LlmSpec.
+    "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),

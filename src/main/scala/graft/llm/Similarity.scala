@@ -74,6 +74,79 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  // ---- Random-hyperplane LSH (pairwise vector near-dup at scale) ----
+  //
+  // The missing twin of minhash_lsh on the embedding side (VERDICT.md r1
+  // item 3): `embed_neardup` is an all-pairs cartesian — correct as the
+  // oracle stand-in, quadratic at 100 TB. Here each vector gets a 192-bit
+  // sign signature against fixed Gaussian hyperplanes; 16 bands × 12 bits
+  // turn the pair stream into a bucket self-join. P(bit match) for angle
+  // θ is 1 − θ/π, so a cos-0.97 near-dup pair matches a 12-bit band with
+  // p≈0.92^12≈0.38 and survives 16 bands with ≈0.9995 recall, while a
+  // random pair (cos≈0, p=0.5) survives with ≈16·0.5^12 ≈ 0.4% — the
+  // candidate set is ~250× smaller than all-pairs, then exact-cosine
+  // verified with the DotF32 kernel. NOTE this corpus has no planted
+  // vector dups (max pairwise cos ≈ 0.5, pure Gaussian tail — measured),
+  // so recall is property-tested with planted noisy copies in LlmSpec;
+  // the registry query reports the verified strongest candidates.
+
+  val HplBitsPerBand = 12
+  val HplBands = 16
+  val HplBits: Int = HplBitsPerBand * HplBands // 192
+
+  /** Fixed-seed Gaussian hyperplanes: signatures are a pure function of
+    * the vector — reproducible across sessions and executors (shipped to
+    * executors as a plan literal; 192×64 floats ≈ 49 KB). */
+  private lazy val hyperplanes: Seq[Seq[Float]] = {
+    val rng = new java.util.Random(0x6e617264L) // deterministic (JVM LCG spec)
+    Seq.fill(HplBits)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  }
+
+  /** vec_id, embedding, squared norm, and the 16 packed band keys. */
+  def hyperplaneSigs(emb: DataFrame): DataFrame = {
+    val planes = typedlit(hyperplanes)
+    emb
+      .select(col("vec_id"), col("embedding"),
+        dotFast(col("embedding"), col("embedding")).as("sq"),
+        transform(sequence(lit(0), lit(HplBits - 1)), h =>
+          when(dotFast(col("embedding"), element_at(planes, h + 1)) > 0, 1)
+            .otherwise(0)).as("sigbits"))
+      .withColumn("bands", transform(sequence(lit(0), lit(HplBands - 1)), b =>
+        aggregate(slice(col("sigbits"), b * HplBitsPerBand + 1, lit(HplBitsPerBand)),
+          lit(0), (acc, x) => acc * 2 + x)))
+      .drop("sigbits")
+  }
+
+  /** LSH candidate pairs + exact verified cosine ≥ thresh. Candidate
+    * generation is a band-key self-join (one shuffle by band key, never
+    * all-pairs); verification attaches vectors per side — broadcast at
+    * this sf, flips to a shuffle join on vec_id once the corpus outgrows
+    * broadcast (same note as minhash_lsh). */
+  def hyperplanePairs(emb: DataFrame, thresh: Double): DataFrame = {
+    // Persisted for the same reason as minhashLsh's sigs: four subtrees
+    // (both banding sides + both verify sides) would recompute the
+    // 192-dot signature scan; the runner clearCache()s between queries.
+    val sigs = hyperplaneSigs(emb).persist()
+    val banded = sigs
+      .select(col("vec_id"), posexplode(col("bands")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val sides = sigs.select(col("vec_id"), col("embedding"), col("sq"))
+    cands
+      .join(broadcast(sides.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("sq").as("sqa"))), "vec_a")
+      .join(broadcast(sides.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("sq").as("sqb"))), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb")).as("cos_sim"))
+      .filter(col("cos_sim") >= thresh)
+  }
+
   /** IVF-style ANN: nlist=10 centroid buckets (from label means),
     * nprobe=3 — probes only score vectors in their 3 nearest buckets. */
   def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
@@ -163,7 +236,19 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
-    "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)))
+    "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
+
+    "embed_lshpairs" -> ((s, d) => {
+      // Strongest verified near-dup candidates surfaced by the
+      // hyperplane-LSH index, top-100 (TakeOrderedAndProject — no global
+      // sort). thresh = -1 keeps every verified candidate because this
+      // corpus tops out at cos ≈ 0.5; the realistic ≥ 0.9 regime is
+      // exercised with planted duplicates in LlmSpec. Non-oracle
+      // (signatures aren't SQL-expressible); rows-only gate.
+      hyperplanePairs(Tables.embeddings(s, d), -1.0)
+        .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+        .limit(100)
+    }))
 
   private val embCte =
     """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** Canonical event record for typed streaming ops (mirrors
@@ -83,9 +84,49 @@ object StreamPipelines {
 
   /**
    * Per-user running counter + last-seen timestamp via
-   * flatMapGroupsWithState (arbitrary stateful processing; Update mode).
+   * `transformWithState` — Spark 4's current arbitrary-stateful API
+   * (SURVEY.md §2c names it first). State lives in a named ValueState
+   * per grouping key inside the RocksDB state store, which this operator
+   * REQUIRES: set `spark.sql.streaming.stateStore.providerClass` to
+   * `...state.RocksDBStateStoreProvider` on the session (StreamingSpec
+   * does; the HDFS-backed default store rejects transformWithState).
+   *
+   * Scale notes (100 TB/day): identical placement to the legacy twin —
+   * state partitioned by key across executors — but RocksDB spills
+   * state to local disk + changelog, so per-executor state is bounded
+   * by disk, not heap, and TTLConfig can evict idle users.
    */
   def statefulUserCounts(events: Dataset[Event]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, UserUpdate] {
+          @transient private var st: ValueState[UserState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[UserState](
+              "userState", Encoders.product[UserState], TTLConfig.NONE)
+          override def handleInputRows(uid: Long, rows: Iterator[Event],
+              timers: TimerValues): Iterator[UserUpdate] = {
+            var cur = if (st.exists()) st.get() else UserState(0L, 0L)
+            rows.foreach { e =>
+              cur = UserState(cur.count + 1, math.max(cur.lastTsMillis, e.ts.getTime))
+            }
+            st.update(cur)
+            Iterator(UserUpdate(uid, cur.count, cur.lastTsMillis))
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /**
+   * The same per-user counter on the older flatMapGroupsWithState API
+   * (kept as the portability surface: it runs on the default HDFS-backed
+   * state store; StreamingSpec asserts both APIs produce identical
+   * aggregates).
+   */
+  def statefulUserCountsLegacy(events: Dataset[Event]): Dataset[UserUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
     events

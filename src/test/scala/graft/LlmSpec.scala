@@ -41,6 +41,68 @@ class LlmSpec extends SparkSpec {
       "disjoint doc not farther than near-identical doc")
   }
 
+  test("simhash_pairs: banded hamming join recovers near-identical docs, exactly for radius 3 (literal frames)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "join filter window agg scan sort merge batch"),
+      (2L, "join filter window agg scan sort merge batch"),   // identical → hamming 0
+      (3L, "join filter window agg scan sort merge stream"),  // one token off
+      (4L, "zebra yak xylophone walrus vulture termite")      // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === 0L,
+      "identical docs not recovered at hamming 0")
+    // exactness: the banded join must emit exactly the pairs within the
+    // radius that a brute-force hamming scan finds
+    val sketches = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sketches.keys; b <- sketches.keys if a < b
+      h = java.lang.Long.bitCount(sketches(a) ^ sketches(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(out === brute, s"banded=$out brute=$brute")
+  }
+
+  test("embed_lshpairs: hyperplane LSH recovers planted vector near-dups (recall >= 0.9) and prunes the pair space (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    // The real corpus has no high-cos pairs (max ≈ 0.5), so plant 50
+    // noisy copies at cos ≈ 0.97 — the regime vector near-dup targets.
+    val base = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new scala.util.Random(7)
+    val planted = base.take(50).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.03f * rng.nextGaussian().toFloat))
+    }
+    val aug = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    // Exact ground truth with the same kernel arithmetic (brute force).
+    val a = aug.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("sqa"))
+    val b = aug.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("sqb"))
+    val cos = Similarity.cos4Pre(
+      Similarity.dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b") && cos >= 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"expected >=50 planted pairs, got ${exact.size}")
+    val approx = Similarity.hyperplanePairs(aug, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size}, |approx|=${approx.size})")
+    // exact-verify step ⇒ no pairs below the threshold
+    assert((approx -- exact).isEmpty, "LSH emitted pairs below the cosine threshold")
+    // the candidate set must be a small fraction of the 550·549/2 pairs
+    val nCands = Similarity.hyperplanePairs(aug, -1.0).count()
+    val allPairs = 550L * 549 / 2
+    assert(nCands < allPairs / 20,
+      s"banding admitted $nCands of $allPairs pairs — no pruning")
+  }
+
   test("ann_ivf: structurally sound and recall over random-chance (sf0.001)") {
     val exact = Similarity.queries("sim_topk")(spark, sf0001)
       .select("probe_id", "vec_id").collect()

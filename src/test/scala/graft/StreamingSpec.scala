@@ -66,24 +66,41 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("event_id").distinct().count() === 1000)
   }
 
-  test("stateful: per-user counter accumulates across micro-batches") {
+  test("stateful: transformWithState per-user counter accumulates across micro-batches and matches the legacy API") {
     val s = spark
     import s.implicits._
     implicit val sq = s.sqlContext
-    val in = MemoryStream[Event]
-    val q = StreamPipelines.statefulUserCounts(in.toDS())
-      .writeStream.format("memory").queryName("state_out")
-      .outputMode("update").start()
+    // transformWithState requires the RocksDB state store provider.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      in.addData(ev(1, ts(10, 0), user = 7), ev(2, ts(10, 1), user = 7))
-      q.processAllAvailable()
-      in.addData(ev(3, ts(10, 2), user = 7), ev(4, ts(9, 0), user = 8))
-      q.processAllAvailable()
-      val rows = s.sql(
-        """SELECT user_id, max(total_events) FROM state_out GROUP BY user_id""")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(rows(7L) === 3L)
-      assert(rows(8L) === 1L)
-    } finally q.stop()
+      def run(name: String, mk: org.apache.spark.sql.Dataset[Event] =>
+          org.apache.spark.sql.Dataset[graft.streaming.UserUpdate]): Map[Long, Long] = {
+        val in = MemoryStream[Event]
+        val q = mk(in.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          in.addData(ev(1, ts(10, 0), user = 7), ev(2, ts(10, 1), user = 7))
+          q.processAllAvailable()
+          in.addData(ev(3, ts(10, 2), user = 7), ev(4, ts(9, 0), user = 8))
+          q.processAllAvailable()
+          s.sql(s"SELECT user_id, max(total_events) FROM $name GROUP BY user_id")
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        } finally q.stop()
+      }
+      val tws = run("state_out_tws", StreamPipelines.statefulUserCounts)
+      assert(tws(7L) === 3L)
+      assert(tws(8L) === 1L)
+      val legacy = run("state_out_legacy", StreamPipelines.statefulUserCountsLegacy)
+      assert(legacy === tws, "legacy flatMapGroupsWithState diverged from transformWithState")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
   }
 }
