@@ -147,6 +147,28 @@ object Similarity {
       .filter(col("cos_sim") >= thresh)
   }
 
+  /** Exact all-pairs cosine ≥ thresh over (vec_id, embedding) as
+    * `(vec_a, vec_b, cos_sim)`. Squared norms are computed once per
+    * vector, not per pair. Both predicates live in the join condition,
+    * CHEAP ONE FIRST: a post-join `.filter(cos >= t)` gets pushed into
+    * the BNLJ condition *ahead of* `vec_a < vec_b` (measured via
+    * explain), making every ordered pair pay the 64-dim kernel —
+    * hand-ordering the conjuncts halves the evaluations and
+    * short-circuits the expensive one. Quadratic by design: the oracle
+    * stand-in and the small-corpus arm of the simjoin rewrite; the scale
+    * arm is [[hyperplanePairs]]. */
+  def exactPairs(emb: DataFrame, thresh: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("sq").as("sqa"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("sq").as("sqb"))
+    val cos = cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+    a.join(b, col("vec_a") < col("vec_b") && cos >= thresh)
+      .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+  }
+
   /** IVF-style ANN: nlist=10 centroid buckets (from label means),
     * nprobe=3 — probes only score vectors in their 3 nearest buckets. */
   def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
@@ -214,27 +236,22 @@ object Similarity {
         .orderBy(col("probe_id"))
     }),
 
-    "embed_neardup" -> ((s, d) => {
+    "embed_neardup" -> ((s, d) =>
       // Exact near-dup pairs in embedding space (threshold calibrated on
       // the corpus: cos >= 0.35 keeps a few hundred pairs at sf0.01).
-      // Squared norms are computed once per vector, not per pair.
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          dotFast(col("embedding"), col("embedding")).as("sq"))
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-        col("sq").as("sqa"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-        col("sq").as("sqb"))
-      val cos = cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
-      // Both predicates live in the join condition, CHEAP ONE FIRST: a
-      // post-join `.filter(cos >= t)` gets pushed into the BNLJ condition
-      // *ahead of* `vec_a < vec_b` (measured via explain), making every
-      // ordered pair pay the 64-dim kernel. Hand-ordering the conjuncts
-      // halves the evaluations and short-circuits the expensive one.
-      a.join(b, col("vec_a") < col("vec_b") && cos >= 0.35)
-        .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
-        .orderBy(col("vec_a"), col("vec_b"))
-    }),
+      exactPairs(Tables.embeddings(s, d), 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    "simjoin_auto" -> ((s, d) =>
+      // The declared similarity-join operator: CosineSelfJoin logical node,
+      // expanded by SimilarityJoinRewrite — cost-based exact-vs-LSH choice
+      // (graft.plans.SimilarityRewrite). At verify sf the stats pick the
+      // exact plan, so the oracle is the same SQL as embed_neardup;
+      // PlanShapeSpec pins both expansions' plan shapes.
+      graft.plans.SimilarityJoin.cosineSelfJoin(
+          Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
 
@@ -298,8 +315,29 @@ object Similarity {
         |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
         |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
         |   4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // simjoin_auto expands to the exact plan at verify scale (stats-based
+    // auto), so its oracle is the same exact-cosine SQL.
+    "simjoin_auto" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | ROUND(
+        |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
+        |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
+        |   4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE ROUND(
+        |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
+        |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
+        |   4) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin
     // ann_ivf: approximate (bucketed) → rows-only gate; recall vs sim_topk
     // is property-tested in LlmSpec.
+    // embed_lshpairs: signatures aren't SQL-expressible → rows-only gate;
+    // recall property-tested in LlmSpec.
   )
 }

@@ -16,10 +16,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *    the test harness, whose session is built before our code runs).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Whole-operator similarity join: expands CosineSelfJoin nodes
+    // (cost-based exact vs LSH — see SimilarityRewrite.scala). The runtime
+    // path self-registers via SimilarityJoin.ensureRegistered.
+    ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
+  }
 }
 
 object GraftExtensions {

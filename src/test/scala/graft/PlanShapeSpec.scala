@@ -53,4 +53,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "sig/token side tables should broadcast")
   }
+
+  test("simjoin: auto expands to the exact BNLJ plan under the stats cutoff, lsh to band-bucket joins") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    def planOf(strategy: String): String =
+      graft.plans.SimilarityJoin.cosineSelfJoin(emb, "vec_id", "embedding",
+        0.35, strategy).queryExecution.executedPlan.toString
+    // 500 rows ≈ 194 KB << the 100k-row auto cutoff → exact arm.
+    val auto = planOf("auto")
+    assert(auto.contains("BroadcastNestedLoopJoin"),
+      "auto under cutoff should expand to the exact pair BNLJ")
+    assert(!auto.contains("CosineSelfJoin"), "logical node must not survive")
+    // Forced LSH arm: band-bucket equi-joins, never a nested-loop pair scan.
+    val lsh = planOf("lsh")
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("Cartesian"),
+      "lsh arm must not contain an all-pairs join")
+    assert(lsh.contains("Generate"), "lsh arm explodes band keys")
+    // Auto flips to LSH when the stats cutoff drops below the corpus size.
+    val key = graft.plans.SimilarityJoinRewrite.ThresholdKey
+    spark.conf.set(key, "100")
+    try assert(!planOf("auto").contains("BroadcastNestedLoopJoin"),
+      "auto above cutoff should expand to the LSH arm")
+    finally spark.conf.unset(key)
+  }
 }
