@@ -22,12 +22,31 @@ object Verify {
     val toRun =
       if (selected.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(selected).toMap
+    // Run history + retry policy (plankton's scheduler surface, SURVEY §2e):
+    // each query is retried once on failure — in a real deployment failures
+    // are usually transient (executor loss, storage hiccup); here the retry
+    // also makes one flaky query unable to sink the whole round. Every
+    // attempt lands in run_history.json (machine-readable: per-query
+    // status / attempts / wall millis / error), next to the parquet dumps.
+    val history = collection.mutable.LinkedHashMap.empty[String, (String, Int, Long, String)]
     toRun.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t0 = System.nanoTime()
+      var attempt = 0
+      var done = false
+      var lastErr = ""
+      while (attempt < 2 && !done) {
+        attempt += 1
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          done = true
+        } catch { case e: Throwable =>
+          lastErr = String.valueOf(e.getMessage)
+          System.err.println(s"[verify] $name attempt $attempt failed: $lastErr")
+        }
       }
+      history(name) = (if (done) "ok" else "failed", attempt,
+        (System.nanoTime() - t0) / 1000000, if (done) "" else lastErr)
       // Operators may persist() self-join intermediates (minhash_lsh,
       // embed_lshpairs); the runner owns cache lifecycle — nothing stays
       // pinned past its query.
@@ -48,6 +67,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val hist = history
+      .map { case (k, (st, at, ms, err)) =>
+        s"${q(k)}: {\"status\": ${q(st)}, \"attempts\": $at," +
+        s" \"millis\": $ms, \"error\": ${q(err)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/run_history.json"), hist)
     spark.stop()
   }
 }

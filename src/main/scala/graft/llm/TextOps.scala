@@ -116,6 +116,49 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"), expr(fpExpr).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    "text_normalize" -> ((s, d) => {
+      // Boilerplate cleanup: collapse runs of consecutive repeated tokens
+      // ("batch batch batch" → "batch") + trim. Done with an INDEXED array
+      // lambda, not a regex backreference — RE2 (DuckDB) has no
+      // backreferences, and the array form is codegen-friendly and
+      // O(tokens) per row either way. Scale: pure per-row expressions, no
+      // shuffle at all (the final orderBy is the verify determinism sort).
+      val dedupRuns = "filter(toks, (x, i) -> i = 0 OR x <> toks[i - 1])"
+      Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), " "))
+        .select(col("doc_id"),
+          array_join(expr(dedupRuns), " ").as("norm_text"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(expr(dedupRuns)).cast("long").as("n_norm_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "pii_scrub" -> ((s, d) => {
+      // PII redaction: emails → <EMAIL>, then long digit runs (≥7) →
+      // <PHONE>, with per-row redaction counts for audit. The corpus has
+      // no natural PII, so each customer row first gets a DETERMINISTIC
+      // synthetic contact line (email + phone derived from c_custkey) —
+      // the redaction expressions are the operator under test and run
+      // identically in the oracle. Digit-run redaction is deliberately
+      // aggressive (also hits the digits inside Customer#0000...) — at
+      // scale you tune patterns, not the plumbing. Scan + per-row regex,
+      // no shuffle.
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+      val raw = concat(col("c_name"), lit(" email: c"),
+        col("c_custkey").cast("string"), lit("@example.com phone: "),
+        (lit(1000000000L) + col("c_custkey") * lit(7919L)).cast("string"))
+      val afterEmail = regexp_replace(raw, emailRe, "<EMAIL>")
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(afterEmail, "[0-9]{7,}", "<PHONE>").as("scrubbed"),
+          // group idx 0 = whole match (Spark defaults to group 1)
+          size(regexp_extract_all(raw, lit(emailRe), lit(0))).cast("long")
+            .as("n_emails"),
+          size(regexp_extract_all(afterEmail, lit("[0-9]{7,}"), lit(0)))
+            .cast("long").as("n_digit_runs"))
+        .orderBy(col("c_custkey"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -184,5 +227,37 @@ object TextOps {
         |SELECT doc_id,
         | LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)], vals),
         |   (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
-        |FROM t ORDER BY doc_id""".stripMargin)
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // DuckDB list lambdas index from 1 (Spark's from 0); same predicate.
+    "text_normalize" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | ARRAY_TO_STRING(LIST_FILTER(toks,
+        |   (x, i) -> i = 1 OR x <> toks[i - 1]), ' ') AS norm_text,
+        | LEN(toks) AS n_tokens,
+        | LEN(LIST_FILTER(toks, (x, i) -> i = 1 OR x <> toks[i - 1]))
+        |   AS n_norm_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all by
+    // default); REGEXP_EXTRACT_ALL stands in for the missing regexp_count.
+    "pii_scrub" ->
+      """WITH raw AS (SELECT c_custkey,
+        |  c_name || ' email: c' || CAST(c_custkey AS VARCHAR)
+        |    || '@example.com phone: '
+        |    || CAST(1000000000 + c_custkey * 7919 AS VARCHAR) AS pii
+        |  FROM customer),
+        |e AS (SELECT c_custkey, pii,
+        |  REGEXP_REPLACE(pii, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g')
+        |    AS after_email
+        |  FROM raw)
+        |SELECT c_custkey,
+        | REGEXP_REPLACE(after_email, '[0-9]{7,}', '<PHONE>', 'g') AS scrubbed,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(pii, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+        |   AS n_emails,
+        | CAST(LEN(REGEXP_EXTRACT_ALL(after_email, '[0-9]{7,}')) AS BIGINT)
+        |   AS n_digit_runs
+        |FROM e ORDER BY c_custkey""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.Q.QFn
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Data-quality / pipeline-hygiene operators: deterministic sampling and
@@ -41,6 +42,23 @@ object Profiling {
         .unionByName(prof("o_custkey"))
         .unionByName(prof("o_totalprice"))
         .orderBy(col("col_name"))
+    }),
+
+    "sample_stratified" -> ((s, d) => {
+      // Deterministic 10% PER-STRATUM sample (by language): first ⌈n·0.1⌉
+      // docs of each stratum in doc_id order — every language keeps its
+      // proportional share, unlike a global mod-sample that can starve
+      // small strata. One shuffle by the stratum key; the per-stratum
+      // count rides the same window partition (no second pass). At 100 TB
+      // swap doc_id order for a hash order if insertion order is biased.
+      val byLang = Window.partitionBy(col("lang"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(byLang.orderBy(col("doc_id")))
+          .cast("long"))
+        .withColumn("strata_n", count(lit(1)).over(byLang))
+        .filter(col("rn") <= ceil(col("strata_n") * 0.1))
+        .orderBy(col("lang"), col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -56,5 +74,14 @@ object Profiling {
          | CAST(MIN($c) AS DOUBLE) AS min_val,
          | CAST(MAX($c) AS DOUBLE) AS max_val
          |FROM orders""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rn, strata_n FROM (
+        | SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS strata_n
+        | FROM documents) t
+        |WHERE rn <= CEIL(strata_n * 0.1)
+        |ORDER BY lang, doc_id""".stripMargin)
 }

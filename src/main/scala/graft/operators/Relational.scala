@@ -184,6 +184,71 @@ object Relational {
           col("ts").cast("timestamp_ntz").as("ts"),
           col("signup_ts").cast("timestamp_ntz").as("signup_ts"))
         .orderBy(col("event_id"))
+    }),
+
+    "join_salted" -> ((s, d) => {
+      // Manual skew-salting: the (pretend-skewed) probe side gets a
+      // deterministic salt in [0, 8); the build side is exploded 8× so
+      // every (key, salt) pair still meets its match — one hot key's rows
+      // now spread across 8 reducers instead of one. Values are identical
+      // to the plain join (the oracle IS the plain join). AQE's skew-join
+      // split does this automatically for sort-merge joins; the manual
+      // form is what still works in streaming joins, bucketed joins, and
+      // non-AQE engines, and lets you target known-hot keys only.
+      val S = 8
+      val l = Tables.lineitem(s, d)
+        .withColumn("lsalt",
+          pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(S)).cast("int"))
+      val o = Tables.orders(s, d)
+        .withColumn("osalt", explode(sequence(lit(0), lit(S - 1))))
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("lsalt") === col("osalt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Q.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "join_bucketed" -> ((s, d) => {
+      // Zero-shuffle fact⋈fact: both sides written bucketed AND sorted by
+      // the join key (8 buckets) into the session warehouse, then joined —
+      // the SortMergeJoin reads co-located buckets with NO Exchange and NO
+      // per-query Sort on either side (plan-pinned in PlanShapeSpec). This
+      // is the discharge of the §2a note "with bucketed tables they'd
+      // become zero-shuffle": at 100 TB you pay the shuffle once at write
+      // time and amortize it over every downstream join/agg on that key.
+      // Tables are (re)written once per session per sfDir (content is
+      // static test data); real pipelines maintain them incrementally.
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val (lt, ot) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
+      // A fresh session's in-memory catalog has no tables, but the
+      // warehouse DIRECTORY survives across sessions — CTAS refuses a
+      // managed table whose location already exists. Drop both layers.
+      def dropStale(t: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      if (!s.catalog.tableExists(lt)) {
+        dropStale(lt)
+        dropStale(ot)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      }
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Q.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }))
 
   /** DuckDB-dialect oracles (run by the driver against the same tables). */
@@ -275,5 +340,22 @@ object Relational {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM e) t
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Salting is value-invariant: the oracle is the PLAIN join — the test
+    // proves the salted plan computes exactly what the unsalted one does.
+    "join_salted" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // Bucketing is storage-layout-invariant: the oracle reads the flat
+    // parquet and must hash-match the bucketed-table join.
+    "join_bucketed" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

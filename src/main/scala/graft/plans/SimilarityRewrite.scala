@@ -49,10 +49,16 @@ case class CosineSelfJoin(
     strategy: String,
     override val output: Seq[Attribute])
   extends UnaryNode {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
   // The pair/cosine attributes originate here, not in the child — without
   // this, CheckAnalysis reports them as missing inputs.
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // The node consumes exactly the id and vector columns. Declaring this
+  // lets ColumnPruning drop every OTHER child column (correct) instead of
+  // inserting an empty Project under the node (which it does for a node
+  // with no references — the id/vec lookup in the rewrite would then fail).
+  override def references: AttributeSet =
+    AttributeSet(child.output.filter(a => a.name == idCol || a.name == vecCol))
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineSelfJoin =
     copy(child = newChild)
 }

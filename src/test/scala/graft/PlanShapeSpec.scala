@@ -54,6 +54,26 @@ class PlanShapeSpec extends SparkSpec {
       "sig/token side tables should broadcast")
   }
 
+  test("join_bucketed: SortMergeJoin over bucketed scans with no Exchange below the join") {
+    val p = plan("join_bucketed")
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0, "bucketed join should plan SortMergeJoin")
+    // The plan tree prints the join's children (the table scans) after the
+    // join line: no Exchange may appear there — bucket layout IS the
+    // partitioning. The groupBy's Exchange sits above the join and is fine.
+    assert(!p.substring(joinAt).contains("Exchange"),
+      "bucketed join inputs must not be re-shuffled")
+    assert(p.contains("Bucketed: true"), "scans should report bucketed reads")
+  }
+
+  test("join_salted: value-invariance is oracle-checked; salt spreads the key space") {
+    val p = plan("join_salted")
+    // The salted join is still a single equi-join (key + salt), never a
+    // nested-loop; the explode on the build side is a Generate.
+    assert(p.contains("Generate"), "build side should explode salt values")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"))
+  }
+
   test("simjoin: auto expands to the exact BNLJ plan under the stats cutoff, lsh to band-bucket joins") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf0001)
