@@ -47,20 +47,20 @@ object Bench {
     * probe is deliberately HOF-interpreted (no kernel) and capped at
     * 500×500 vectors — it's a CPU-load canary, not a suite entry. */
   def probes(sfDir: String): Seq[(String, Double, SparkSession => Long)] = Seq(
-    ("probe_filter", 6.0, { s =>
+    ("probe_filter", 5.1, { s =>
       Tables.lineitem(s, sfDir)
         .filter(col("l_shipdate") <= "1998-09-02" &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .count()
     }),
-    ("probe_agg_q1", 2.6, { s =>
+    ("probe_agg_q1", 1.7, { s =>
       Tables.lineitem(s, sfDir)
         .filter(col("l_shipdate") <= "1998-09-02")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), avg(col("l_extendedprice")), count(lit(1)))
         .count()
     }),
-    ("probe_cosine_hof", 7.3, { s =>
+    ("probe_cosine_hof", 4.5, { s =>
       val e = Tables.embeddings(s, sfDir).filter(col("vec_id") < 500)
       val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))

@@ -91,14 +91,33 @@ object Dedup {
   val MinHashK = 60   // signature length
   val LshBands = 5    // 5 bands × 12 rows
 
-  /** doc_id → MinHash signature via the custom Aggregator (the
-    * demonstrative UDAF surface, SURVEY.md §7b). */
+  /** doc_id → MinHash signature via the custom Aggregator over the
+    * (doc_id, tok) RELATION (the demonstrative UDAF surface, SURVEY.md
+    * §7b): the right form when tokens arrive as rows — distributive min
+    * merge, so the shuffle carries k longs per doc, not tokens. */
   def signatures(docs: DataFrame): DataFrame = {
     val minhash = udaf(new MinHashAgg(MinHashK))
     distinctTokens(docs)
       .groupBy(col("doc_id"))
       .agg(minhash(col("tok")).as("sig"))
   }
+
+  /** The same signatures as a pure IN-ROW expression — the right form
+    * when tokens sit in an array column (they do here: one split() away):
+    * one token pass per row folding a 60-long min-array, fully inside
+    * whole-stage codegen, ZERO shuffle (the UDAF form pays explode +
+    * hash-agg exchange for collocation the row already had). Bit-identical
+    * to [[signatures]] — `xxhash64(i, t)` is the same seeded family the
+    * UDAF replays (parity-tested in LlmSpec). Round-2: this swap cut the
+    * minhash_lsh signature stage from 3 Spark jobs to expressions. */
+  def signaturesInline(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      s"""aggregate(
+         |  array_distinct(split(text, ' ')),
+         |  transform(sequence(0, ${MinHashK - 1}), i -> cast(9223372036854775807 as bigint)),
+         |  (acc, t) -> zip_with(acc,
+         |    transform(sequence(0, ${MinHashK - 1}), i -> xxhash64(i, t)),
+         |    (a, h) -> least(a, h)))""".stripMargin).as("sig"))
 
   /**
    * Candidate pairs from banded LSH, thinned by a signature-estimate
@@ -118,12 +137,11 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame, thresh: Double): DataFrame = {
     // sigs feeds three subtrees (banding + both verify sides); the
-    // persist keeps the UDAF signature stage single-computation (without
-    // it the stage runs 3× — measured +10 s at sf0.1). Cache LIFECYCLE
+    // persist keeps the signature scan single-computation. Cache LIFECYCLE
     // belongs to the session runner: a lazily-returned DataFrame has no
     // after-materialization hook, so Verify/Bench clearCache() between
     // queries (round-1 ADVICE: nothing stays pinned across queries).
-    val sigs = signatures(docs).persist()
+    val sigs = signaturesInline(docs).persist()
     val banded = sigs
       .select(col("doc_id"), posexplode(
         expr(s"""transform(sequence(0, ${LshBands - 1}),
@@ -158,17 +176,25 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document (sketch-based near-dup at scale;
-    * non-oracle — property-tested). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tokH = distinctTokens(docs).withColumn("h", xxhash64(col("tok")))
-    val bits = docs.sparkSession.range(32).toDF("j")
-    tokH.crossJoin(broadcast(bits))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h >> j) & 1") === 1, 1L).otherwise(-1L)).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("w") > 0, expr("shiftleft(1L, cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
-  }
+    * non-oracle — property-tested). Pure in-row expression: one token
+    * pass folds a 32-int weight vector (±1 per bit per token), then the
+    * majority rule packs the bits — no explode, no bit crossJoin, no
+    * shuffle (round 2; the relational form paid 32× row expansion plus
+    * two hash-agg exchanges for per-row arithmetic). Same xxhash64(tok)
+    * bits and same w>0 majority rule → values identical to the
+    * relational form it replaced. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(array_distinct(split(text, ' ')),
+        |      transform(sequence(0, 31), j -> 0),
+        |      (acc, t) -> zip_with(acc,
+        |        transform(sequence(0, 31), j -> if(((xxhash64(t) >> j) & 1) = 1, 1, -1)),
+        |        (a, x) -> a + x)),
+        |    sequence(0, 31),
+        |    (w, j) -> if(w > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+        |  cast(0 as bigint), (acc, b) -> acc + b)""".stripMargin).as("simhash"))
 
   /**
    * Hamming-radius neighbor pairs over the 32-bit SimHash sketch

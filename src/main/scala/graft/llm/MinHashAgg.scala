@@ -10,31 +10,29 @@ import org.apache.spark.sql.expressions.Aggregator
  * aggregate (min) so partial aggregation works map-side; merge is
  * element-wise min, so the shuffle carries k longs per doc, not tokens.
  *
- * The hash is a seeded FNV-1a variant — any fixed 64-bit mix works for
- * MinHash as long as seeds decorrelate the permutations; no external
- * hash libs needed.
+ * This is the TOKEN-RELATION form of MinHash — the one you need when
+ * tokens arrive as (doc_id, tok) rows (e.g. out of an explode or an
+ * inverted index). When tokens sit in an in-row array, prefer the
+ * expression form [[Dedup.signaturesInline]]; the two are BIT-IDENTICAL
+ * because this hash replays exactly what the `xxhash64(i, tok)`
+ * expression computes — seed 42, hash the int seed index, then the
+ * token's UTF-8 bytes (parity-tested in LlmSpec).
  */
 class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Seq[Long]] {
 
-  private def hash(tok: String, seed: Int): Long = {
-    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
-    var i = 0
-    while (i < tok.length) {
-      h ^= tok.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    // final avalanche so low bits of short tokens spread
-    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL; h ^= (h >>> 33)
-    h
-  }
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // xxhash64(i, tok) = string hash seeded with hashInt(i, 42)
+  private val seeds: Array[Long] = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+    val u = UTF8String.fromString(tok)
     var i = 0
     while (i < k) {
-      val h = hash(tok, i)
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seeds(i))
       if (h < buf(i)) buf(i) = h
       i += 1
     }

@@ -41,6 +41,18 @@ class LlmSpec extends SparkSpec {
       "disjoint doc not farther than near-identical doc")
   }
 
+  test("minhash signatures: UDAF (token relation) and inline expression (token array) are bit-identical (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val udafSigs = Dedup.signatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exprSigs = Dedup.signaturesInline(docs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(udafSigs.keySet === exprSigs.keySet)
+    udafSigs.foreach { case (id, sig) =>
+      assert(sig === exprSigs(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("simhash_pairs: banded hamming join recovers near-identical docs, exactly for radius 3 (literal frames)") {
     val s = spark
     import s.implicits._
