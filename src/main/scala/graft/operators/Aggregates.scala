@@ -142,6 +142,57 @@ object Aggregates {
           array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
           count(lit(1)).as("n_nations"))
         .orderBy(col("r_name"))
+    }),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      // Explicit GROUPING SETS ((nation), (segment)) — the general form
+      // rollup/cube are sugar for: two independent one-dim aggregates in
+      // ONE pass over the join (the expand operator emits a row per set,
+      // partial aggs keep the shuffle at #groups). Null-coded set members
+      // get sentinels for non-nullable sort keys (§7d rule 1).
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), Q.moneySum(col("c_acctbal")).as("sum_bal"))
+        .select(
+          coalesce(col("n_name"), lit("<all>")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("<all>")).as("segment"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy(col("nation"), col("segment"))
+    }),
+
+    "agg_filter" -> ((s, d) => {
+      // FILTER-clause aggregates: several differently-conditioned
+      // aggregates in one scan + one shuffle (the alternative — one scan
+      // per condition — multiplies I/O at 100 TB). Null sums from empty
+      // filter sets are coalesced identically on both engines.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("count(*) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+          coalesce(
+            expr("SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderpriority = '1-URGENT')")
+              .cast("double"), lit(0.0)).as("urgent_price"),
+          expr("count(*) FILTER (WHERE o_totalprice > 300000)").as("n_big"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "agg_histogram" -> ((s, d) => {
+      // Fixed-width histogram: bucket = floor(x / w) is a plain group key
+      // — one hash agg, #buckets groups, no sort of the data. (Spark's
+      // floor(double) is already BIGINT; DuckDB's needs the cast.)
+      val w = 50000
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / w).as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          Q.moneySum(col("o_totalprice")).as("sum_price"))
+        .select(col("bucket"),
+          (col("bucket") * w).cast("double").as("lo"),
+          ((col("bucket") + 1) * w).cast("double").as("hi"),
+          col("n_orders"), col("sum_price"))
+        .orderBy(col("bucket"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -211,5 +262,32 @@ object Aggregates {
     "agg_stringagg" ->
       """SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(n_name, '<all>') AS nation,
+        | COALESCE(c_mktsegment, '<all>') AS segment,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY nation, segment""".stripMargin,
+
+    "agg_filter" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        | COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 0.0)
+        |   AS urgent_price,
+        | COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
+        | COUNT(*) AS n_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | CAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) * 50000 AS DOUBLE) AS lo,
+        | CAST((CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1) * 50000 AS DOUBLE) AS hi,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin)
 }

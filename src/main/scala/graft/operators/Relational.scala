@@ -186,6 +186,30 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    "join_full" -> ((s, d) => {
+      // FULL OUTER between two derived sets whose keys only partially
+      // overlap (rich customers vs customers with a very large order), so
+      // both null-extended sides actually surface. The output key is
+      // coalesced (non-nullable sort key, §7d rule 1) and a side tag makes
+      // the unmatched provenance explicit.
+      val rich = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"))
+      rich.join(big, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    }),
+
     "join_salted" -> ((s, d) => {
       // Manual skew-salting: the (pretend-skewed) probe side gets a
       // deterministic salt in [0, 8); the build side is exploded 8× so
@@ -341,6 +365,20 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM e) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "join_full" ->
+      """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer
+        |              WHERE c_acctbal > 9000),
+        |big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |        WHERE o_totalprice > 450000 GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        | CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |      WHEN o_custkey IS NULL THEN 'customer_only'
+        |      ELSE 'both' END AS side,
+        | COALESCE(c_acctbal, 0.0) AS acctbal,
+        | COALESCE(n_big, 0) AS n_big
+        |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     // Salting is value-invariant: the oracle is the PLAIN join — the test
     // proves the salted plan computes exactly what the unsalted one does.

@@ -83,6 +83,35 @@ object StreamPipelines {
   }
 
   /**
+   * Stream–stream INTERVAL join: each click joined to the same user's
+   * purchases within [click_ts, click_ts + 10 min]. Both sides carry a
+   * 10-minute watermark and the join condition bounds event time in BOTH
+   * directions, so the state store provably evicts: a buffered click can
+   * be dropped once the purchase watermark passes click_ts + 10 min, a
+   * buffered purchase once the click watermark passes purchase_ts. At
+   * 100 TB/day this is the only viable formulation — an unbounded-time
+   * stream join buffers forever. State partitions by user_id (the equi
+   * key); append mode emits each matched pair exactly once.
+   */
+  def clickPurchaseJoin(clicks: Dataset[Event],
+      purchases: Dataset[Event]): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("amount"))
+    c.join(p,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("amount"))
+  }
+
+  /**
    * Per-user running counter + last-seen timestamp via
    * `transformWithState` — Spark 4's current arbitrary-stateful API
    * (SURVEY.md §2c names it first). State lives in a named ValueState

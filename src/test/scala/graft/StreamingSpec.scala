@@ -42,6 +42,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks match purchases within 10 min; out-of-range never emitted") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamPipelines.clickPurchaseJoin(clicks.toDS(), purchases.toDS())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // user 1: click 10:00, purchases at 10:05 (in range) and 10:20 (out);
+      // user 2: purchase with no prior click in range.
+      clicks.addData(ev(1, ts(10, 0), user = 1))
+      purchases.addData(
+        ev(101, ts(10, 5), user = 1, typ = "purchase"),
+        ev(102, ts(10, 20), user = 1, typ = "purchase"),
+        ev(103, ts(10, 5), user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT user_id, click_id, purchase_id FROM ssj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 1L, 101L)),
+        s"exactly the in-range pair should match, got $rows")
+      // a second in-range purchase arriving later still matches the
+      // buffered click (state not yet evicted: watermark hasn't passed)
+      purchases.addData(ev(104, ts(10, 9), user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      val rows2 = s.sql("SELECT purchase_id FROM ssj_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(rows2 === Set(101L, 104L))
+    } finally q.stop()
+  }
+
   test("AvailableNow incremental runs: each invocation processes only new files, idempotently") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_incr").toString
