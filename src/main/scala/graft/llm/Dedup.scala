@@ -223,6 +223,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /**
+   * Connected components over an undirected pair graph (doc_a, doc_b) —
+   * the clustering step that turns near-dup PAIRS into dedup GROUPS
+   * (component id = min doc_id; keep one doc per component). Distributed
+   * min-label propagation: every doc starts labeled with itself; each
+   * round pulls the minimum label across its neighbors; fixpoint after
+   * O(component diameter) rounds. Each round is one join + one hash agg
+   * (both shuffle by doc key), and `localCheckpoint` truncates the plan
+   * lineage per round — the standard Spark formulation for iterative
+   * graph algorithms (what GraphX does under the hood), so 100 TB of
+   * pairs just means wider shuffles, not deeper plans. Near-dup graphs
+   * have tiny diameters (dups cluster tightly), so rounds stay single
+   * digits regardless of corpus size.
+   */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, col("dst") === col("doc"))
+        .select(col("src").as("doc"), col("lbl"))
+        .union(labels)
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels = next
+    }
+    edges.unpersist()
+    val bySize = Window.partitionBy(col("lbl"))
+    labels
+      .select(col("doc").as("doc_id"), col("lbl").as("component_id"),
+        count(lit(1)).over(bySize).as("component_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> ((s, d) => {
       // Hash-groupBy exact dedup: keep the lowest doc_id per md5(text).
@@ -262,7 +303,11 @@ object Dedup {
     // Non-oracle (xxhash64 sketch isn't SQL-expressible); rows-only gate.
     // Recovery of constructed near-identical pairs is property-tested in
     // LlmSpec.
-    "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)))
+    "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)),
+
+    "dedup_components" -> ((s, d) =>
+      connectedComponents(
+        jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95))))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),
@@ -300,7 +345,33 @@ object Dedup {
         |   RANGE(1, LEN(STRING_SPLIT(text, ' '))),
         |   i -> STRING_SPLIT(text, ' ')[i] || '_' || STRING_SPLIT(text, ' ')[i + 1])))
         |   AS tok FROM documents""".stripMargin,
-      0.3)
+      0.3),
+
+    // Same pair graph as dedup_near; components via transitive closure
+    // (recursive CTE) — DuckDB's exact fixpoint vs Spark's label
+    // propagation must agree doc-for-doc.
+    "dedup_components" ->
+      """WITH RECURSIVE
+        | t AS (SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+        |       FROM documents),
+        | s AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | pairs AS (SELECT doc_a, doc_b
+        |           FROM p JOIN s sa ON p.doc_a = sa.doc_id
+        |                  JOIN s sb ON p.doc_b = sb.doc_id
+        |           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.95),
+        | e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | r(a, b) AS (SELECT a, b FROM e
+        |             UNION
+        |             SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        | lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+        |         FROM r GROUP BY a)
+        |SELECT doc_id, component_id,
+        | COUNT(*) OVER (PARTITION BY component_id) AS component_size
+        |FROM lab ORDER BY doc_id""".stripMargin
     // minhash_lsh / simhash: sketch-based, engine-specific hashes → rows-only
     // gate; recall property-tested against dedup_near in LlmSpec.
   )
