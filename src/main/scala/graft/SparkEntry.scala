@@ -28,6 +28,7 @@ object SparkEntry {
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
     (llm.TextOps.queries, llm.TextOps.oracleSql),
     (llm.Dedup.queries, llm.Dedup.oracleSql),
+    (llm.Curate.queries, llm.Curate.oracleSql),
     (llm.Similarity.queries, llm.Similarity.oracleSql),
     (llm.Multimodal.queries, llm.Multimodal.oracleSql))
 

@@ -1,0 +1,115 @@
+package graft.llm
+
+import graft.Tables
+import graft.Q.QFn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * End-to-end corpus curation — the flagship COMPOSED pipeline: the
+ * operators in this package are useful alone, but a real training-data
+ * build chains them. `pipeline_curate` runs the canonical four-stage
+ * chain as ONE declarative query (one Catalyst plan — stages fuse,
+ * nothing materializes between them), oracle-checked end-to-end:
+ *
+ *  1. exact dedup   — keep the lowest doc_id per md5(text);
+ *  2. near-dup prune — Jaccard ≥ 0.95 pair graph over the survivors,
+ *     connected components, keep only each component's canonical
+ *     (minimum-id) member plus all unpaired docs;
+ *  3. quality gate  — integer-basis-point quality score ≥ 5000
+ *     (uniqueness + non-stopword mass, the text_quality formula);
+ *  4. stratified sample — deterministic ⌈n·0.5⌉ per language.
+ *
+ * Scale notes (100 TB): the chain is exactly the production shape —
+ * cheap exact dedup first collapses mass before the expensive pairwise
+ * stage (stage 2's candidate generation swaps to minhash_lsh at scale,
+ * same interface: a (doc_a, doc_b) pair frame feeds the same component
+ * step); the quality gate is a free per-row filter; the sample bounds
+ * what leaves the pipeline. Every stage shuffles by doc or language key
+ * only — no stage collects.
+ */
+object Curate {
+
+  def curate(docs: DataFrame): DataFrame = {
+    // 1. exact dedup
+    val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exactKept = docs
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    // 2. near-dup components → drop non-canonical members
+    val comps = Dedup.connectedComponents(
+      Dedup.jaccardPairs(Dedup.distinctTokens(exactKept), 0.95))
+    val nearKept = exactKept.join(
+      comps.filter(col("doc_id") =!= col("component_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    // 3. quality gate (text_quality's integer-bp score — tie-divergence-proof)
+    val toks = col("toks")
+    val scored = nearKept
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
+      .withColumn("quality_bp",
+        expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens"))
+      .filter(col("quality_bp") >= 5000)
+    // 4. deterministic 50% stratified sample by language
+    val byLang = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("srn", row_number().over(byLang.orderBy(col("doc_id"))).cast("long"))
+      .withColumn("strata_n", count(lit(1)).over(byLang))
+      .filter(col("srn") <= ceil(col("strata_n") * 0.5))
+      .select(col("doc_id"), col("lang"), col("quality_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    // The same four stages as one SQL pipeline: QUALIFY exact dedup →
+    // Jaccard pair graph → recursive-CTE components → canonical keep →
+    // quality gate → per-language window sample.
+    "pipeline_curate" ->
+      """WITH RECURSIVE
+        | d1 AS (SELECT * FROM documents
+        |        QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text)
+        |                                   ORDER BY doc_id) = 1),
+        | t AS (SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok
+        |       FROM d1),
+        | s AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |       FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        | pairs AS (SELECT doc_a, doc_b
+        |           FROM p JOIN s sa ON p.doc_a = sa.doc_id
+        |                  JOIN s sb ON p.doc_b = sb.doc_id
+        |           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.95),
+        | e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | r(a, b) AS (SELECT a, b FROM e
+        |             UNION
+        |             SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+        | lab AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+        |         FROM r GROUP BY a),
+        | kept AS (SELECT d1.* FROM d1
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM lab
+        |                               WHERE doc_id <> component_id)),
+        | scored AS (SELECT doc_id, lang,
+        |   (LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 7000
+        |     + (LEN(STRING_SPLIT(text, ' '))
+        |        - LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |              x -> x IN ('the', 'a', 'of', 'and')))) * 3000)
+        |     // LEN(STRING_SPLIT(text, ' ')) AS quality_bp
+        |   FROM kept),
+        | gated AS (SELECT * FROM scored WHERE quality_bp >= 5000)
+        |SELECT doc_id, lang, quality_bp FROM (
+        |  SELECT doc_id, lang, quality_bp,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS srn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS strata_n
+        |  FROM gated) x
+        |WHERE srn <= CEIL(strata_n * 0.5)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -24,7 +24,7 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** (doc_id, tok) with per-doc distinct tokens. */
-  private def distinctTokens(docs: DataFrame): DataFrame =
+  private[llm] def distinctTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
 
@@ -55,7 +55,7 @@ object Dedup {
    * cardinalities are hash-invariant, so values match the string-set
    * form bit-for-bit (same property minhash_lsh's verify relies on).
    */
-  private def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame = {
+  private[llm] def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame = {
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val prefix = toks
