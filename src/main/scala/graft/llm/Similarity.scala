@@ -169,38 +169,78 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
   }
 
-  /** IVF-style ANN: nlist=10 centroid buckets (from label means),
-    * nprobe=3 — probes only score vectors in their 3 nearest buckets. */
-  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // Centroids: mean embedding per label, computed distributed —
-    // posexplode to (label, pos, x), avg per component, re-assemble the
-    // vector ordered by pos (struct array_sort orders by first field).
-    val centroids = emb
-      .select(col("label").as("cl"), posexplode(col("embedding")))
+  /** Mean vector per cluster, computed distributed: posexplode to
+    * (cl, pos, x), avg per component, re-assemble ordered by pos
+    * (struct array_sort orders by first field). */
+  private def meanByCluster(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cl"), posexplode(col("embedding")))
       .groupBy(col("cl"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
       .groupBy(col("cl"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cl"), expr("transform(pm, x -> x.m)").as("centroid"))
+
+  /** Nearest-centroid (min L2) assignment of every corpus vector —
+    * centroids (with precomputed squared norms) broadcast, one scan,
+    * window argmin per vector. ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; the ‖x‖²
+    * term is constant per vector, so `csq − 2x·c` orders identically
+    * and saves a kernel pass. L2 (not max-dot) is the metric mean
+    * updates actually descend on — max-dot assignment paired with a
+    * mean update shrinks centroid norms and DIVERGES (measured: the
+    * objective test caught it). */
+  private def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_dist").asc, col("cl"))
+    val cents = centroids.withColumn("csq", sumSq(col("centroid")))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cl"),
+        (col("csq") - lit(2.0) * dot(col("embedding"), col("centroid")))
+          .as("c_dist"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .drop("crn", "c_dist")
+  }
+
+  /**
+   * Deterministic distributed k-means (Lloyd): init = the k lowest
+   * vec_ids (no sampling — reproducible across runs and engines), then
+   * `iters` rounds of broadcast-centroids → min-L2 assign → per-cluster
+   * mean. Each round is one corpus scan + one (cl, pos) hash agg; the
+   * centroid frame stays k×64 doubles, always broadcastable. Empty
+   * clusters simply drop out (standard k-means caveat; reseeding is an
+   * upstream policy choice). At 100 TB the same loop holds — k-means cost
+   * is iters × (scan + tiny agg), never pairwise.
+   */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cl"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters)
+      centroids = meanByCluster(assignClusters(emb, centroids))
+        .localCheckpoint(true) // truncate per-round lineage, as in connectedComponents
+    centroids
+  }
+
+  /** IVF-style ANN: nlist=10 k-means buckets, nprobe=3 — probes only
+    * score vectors in their 3 nearest buckets. */
+  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = kmeans(emb, 10, 3)
     val cb = broadcast(centroids)
     // Assign every corpus vector to its nearest centroid (one scan).
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_dot").desc, col("cl"))
-    val assigned = emb.crossJoin(cb)
-      .select(col("vec_id"), col("embedding"), col("cl"),
-        dot(col("embedding"), col("centroid")).as("c_dot"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    val assigned = assignClusters(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("cl").as("bucket"))
-    // Probes pick their nprobe nearest buckets, then rerank exactly.
+    // Probes pick their nprobe nearest buckets (same L2 metric as the
+    // corpus assignment), then rerank exactly.
     val wProbe = Window.partitionBy(col("probe_id"))
-      .orderBy(col("c_dot").desc, col("cl"))
+      .orderBy(col("c_dist").asc, col("cl"))
     val probeBuckets = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .crossJoin(cb)
       .select(col("probe_id"), col("p_emb"), col("cl"),
-        dot(col("p_emb"), col("centroid")).as("c_dot"))
+        (sumSq(col("centroid")) - lit(2.0) * dot(col("p_emb"), col("centroid")))
+          .as("c_dist"))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("cl").as("bucket"))

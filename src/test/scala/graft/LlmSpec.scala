@@ -115,6 +115,25 @@ class LlmSpec extends SparkSpec {
       s"banding admitted $nCands of $allPairs pairs — no pruning")
   }
 
+  test("kmeans: Lloyd iterations decrease the mean squared distance objective (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // mean over vectors of min_c ||x - c||^2
+    def objective(c: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(c))
+        .select(col("vec_id"),
+          (Similarity.sumSq(col("embedding"))
+            - lit(2.0) * Similarity.dot(col("embedding"), col("centroid"))
+            + Similarity.sumSq(col("centroid"))).as("d2"))
+        .groupBy("vec_id").agg(min("d2").as("best"))
+        .agg(avg("best")).head.getDouble(0)
+    val init = Similarity.kmeans(emb, 10, 0)
+    val fit = Similarity.kmeans(emb, 10, 3)
+    val n = fit.count()
+    assert(n > 0 && n <= 10, s"expected <=10 non-empty clusters, got $n")
+    assert(objective(fit) < objective(init),
+      "Lloyd iterations should decrease mean squared distance")
+  }
+
   test("ann_ivf: structurally sound and recall over random-chance (sf0.001)") {
     val exact = Similarity.queries("sim_topk")(spark, sf0001)
       .select("probe_id", "vec_id").collect()
