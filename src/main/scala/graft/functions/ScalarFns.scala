@@ -151,6 +151,20 @@ object ScalarFns {
             .cast("timestamp_ntz").as("back_ts"),
           col("o_custkey").cast("double").as("cust_dbl"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "fn_struct" -> ((s, d) => {
+      // Struct build + field access — the nested-record surface. The
+      // verify OUTPUT stays flat (§7d rule 4: no structs out), so the
+      // struct is built, navigated, and projected back to scalars.
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("tp")).as("o"))
+        .select(col("o_orderkey"),
+          col("o.st").as("status"),
+          (col("o.tp") > 300000).cast("int").as("is_big"))
+        .orderBy(col("o_orderkey"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -246,5 +260,13 @@ object ScalarFns {
         | CAST(o_orderdate AS VARCHAR) AS date_str,
         | CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS back_ts,
         | CAST(o_custkey AS DOUBLE) AS cust_dbl
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_struct" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  STRUCT_PACK(st := o_orderstatus, tp := o_totalprice) AS o
+        |  FROM orders)
+        |SELECT o_orderkey, o.st AS status,
+        | CAST(CASE WHEN o.tp > 300000 THEN 1 ELSE 0 END AS INTEGER) AS is_big
+        |FROM t ORDER BY o_orderkey""".stripMargin)
 }

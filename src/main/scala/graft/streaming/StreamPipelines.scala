@@ -83,6 +83,20 @@ object StreamPipelines {
   }
 
   /**
+   * Streaming dedup with BOUNDED state: duplicates of an event_id are
+   * dropped only while the id is within the 10-minute watermark horizon —
+   * after the watermark passes, state for old ids is evicted (unlike
+   * plain streaming dropDuplicates, whose state grows forever). The
+   * at-scale contract for at-least-once sources: upstream retries land
+   * within minutes, so a bounded horizon gives exactly-once output with
+   * O(events-per-horizon) state per partition.
+   */
+  def dedupWithinWatermark(events: Dataset[Event]): Dataset[Event] =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /**
    * Stream–stream INTERVAL join: each click joined to the same user's
    * purchases within [click_ts, click_ts + 10 min]. Both sides carry a
    * 10-minute watermark and the join condition bounds event time in BOTH

@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dups inside the horizon collapse; state evicts after it") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamPipelines.dedupWithinWatermark(in.toDS())
+      .writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    try {
+      // same event_id three times within the horizon → exactly one row
+      in.addData(ev(1, ts(10, 0)), ev(1, ts(10, 1)), ev(1, ts(10, 2)))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM ddw_out WHERE event_id = 1").count() === 1)
+      // push the watermark far past 10:00 + 10 min → id-1 state evicted
+      in.addData(ev(2, ts(12, 0)))
+      q.processAllAvailable()
+      // a *late replay* of id 1 now reappears: bounded state traded
+      // eternal exactly-once for horizon exactly-once (the documented
+      // dropDuplicatesWithinWatermark semantics)
+      in.addData(ev(1, ts(12, 1)))
+      q.processAllAvailable()
+      assert(s.sql("SELECT * FROM ddw_out WHERE event_id = 1").count() === 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks match purchases within 10 min; out-of-range never emitted") {
     val s = spark
     import s.implicits._
