@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.SetOps.queries, operators.SetOps.oracleSql),
     (operators.Reshape.queries, operators.Reshape.oracleSql),
     (operators.Profiling.queries, operators.Profiling.oracleSql),
+    (operators.Sql.queries, operators.Sql.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
     (llm.TextOps.queries, llm.TextOps.oracleSql),
