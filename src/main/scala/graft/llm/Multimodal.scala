@@ -92,6 +92,26 @@ object Multimodal {
           (conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 64 + 1)
             .cast("int").as("height"))
         .orderBy(col("doc_id"))
+    }),
+
+    "multimodal_framesample" -> ((s, d) => {
+      // Video frame sampling: every 8th frame of each payload, emitted as
+      // (frame_idx, ts_millis, byte_offset) rows — the row-expansion +
+      // offset arithmetic a video pipeline does before handing offsets to
+      // a decoder task. Frame count derives deterministically from doc
+      // metadata (a real build reads it from the container header; the
+      // codec-free container forces the stand-in, per the decode-stub
+      // policy above); offsets assume fixed-size frames (real: container
+      // seek index). Explode expansion is bounded by the sample stride —
+      // rows out ≈ n_frames/8 per doc, no shuffle anywhere.
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("n_chars") % 240 + 16).cast("long").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(8L))).as("frame_idx"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          expr("frame_idx * 1000 div 24").as("ts_millis"),
+          (col("frame_idx") * 4096L).as("byte_offset"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -110,5 +130,15 @@ object Multimodal {
         |   AS INTEGER) AS width,
         | CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
         |   AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_framesample" ->
+      """WITH m AS (SELECT doc_id, CAST(n_chars % 240 + 16 AS BIGINT) AS n_frames
+        |           FROM documents)
+        |SELECT doc_id, n_frames, f AS frame_idx,
+        | f * 1000 // 24 AS ts_millis,
+        | f * 4096 AS byte_offset
+        |FROM (SELECT doc_id, n_frames, UNNEST(RANGE(0, n_frames, 8)) AS f
+        |      FROM m) t
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }
