@@ -81,6 +81,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Public exact arm for the optimizer's TokenSelfJoin rewrite
+    * (plans/SimilarityRewrite.scala): prefix-filtered exact Jaccard over
+    * (doc_id, text) rows. */
+  def exactJaccardPairs(docs: DataFrame, thresh: Double): DataFrame =
+    jaccardPairs(distinctTokens(docs), thresh)
+
   // ---- MinHash + LSH (the at-scale near-dedup path; non-oracle) ----
 
   // Band geometry tuned to the 0.95 threshold ON THIS CORPUS: its tiny
@@ -307,7 +313,16 @@ object Dedup {
 
     "dedup_components" -> ((s, d) =>
       connectedComponents(
-        jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95))))
+        jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95))),
+
+    "tokjoin_auto" -> ((s, d) =>
+      // Declared token-similarity join (TokenSelfJoin node): the optimizer
+      // picks prefix-filtered exact Jaccard vs MinHash-LSH from stats —
+      // exact at verify scale, so the oracle is dedup_near's SQL.
+      graft.plans.SimilarityJoin.jaccardSelfJoin(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", 0.95)
+        .orderBy(col("doc_a"), col("doc_b"))))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),
@@ -328,6 +343,12 @@ object Dedup {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_near" -> jaccardOracle(
+      "SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents",
+      0.95),
+
+    // tokjoin_auto expands to the exact arm at verify scale → same oracle
+    // as dedup_near (pair columns identical).
+    "tokjoin_auto" -> jaccardOracle(
       "SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents",
       0.95),
 

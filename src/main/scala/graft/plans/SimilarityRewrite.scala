@@ -63,6 +63,30 @@ case class CosineSelfJoin(
     copy(child = newChild)
 }
 
+/**
+ * The token-set twin of [[CosineSelfJoin]]: "all pairs with Jaccard ≥ t
+ * over each doc's token set". Arms: prefix-filtered exact AllPairs join
+ * ([[graft.llm.Dedup.exactJaccardPairs]]) vs banded MinHash-LSH
+ * ([[graft.llm.Dedup.minhashLsh]]) — with these two nodes the optimizer
+ * owns the exact-vs-approximate decision for BOTH similarity modalities
+ * (vectors and token sets) behind one declarative API.
+ */
+case class TokenSelfJoin(
+    child: LogicalPlan,
+    idCol: String,
+    textCol: String,
+    threshold: Double,
+    strategy: String,
+    override val output: Seq[Attribute])
+  extends UnaryNode {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  override def references: AttributeSet =
+    AttributeSet(child.output.filter(a => a.name == idCol || a.name == textCol))
+  override protected def withNewChildInternal(newChild: LogicalPlan): TokenSelfJoin =
+    copy(child = newChild)
+}
+
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
   val ThresholdKey = "spark.graft.simjoin.autoLshRowThreshold"
@@ -87,14 +111,35 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val pairs =
         if (useLsh) graft.llm.Similarity.hyperplanePairs(emb, sj.threshold)
         else graft.llm.Similarity.exactPairs(emb, sj.threshold)
-      // The sub-plan is optimized in its own QueryExecution (this rule may
-      // run in the post-hoc extraOptimizations batch, after the main
-      // pushdown/pruning batches have already passed over the outer plan).
-      val sub = pairs.queryExecution.optimizedPlan
-      // Splice under the node's original attribute ids so parent operators'
-      // references stay resolved.
-      Project(sub.output.zip(sj.output).map { case (a, o) =>
-        Alias(a, o.name)(exprId = o.exprId) }, sub)
+      splice(pairs, sj.output)
+
+    case tj: TokenSelfJoin =>
+      val spark = SparkSession.active
+      val docs = GraftShims.ofRows(spark, tj.child)
+        .select(col(tj.idCol).as("doc_id"), col(tj.textCol).as("text"))
+      val useLsh = tj.strategy match {
+        case "exact" => false
+        case "lsh" => true
+        case _ =>
+          val st = tj.child.stats
+          val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
+          estRows > BigInt(conf.getConfString(ThresholdKey, "100000").toLong)
+      }
+      val pairs =
+        if (useLsh) graft.llm.Dedup.minhashLsh(docs, tj.threshold)
+        else graft.llm.Dedup.exactJaccardPairs(docs, tj.threshold)
+      splice(pairs, tj.output)
+  }
+
+  /** Optimize the expanded sub-plan in its own QueryExecution (this rule
+    * may run in the post-hoc extraOptimizations batch, after the main
+    * pushdown/pruning batches have already passed over the outer plan),
+    * then splice it under the node's original attribute ids so parent
+    * operators' references stay resolved. */
+  private def splice(pairs: DataFrame, out: Seq[Attribute]): LogicalPlan = {
+    val sub = pairs.queryExecution.optimizedPlan
+    Project(sub.output.zip(out).map { case (a, o) =>
+      Alias(a, o.name)(exprId = o.exprId) }, sub)
   }
 }
 
@@ -118,6 +163,26 @@ object SimilarityJoin {
       AttributeReference("cos_sim", DoubleType)())
     GraftShims.ofRows(spark,
       CosineSelfJoin(df.queryExecution.analyzed, idCol, vecCol, threshold,
+        strategy, out))
+  }
+
+  /**
+   * All pairs (a, b) with `idCol(a) < idCol(b)` and exact token-set
+   * `jaccard ≥ threshold` (tokens = whitespace split of `textCol`), as
+   * `(doc_a, doc_b, jaccard)`. `strategy` as in [[cosineSelfJoin]].
+   */
+  def jaccardSelfJoin(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, strategy: String = "auto"): DataFrame = {
+    require(Set("auto", "exact", "lsh")(strategy), s"bad strategy $strategy")
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val idField = df.schema(idCol)
+    val out = Seq(
+      AttributeReference("doc_a", idField.dataType, idField.nullable)(),
+      AttributeReference("doc_b", idField.dataType, idField.nullable)(),
+      AttributeReference("jaccard", DoubleType)())
+    GraftShims.ofRows(spark,
+      TokenSelfJoin(df.queryExecution.analyzed, idCol, textCol, threshold,
         strategy, out))
   }
 

@@ -98,4 +98,19 @@ class PlanShapeSpec extends SparkSpec {
       "auto above cutoff should expand to the LSH arm")
     finally spark.conf.unset(key)
   }
+
+  test("tokjoin: auto expands to the prefix-filter exact arm under the cutoff, lsh to banded minhash") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    def planOf(strategy: String): String =
+      graft.plans.SimilarityJoin.jaccardSelfJoin(docs, "doc_id", "text",
+        0.95, strategy).queryExecution.executedPlan.toString
+    // The exact arm's prefix filter ranks tokens with a row_number Window;
+    // the LSH arm has no window at all — a clean structural discriminator.
+    assert(planOf("auto").contains("Window"),
+      "auto under cutoff should expand to the prefix-filtered exact arm")
+    assert(!planOf("lsh").contains("Window"),
+      "lsh arm should band signatures, not window-rank tokens")
+  }
 }
