@@ -179,6 +179,24 @@ object Aggregates {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "agg_mode" -> ((s, d) => {
+      // Deterministic mode: most frequent priority per status, ties to
+      // the lexicographically smallest value — never the built-in mode(),
+      // whose tie winner is implementation-defined (same policy as
+      // knn_label's vote).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "agg_histogram" -> ((s, d) => {
       // Fixed-width histogram: bucket = floor(x / w) is a plain group key
       // — one hash agg, #buckets groups, no sort of the data. (Spark's
@@ -282,6 +300,14 @@ object Aggregates {
         | COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_big,
         | COUNT(*) AS n_total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        | SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        | FROM orders GROUP BY 1, 2) t
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority) = 1
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,

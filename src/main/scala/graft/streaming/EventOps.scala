@@ -114,6 +114,21 @@ object EventOps {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), col("ts").cast("timestamp_ntz").as("ts"))
         .orderBy(col("event_id"))
+    }),
+
+    "event_transitions" -> ((s, d) => {
+      // Behavioral transition matrix: count of (event_type → next type)
+      // per user timeline — the input to Markov/journey analysis. One
+      // shuffle by user for the lead window, one hash agg of at most
+      // |types|² groups.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("from_type"), col("to_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -189,5 +204,16 @@ object EventOps {
       """SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM t
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)
 }
