@@ -71,6 +71,28 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "window_time_rolling" -> ((s, d) => {
+      // TIME-based rolling frame: per user, count/sum of events in the
+      // trailing hour. Spark's rangeBetween is numeric, so the order key
+      // is epoch seconds — [tsec - 3599, tsec] ≡ RANGE INTERVAL 1 HOUR
+      // PRECEDING (inclusive) — and the oracle uses the same numeric
+      // formulation so frame membership is bit-identical. One shuffle by
+      // user; decimal accumulation keeps the sliding sum exact.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsec"))
+        .rangeBetween(-3599, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("ts").cast("long").as("tsec"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(DecimalType(18, 4))).over(w)
+            .cast("double"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     "topk_per_group" -> ((s, d) => {
       // Window + filter: the standard scalable top-k-per-group (no global
       // sort; AQE handles skewed customers).
@@ -132,6 +154,17 @@ object Windows {
         |   RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS nearby_sum
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_time_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  CAST(EPOCH(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsec FROM events)
+        |SELECT event_id, user_id, ts,
+        | COUNT(*) OVER (PARTITION BY user_id ORDER BY tsec
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY user_id ORDER BY tsec
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "topk_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
