@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` STDOUT and parses the
+// one JSON line; sbt's default logger prefixes forked output with
+// `[info]`, corrupting it. StdoutOutput passes forked output through
+// verbatim (VERDICT.md round-2 "Next round" item 1).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

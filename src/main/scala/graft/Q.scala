@@ -38,4 +38,35 @@ object Q {
 
   /** Round-to-4dp for double outputs compared against DuckDB. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Conf key gating [[maybeBroadcast]]: maximum estimated ROW COUNT of a
+    * side table that may still be broadcast. */
+  val BroadcastSideThresholdKey = "spark.graft.broadcastSideThreshold"
+
+  /** Fallback bytes-per-row when CBO row counts are absent (same estimate
+    * the simjoin rewrite uses — see SimilarityRewrite.EstRowBytes). */
+  private val EstRowBytes = 280L
+
+  /**
+   * Conf-gated broadcast hint for LSH verify-join side tables (VERDICT r2
+   * item 2). An explicit `broadcast()` is honored by Spark
+   * UNCONDITIONALLY — a hard-coded hint on a per-doc signature/token
+   * table would OOM the driver once the corpus outgrows memory (10⁸
+   * docs). Decision is driver-side only (logical-plan `Statistics`, no
+   * data read): estimated rows (CBO row count when present, else
+   * sizeInBytes/280) at or below `spark.graft.broadcastSideThreshold`
+   * (default 8 000 000 rows ≈ low-GB of signature payload) → broadcast
+   * hash join, no shuffle of the big candidate stream; above → no hint,
+   * so the planner falls back to a shuffle join keyed on the join column —
+   * the scale-safe shape. Mirrors how Spark itself promotes BHJ on
+   * `autoBroadcastJoinThreshold`; both expansions are plan-pinned in
+   * PlanShapeSpec.
+   */
+  def maybeBroadcast(side: DataFrame): DataFrame = {
+    val threshold = side.sparkSession.conf
+      .get(BroadcastSideThresholdKey, "8000000").toLong
+    val st = side.queryExecution.optimizedPlan.stats
+    val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
+    if (estRows <= BigInt(threshold)) broadcast(side) else side
+  }
 }

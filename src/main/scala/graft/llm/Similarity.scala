@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.Tables
+import graft.{Q, Tables}
 import graft.Q.QFn
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -137,10 +137,13 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val sides = sigs.select(col("vec_id"), col("embedding"), col("sq"))
+    // Conf-gated broadcast (graft.Q.maybeBroadcast): below the row
+    // threshold the per-vector side table broadcasts; above, the planner
+    // shuffles the candidate stream on vec_id instead of OOMing a hint.
     cands
-      .join(broadcast(sides.select(col("vec_id").as("vec_a"),
+      .join(Q.maybeBroadcast(sides.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("sq").as("sqa"))), "vec_a")
-      .join(broadcast(sides.select(col("vec_id").as("vec_b"),
+      .join(Q.maybeBroadcast(sides.select(col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("sq").as("sqb"))), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb")).as("cos_sim"))
@@ -212,8 +215,15 @@ object Similarity {
    * is iters × (scan + tiny agg), never pairwise.
    */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cl"),
+    // Init = the k SMALLEST ids, selected explicitly (orderBy + limit),
+    // not `vec_id < k`: a filter on the id VALUE assumes ids are dense
+    // from 0 — on sparse or non-zero-based id spaces it yields fewer
+    // than k (possibly zero) seeds and silently degrades the result
+    // (ADVICE r2). The cluster index is the seed's rank, not its id.
+    val wSeed = Window.orderBy(col("vec_id"))
+    var centroids = emb
+      .orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(wSeed) - 1).as("cl"),
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters)

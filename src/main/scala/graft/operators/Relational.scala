@@ -25,6 +25,47 @@ import org.apache.spark.sql.expressions.Window
  */
 object Relational {
 
+  /**
+   * (Re)create the bucketed+sorted lineitem/orders pair for
+   * `join_bucketed`, once per (session, sfDir). Idempotent and
+   * crash-safe: the guard requires BOTH tables (a run that died between
+   * the two saveAsTable calls leaves one behind; guarding on only the
+   * first would then skip creation forever and fail on the second —
+   * ADVICE r2). When either is missing the pair is dropped and rebuilt
+   * together. Returns (lineitemTable, ordersTable).
+   *
+   * Callers that want write cost out of their measurement (Bench) call
+   * this ahead of the timed section; the query path calls it too, so it
+   * stays self-contained for Verify/driver runs.
+   */
+  def ensureBucketedTables(s: org.apache.spark.sql.SparkSession,
+                           d: String): (String, String) = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val (lt, ot) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
+    // A fresh session's in-memory catalog has no tables, but the
+    // warehouse DIRECTORY survives across sessions — CTAS refuses a
+    // managed table whose location already exists. Drop both layers.
+    def dropStale(t: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
+      dropStale(lt)
+      dropStale(ot)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    }
+    (lt, ot)
+  }
+
   val queries: Map[String, QFn] = Map(
     "scan_project" -> ((s, d) => {
       // Projection + computed column; filter and 4-col ReadSchema reach the
@@ -243,29 +284,7 @@ object Relational {
       // time and amortize it over every downstream join/agg on that key.
       // Tables are (re)written once per session per sfDir (content is
       // static test data); real pipelines maintain them incrementally.
-      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-      val (lt, ot) = (s"lineitem_bkt_$tag", s"orders_bkt_$tag")
-      // A fresh session's in-memory catalog has no tables, but the
-      // warehouse DIRECTORY survives across sessions — CTAS refuses a
-      // managed table whose location already exists. Drop both layers.
-      def dropStale(t: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-      if (!s.catalog.tableExists(lt)) {
-        dropStale(lt)
-        dropStale(ot)
-        Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
-        Tables.orders(s, d)
-          .select(col("o_orderkey"), col("o_orderpriority"))
-          .write.mode("overwrite").format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
-      }
+      val (lt, ot) = Relational.ensureBucketedTables(s, d)
       s.table(lt).hint("merge")
         .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

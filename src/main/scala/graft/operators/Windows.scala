@@ -157,7 +157,7 @@ object Windows {
 
     "window_time_rolling" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |  CAST(EPOCH(CAST(ts AS TIMESTAMP)) AS BIGINT) AS tsec FROM events)
+        |  CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec FROM events)
         |SELECT event_id, user_id, ts,
         | COUNT(*) OVER (PARTITION BY user_id ORDER BY tsec
         |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h,

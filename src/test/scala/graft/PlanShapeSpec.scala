@@ -54,6 +54,36 @@ class PlanShapeSpec extends SparkSpec {
       "sig/token side tables should broadcast")
   }
 
+  test("LSH verify joins are conf-gated: low broadcastSideThreshold flips them to shuffle joins") {
+    // Below the row threshold the per-doc side tables broadcast (the
+    // default plan, pinned above); above it graft.Q.maybeBroadcast emits
+    // NO hint, and with Spark's own auto-broadcast off the planner must
+    // fall back to shuffle joins — the shape that survives 10⁸ docs
+    // instead of OOMing the driver (VERDICT r2 item 2).
+    val confs = Seq(
+      Q.BroadcastSideThresholdKey -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      for (q <- Seq("minhash_lsh", "dedup_near")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q still broadcasts with threshold 0")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q verify join did not fall back to a shuffle join")
+      }
+      val hp = graft.llm.Similarity
+        .hyperplanePairs(Tables.embeddings(spark, sf0001), -1.0)
+        .queryExecution.executedPlan.toString
+      assert(!hp.contains("BroadcastHashJoin"),
+        "hyperplanePairs still broadcasts with threshold 0")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join_bucketed: SortMergeJoin over bucketed scans with no Exchange below the join") {
     val p = plan("join_bucketed")
     val joinAt = p.indexOf("SortMergeJoin")

@@ -123,6 +123,69 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("event_id").distinct().count() === 1000)
   }
 
+  test("upsert sink: last-write-wins per key; a replayed epoch does not double-apply") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    def state = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[String]("v"), r.getAs[Long]("seq"))))
+      .toMap
+    // epoch 0: key 1 appears twice in-batch — the later seq must win
+    val b0 = Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 1L)).toDF("k", "v", "seq")
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(b0, 0L)
+    val afterB0 = Map(1L -> (("b", 2L)), 2L -> (("c", 1L)))
+    assert(state === afterB0)
+    // REPLAY of epoch 0 — the crash-recovery delivery foreachBatch
+    // documents — must be a no-op (ledger skip)
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(b0, 0L)
+    assert(state === afterB0, "replayed epoch double-applied")
+    // epoch 1: update key 2, insert key 3, key 1 untouched
+    val b1 = Seq((2L, "d", 3L), (3L, "e", 1L)).toDF("k", "v", "seq")
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(b1, 1L)
+    assert(state === Map(1L -> (("b", 2L)), 2L -> (("d", 3L)), 3L -> (("e", 1L))))
+    // exactly one row per key survives any sequence of epochs
+    assert(StreamPipelines.readUpsertTarget(s, target).groupBy("k").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+  }
+
+  test("upsert sink end-to-end: checkpointed restarts resume at the next epoch; re-runs apply nothing twice") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_upsert_e2e").toString
+    val (src, target, cp) = (s"$base/src", s"$base/target", s"$base/cp")
+    val events = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val schema = events.schema
+    def runOnce(): Unit = {
+      val q = StreamPipelines.startUpsert(
+        spark.readStream.schema(schema).parquet(src),
+        target, "user_id", "event_id", 8, cp,
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    // run 1: first half of the events
+    events.filter(col("event_id") < 500).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val users1 = StreamPipelines.readUpsertTarget(spark, target)
+    assert(users1.count() === users1.select("user_id").distinct().count(),
+      "target must hold one row per key")
+    // run 2 (a RESTART on the same checkpoint): second half arrives —
+    // per-user state must now reflect each user's highest event_id overall
+    events.filter(col("event_id") >= 500).coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val got = StreamPipelines.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    val want = events.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("event_id").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "upsert state diverged from batch last-write-wins")
+    // run 3: nothing new → no epoch, state unchanged (idempotent re-run)
+    runOnce()
+    val again = StreamPipelines.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(again === want)
+  }
+
   test("stateful: transformWithState per-user counter accumulates across micro-batches and matches the legacy API") {
     val s = spark
     import s.implicits._
