@@ -66,7 +66,46 @@ object Relational {
     (lt, ot)
   }
 
+  /**
+   * (Re)create the date-partitioned events table for `scan_pruned_date`,
+   * once per (session, sfDir) — same warehouse lifecycle as
+   * [[ensureBucketedTables]]. Hive-style layout `d=<date>/...`: at
+   * 100 TB this is THE canonical event-log layout — a day query touches
+   * one directory, not the table (the partition filter never reads
+   * non-matching files, asserted in PlanShapeSpec).
+   */
+  def ensureDatePartitionedEvents(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val t = s"events_bydate_$tag"
+    if (!s.catalog.tableExists(t)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Tables.events(s, d)
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("d").saveAsTable(t)
+    }
+    t
+  }
+
   val queries: Map[String, QFn] = Map(
+    "scan_pruned_date" -> ((s, d) => {
+      // One-day slice of a date-partitioned event log: the `d =` predicate
+      // resolves against the hive partition layout (PartitionFilters in
+      // the scan — plan-pinned), so only that day's directory is listed
+      // and read. The 100 TB story behind README's partitioning note,
+      // asserted rather than narrated.
+      val t = Relational.ensureDatePartitionedEvents(s, d)
+      s.table(t)
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "scan_project" -> ((s, d) => {
       // Projection + computed column; filter and 4-col ReadSchema reach the
       // parquet scan via Catalyst pushdown/pruning.
@@ -296,6 +335,13 @@ object Relational {
 
   /** DuckDB-dialect oracles (run by the driver against the same tables). */
   val oracleSql: Map[String, String] = Map(
+    "scan_pruned_date" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | l_extendedprice * (1 - l_discount) AS net_price

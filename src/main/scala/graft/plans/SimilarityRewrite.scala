@@ -43,8 +43,8 @@ import org.apache.spark.sql.types.DoubleType
  */
 case class CosineSelfJoin(
     child: LogicalPlan,
-    idCol: String,
-    vecCol: String,
+    idAttr: Attribute,
+    vecAttr: Attribute,
     threshold: Double,
     strategy: String,
     override val output: Seq[Attribute])
@@ -53,12 +53,13 @@ case class CosineSelfJoin(
   // The pair/cosine attributes originate here, not in the child — without
   // this, CheckAnalysis reports them as missing inputs.
   override def producedAttributes: AttributeSet = AttributeSet(output)
-  // The node consumes exactly the id and vector columns. Declaring this
-  // lets ColumnPruning drop every OTHER child column (correct) instead of
-  // inserting an empty Project under the node (which it does for a node
-  // with no references — the id/vec lookup in the rewrite would then fail).
-  override def references: AttributeSet =
-    AttributeSet(child.output.filter(a => a.name == idCol || a.name == vecCol))
+  // The node consumes exactly the id and vector ATTRIBUTES (exprIds, not
+  // names — resolved once at construction, ADVICE r2: a child with
+  // duplicate column names after a join would make name lookup ambiguous
+  // at optimization time). Declaring references lets ColumnPruning drop
+  // every OTHER child column (correct) instead of inserting an empty
+  // Project under a node with no references.
+  override def references: AttributeSet = AttributeSet(Seq(idAttr, vecAttr))
   override protected def withNewChildInternal(newChild: LogicalPlan): CosineSelfJoin =
     copy(child = newChild)
 }
@@ -73,16 +74,15 @@ case class CosineSelfJoin(
  */
 case class TokenSelfJoin(
     child: LogicalPlan,
-    idCol: String,
-    textCol: String,
+    idAttr: Attribute,
+    textAttr: Attribute,
     threshold: Double,
     strategy: String,
     override val output: Seq[Attribute])
   extends UnaryNode {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
   override def producedAttributes: AttributeSet = AttributeSet(output)
-  override def references: AttributeSet =
-    AttributeSet(child.output.filter(a => a.name == idCol || a.name == textCol))
+  override def references: AttributeSet = AttributeSet(Seq(idAttr, textAttr))
   override protected def withNewChildInternal(newChild: LogicalPlan): TokenSelfJoin =
     copy(child = newChild)
 }
@@ -98,8 +98,10 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case sj: CosineSelfJoin =>
       val spark = SparkSession.active
-      val emb = GraftShims.ofRows(spark, sj.child)
-        .select(col(sj.idCol).as("vec_id"), col(sj.vecCol).as("embedding"))
+      // Project by the carried AttributeReferences, not names: immune to
+      // duplicate column names in the child and exact about what is read.
+      val emb = GraftShims.ofRows(spark, Project(Seq(
+        Alias(sj.idAttr, "vec_id")(), Alias(sj.vecAttr, "embedding")()), sj.child))
       val useLsh = sj.strategy match {
         case "exact" => false
         case "lsh" => true
@@ -115,8 +117,8 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
     case tj: TokenSelfJoin =>
       val spark = SparkSession.active
-      val docs = GraftShims.ofRows(spark, tj.child)
-        .select(col(tj.idCol).as("doc_id"), col(tj.textCol).as("text"))
+      val docs = GraftShims.ofRows(spark, Project(Seq(
+        Alias(tj.idAttr, "doc_id")(), Alias(tj.textAttr, "text")()), tj.child))
       val useLsh = tj.strategy match {
         case "exact" => false
         case "lsh" => true
@@ -156,13 +158,14 @@ object SimilarityJoin {
     require(Set("auto", "exact", "lsh")(strategy), s"bad strategy $strategy")
     val spark = df.sparkSession
     ensureRegistered(spark)
-    val idField = df.schema(idCol)
+    val analyzed = df.queryExecution.analyzed
+    val id = resolveOne(analyzed, idCol)
     val out = Seq(
-      AttributeReference("vec_a", idField.dataType, idField.nullable)(),
-      AttributeReference("vec_b", idField.dataType, idField.nullable)(),
+      AttributeReference("vec_a", id.dataType, id.nullable)(),
+      AttributeReference("vec_b", id.dataType, id.nullable)(),
       AttributeReference("cos_sim", DoubleType)())
     GraftShims.ofRows(spark,
-      CosineSelfJoin(df.queryExecution.analyzed, idCol, vecCol, threshold,
+      CosineSelfJoin(analyzed, id, resolveOne(analyzed, vecCol), threshold,
         strategy, out))
   }
 
@@ -176,14 +179,26 @@ object SimilarityJoin {
     require(Set("auto", "exact", "lsh")(strategy), s"bad strategy $strategy")
     val spark = df.sparkSession
     ensureRegistered(spark)
-    val idField = df.schema(idCol)
+    val analyzed = df.queryExecution.analyzed
+    val id = resolveOne(analyzed, idCol)
     val out = Seq(
-      AttributeReference("doc_a", idField.dataType, idField.nullable)(),
-      AttributeReference("doc_b", idField.dataType, idField.nullable)(),
+      AttributeReference("doc_a", id.dataType, id.nullable)(),
+      AttributeReference("doc_b", id.dataType, id.nullable)(),
       AttributeReference("jaccard", DoubleType)())
     GraftShims.ofRows(spark,
-      TokenSelfJoin(df.queryExecution.analyzed, idCol, textCol, threshold,
+      TokenSelfJoin(analyzed, id, resolveOne(analyzed, textCol), threshold,
         strategy, out))
+  }
+
+  /** Name → AttributeReference, exactly once, at construction time —
+    * ambiguity (duplicate names after a join) fails HERE with a clear
+    * message instead of at optimization time (ADVICE r2). */
+  private def resolveOne(plan: LogicalPlan, name: String): Attribute = {
+    val matches = plan.output.filter(_.name == name)
+    require(matches.size == 1,
+      s"column '$name' must resolve to exactly one attribute; " +
+        s"found ${matches.size} among ${plan.output.map(_.name).mkString(", ")}")
+    matches.head
   }
 
   /** Idempotently add the rewrite to the session (config-time path is

@@ -17,15 +17,15 @@ class IoSpec extends SparkSpec {
       round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4))
       .head.toSeq
 
-  test("events round-trip through parquet, orc, csv, json") {
+  test("events round-trip through parquet, orc, avro, csv, json") {
     val src = Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val want = fingerprint(src)
-    for (fmt <- Seq("parquet", "orc", "csv", "json")) {
+    for (fmt <- Seq("parquet", "orc", "avro", "csv", "json", "xml")) {
       val path = s"$base/events_$fmt"
       Formats.write(src, path, fmt)
       val back = Formats.read(spark, path, fmt,
-        if (fmt == "csv" || fmt == "json") Some(src.schema) else None)
+        if (Set("csv", "json", "xml")(fmt)) Some(src.schema) else None)
       assert(fingerprint(back) === want, s"round-trip mismatch for $fmt")
     }
   }

@@ -36,6 +36,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(read.contains("l_quantity") && !read.contains("l_shipdate"))
   }
 
+  test("scan_pruned_date: the day predicate reaches the scan as a PartitionFilter") {
+    val p = plan("scan_pruned_date")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.nonEmpty, "no PartitionFilters entry in the scan:\n" +
+      p.linesIterator.take(12).mkString("\n"))
+    assert(scanLine.contains("d#") && scanLine.contains("2024-01-15"),
+      s"date predicate not in PartitionFilters: $scanLine")
+    // pruning means the predicate is NOT a post-scan row filter on d
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("+- Filter") && l.contains("d#")),
+      "date predicate left as a post-scan Filter — pruning failed")
+  }
+
   test("agg_group does partial aggregation before the shuffle") {
     val p = plan("agg_group")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
@@ -127,6 +140,26 @@ class PlanShapeSpec extends SparkSpec {
     try assert(!planOf("auto").contains("BroadcastNestedLoopJoin"),
       "auto above cutoff should expand to the LSH arm")
     finally spark.conf.unset(key)
+  }
+
+  test("simjoin: attrs resolve by exprId — duplicate sibling names tolerated, ambiguous targets fail fast") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), lit(1).as("tag"))
+    // Post-join child with TWO `tag` columns (the common dup-name shape);
+    // id/vec are unique → the rewrite must not trip on the duplicates.
+    val dup = emb.join(
+      emb.select(col("vec_id").as("vid2"), lit(2).as("tag")),
+      col("vec_id") === col("vid2"))
+    val n = graft.plans.SimilarityJoin
+      .cosineSelfJoin(dup, "vec_id", "embedding", 0.35, "exact").count()
+    assert(n > 0, "rewrite produced no pairs on a dup-named child")
+    // An ambiguous TARGET column errors at construction, not mid-optimize.
+    val dupId = emb.as("x").join(emb.as("y"), col("x.vec_id") === col("y.vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.SimilarityJoin.cosineSelfJoin(dupId, "vec_id", "embedding", 0.35)
+    }
+    assert(e.getMessage.contains("exactly one attribute"))
   }
 
   test("tokjoin: auto expands to the prefix-filter exact arm under the cutoff, lsh to banded minhash") {
