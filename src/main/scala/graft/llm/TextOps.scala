@@ -3,6 +3,7 @@ package graft.llm
 import graft.{Q, Tables}
 import graft.Q.QFn
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /**
  * Text-analysis operators for training-data pipelines (SURVEY.md §2d +
@@ -135,6 +136,34 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_tfidf" -> ((s, d) => {
+      // Top-3 characteristic terms per document by smoothed TF-IDF —
+      // the classic keyword/feature extraction pass of a corpus pipeline.
+      // Shape: two hash aggs (tf per doc-term, df per term) + a window
+      // top-k per doc; the term dictionary joins via the conf-gated
+      // broadcast and the corpus count is a broadcast 1-row frame, so
+      // nothing driver-side and no all-pairs anywhere. Determinism: rank
+      // by the ROUNDED score (both engines), ties by token.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.join(Q.maybeBroadcast(dfreq), "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("tok"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     "pii_scrub" -> ((s, d) => {
       // PII redaction: emails → <EMAIL>, then long digit runs (≥7) →
       // <PHONE>, with per-row redaction counts for audit. The corpus has
@@ -162,6 +191,23 @@ object TextOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        | scored AS (
+        |   SELECT tf.doc_id, tf.tok,
+        |     ROUND(tf * LN(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 4) AS tfidf
+        |   FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+        |SELECT doc_id, rn, tok, tfidf FROM (
+        |  SELECT doc_id, tok, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored) x
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         | ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*), 4) AS avg_chars,

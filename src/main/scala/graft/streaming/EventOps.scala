@@ -116,6 +116,24 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "upsert_latest" -> ((s, d) => {
+      // Batch twin of the streaming keyed-upsert sink (StreamPipelines
+      // .upsertBatch): the state a last-write-wins MERGE target holds
+      // after ingesting every event — exactly one row per key, ties on
+      // ts broken by event_id (the sink's orderCol total order). One
+      // shuffle by key, window rank in-partition; the oracle proves the
+      // merge semantics relationally.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     "event_transitions" -> ((s, d) => {
       // Behavioral transition matrix: count of (event_type → next type)
       // per user timeline — the input to Markov/journey analysis. One
@@ -205,6 +223,13 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    "upsert_latest" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
