@@ -69,6 +69,22 @@ object ScalarFns {
         .orderBy(col("p_partkey"))
     }),
 
+    "fn_bitwise" -> ((s, d) => {
+      // Bit manipulation over BIGINT keys: and/or/xor masks, shifts, and
+      // popcount — the hash/bucketing/bitmap-flag toolkit (the same ops
+      // the LSH band keys and upsert bucketing use). Pure per-row
+      // codegen'd expressions, no shuffle beyond the verify sort.
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+          col("o_orderkey").bitwiseXOR(shiftright(col("o_orderkey"), 3)).as("k_xor"),
+          shiftleft(col("o_orderkey"), 2).as("k_shl"),
+          bit_count(col("o_orderkey")).cast("long").as("k_bits"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_array" -> ((s, d) => {
       // Higher-order functions over the 64-dim float vectors; all lambda
       // arithmetic promoted to double before multiplying (see header).
@@ -189,6 +205,15 @@ object ScalarFns {
         | DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
         | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
         | (YEAR(o_orderdate) - 1995) * 12 + MONTH(o_orderdate) - 1 AS months_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS k_and,
+        | o_orderkey | 4096 AS k_or,
+        | XOR(o_orderkey, o_orderkey >> 3) AS k_xor,
+        | o_orderkey << 2 AS k_shl,
+        | CAST(BIT_COUNT(o_orderkey) AS BIGINT) AS k_bits
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "fn_math" ->

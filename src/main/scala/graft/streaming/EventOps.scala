@@ -116,6 +116,22 @@ object EventOps {
         .orderBy(col("event_id"))
     }),
 
+    "event_rfm" -> ((s, d) => {
+      // RFM profile per user: recency (last activity), frequency (event
+      // count), monetary (decimal-summed purchase value) — the standard
+      // behavioral segmentation input. One hash agg, shuffle volume =
+      // #users; the conditional sum uses a FILTER-style when() so all
+      // three land in one scan.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("ts")).cast("timestamp_ntz").as("last_seen"),
+          count(lit(1)).as("frequency"),
+          Q.moneySum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("monetary"))
+        .orderBy(col("user_id"))
+    }),
+
     "upsert_latest" -> ((s, d) => {
       // Batch twin of the streaming keyed-upsert sink (StreamPipelines
       // .upsertBatch): the state a last-write-wins MERGE target holds
@@ -223,6 +239,13 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    "event_rfm" ->
+      """SELECT user_id, CAST(MAX(ts) AS TIMESTAMP) AS last_seen,
+        | COUNT(*) AS frequency,
+        | CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |   ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "upsert_latest" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value

@@ -235,6 +235,47 @@ object StreamPipelines {
     fs.create(marker, true).close()
   }
 
+  /**
+   * Small-file compaction for an upsert target. Every epoch writes a
+   * fresh file set into each bucket it touches, so a hot key's bucket
+   * accumulates O(epochs) files — reads degrade via listing and
+   * per-file open overhead long before data volume matters (the classic
+   * streaming-sink operational chore). Rewrites ONLY buckets whose file
+   * count exceeds `maxFilesPerBucket`, repartitioned by bucket so each
+   * compacted bucket lands as a single file, through the same
+   * dynamic-partition-overwrite path as the merge (untouched buckets
+   * are never read or written). Same single-writer contract as
+   * [[upsertBatch]] — run it between epochs. Returns the number of
+   * buckets compacted; row data is unchanged (asserted in StreamingSpec).
+   */
+  def compactUpsertTarget(spark: SparkSession, target: String,
+      maxFilesPerBucket: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(target, "data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataDir)) return 0
+    val crowded = fs.listStatus(dataDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(st => st.getPath.getName.stripPrefix("_bucket=").toInt)
+    if (crowded.isEmpty) return 0
+    val compacted = spark.read.parquet(dataDir.toString)
+      .filter(col("_bucket").isin(crowded: _*))
+      .repartition(crowded.size, col("_bucket")) // one task → one file per bucket
+      .localCheckpoint(true) // materialize before overwriting its own input
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
+    try compacted.write.partitionBy("_bucket").mode("overwrite")
+      .parquet(dataDir.toString)
+    finally prev match {
+      case Some(v) => spark.conf.set(overwriteKey, v)
+      case None => spark.conf.unset(overwriteKey)
+    }
+    crowded.size
+  }
+
   /** Current upsert-target state: exactly one row per key. */
   def readUpsertTarget(spark: SparkSession, target: String): DataFrame =
     spark.read

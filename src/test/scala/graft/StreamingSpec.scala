@@ -148,6 +148,50 @@ class StreamingSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
   }
 
+  test("upsert compaction: crowded buckets collapse to one file each; state and skipped buckets unchanged") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // Crowding comes from write parallelism, not epoch count (each epoch
+    // rewrites the buckets it touches): 40 keys spread over the 4 shuffle
+    // partitions → every task writes into both buckets → ~4 files each.
+    // AQE would coalesce this toy shuffle to one task (hiding the
+    // at-scale many-tasks-per-bucket shape), so pin it off for the writes.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = s.conf.getOption(coalesceKey)
+    s.conf.set(coalesceKey, "false")
+    try {
+      val b0 = (1L to 40L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "seq")
+      StreamPipelines.upsertBatch(target, "k", "seq", 2)(b0, 1L)
+      // a merge epoch over a few keys keeps the multi-task write shape
+      val b1 = Seq((1L, "x", 2L), (2L, "y", 2L)).toDF("k", "v", "seq")
+      StreamPipelines.upsertBatch(target, "k", "seq", 2)(b1, 2L)
+    } finally prevCoalesce match {
+      case Some(v) => s.conf.set(coalesceKey, v)
+      case None => s.conf.unset(coalesceKey)
+    }
+    def state = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    def filesPerBucket = {
+      val dataDir = new org.apache.hadoop.fs.Path(target, "data")
+      val fs = dataDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_bucket="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = state
+    assert(filesPerBucket.values.exists(_ > 2), "setup: no crowded bucket")
+    val n = StreamPipelines.compactUpsertTarget(s, target, maxFilesPerBucket = 2)
+    assert(n >= 1, "no bucket compacted")
+    assert(filesPerBucket.values.forall(_ <= 2),
+      s"crowded buckets remain: $filesPerBucket")
+    assert(state === before, "compaction changed the data")
+    // idempotent: nothing left over the threshold
+    assert(StreamPipelines.compactUpsertTarget(s, target, 2) === 0)
+  }
+
   test("upsert sink end-to-end: checkpointed restarts resume at the next epoch; re-runs apply nothing twice") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
