@@ -107,6 +107,23 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    "agg_approx_quantile" -> ((s, d) => {
+      // Sketch-based percentiles (constant state per group, mergeable —
+      // the 100 TB path when exact percentile's per-group sort is too
+      // hot). Non-oracle like agg_approx_distinct (the sketch is
+      // engine-specific); accuracy vs the exact percentile is
+      // property-gated in PropertySpec (rank error ≤ n/accuracy by the
+      // Greenwald-Khanna bound, and n ≪ accuracy=10000 at test sf).
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_percentiles" -> ((s, d) => {
       // Exact interpolated percentiles (DuckDB QUANTILE_CONT twin); both
       // engines interpolate linearly — rounded 4dp since the two

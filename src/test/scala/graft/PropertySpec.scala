@@ -89,6 +89,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("agg_approx_quantile tracks the exact percentile (rank error bounded by n/accuracy)") {
+    // At sf0.001 each group's n ≪ accuracy=10000, so the sketch's rank
+    // error bound (Greenwald-Khanna: ≤ n/accuracy) allows at most the
+    // neighboring order statistic — relative value error stays tiny.
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, (e50, e90)) =>
+      val (a50, a90) = approx(g)
+      assert(math.abs(a50 - e50) / e50 < 0.01, s"$g p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.01, s"$g p90: approx $a90 vs exact $e90")
+    }
+  }
+
   test("SQL function surface: dot_f32 / jaccard_sorted usable from spark.sql") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
