@@ -266,6 +266,39 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    "join_range_binned" -> ((s, d) => {
+      // Pure range join (NO equi key): lineitems shipped within 30 days
+      // of a high-value order's date. Naively this is a
+      // BroadcastNestedLoopJoin — quadratic work at scale. The binning
+      // rewrite makes it an EQUI join: bucket both sides into
+      // 30-day bins (bin width = window width), explode the probe side
+      // into its 2 overlapping bins (an order at day d matches ship
+      // dates spanning bins ⌊d/30⌋ and ⌊d/30⌋+1), equi-join on bin,
+      // then apply the exact range as a residual filter. Candidates per
+      // row ∝ rows-per-bin, never the whole table; the join shuffles by
+      // bin like any equi join (plan-pinned: SMJ/SHJ, no BNLJ). The
+      // oracle is the plain range-join SQL — values identical, only the
+      // plan shape differs.
+      val binDays = 30
+      val probe = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          floor(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            / binDays).as("bin0"))
+        .withColumn("bin", explode(array(col("bin0"), col("bin0") + 1)))
+      val build = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          floor(datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            / binDays).as("bin"))
+      probe.join(build, Seq("bin"))
+        .filter(col("l_shipdate") >= col("o_orderdate").cast("timestamp") &&
+          col("l_shipdate") <
+            date_add(col("o_orderdate"), binDays).cast("timestamp"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "join_full" -> ((s, d) => {
       // FULL OUTER between two derived sets whose keys only partially
       // overlap (rich customers vs customers with a very large order), so
@@ -341,6 +374,14 @@ object Relational {
         |FROM events
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_range_binned" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= CAST(o.o_orderdate AS TIMESTAMP)
+        | AND l.l_shipdate < CAST(o.o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -109,6 +109,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), "scans should report bucketed reads")
   }
 
+  test("join_range_binned: the no-equi-key range join plans as an equi join on bins, never a nested loop") {
+    val p = plan("join_range_binned")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      "binned range join should be an equi join on the bin key")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "range join fell back to a nested loop — binning not effective")
+  }
+
   test("join_salted: value-invariance is oracle-checked; salt spreads the key space") {
     val p = plan("join_salted")
     // The salted join is still a single equi-join (key + salt), never a
