@@ -280,8 +280,12 @@ object Relational {
       // oracle is the plain range-join SQL — values identical, only the
       // plan shape differs.
       val binDays = 30
+      // Probe = one month's high-value orders: bounds the matched-pair
+      // volume (each order matches ~a month of shipments) so the query
+      // measures the JOIN SHAPE, not an intentionally huge result set.
       val probe = Tables.orders(s, d)
-        .filter(col("o_totalprice") > 400000)
+        .filter(col("o_totalprice") > 400000 &&
+          col("o_orderdate").between("1996-01-01", "1996-01-31"))
         .select(col("o_orderkey"), col("o_orderdate"),
           floor(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
             / binDays).as("bin0"))
@@ -381,6 +385,7 @@ object Relational {
         |  ON l.l_shipdate >= CAST(o.o_orderdate AS TIMESTAMP)
         | AND l.l_shipdate < CAST(o.o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)
         |WHERE o.o_totalprice > 400000
+        |  AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-01-31'
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "scan_project" ->
