@@ -39,6 +39,21 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    "window_value_fns" -> ((s, d) => {
+      // Positional value functions over the full partition frame: each
+      // order sees its customer's costliest, cheapest, and second-
+      // costliest order. Frame is unbounded-both so first/last/nth are
+      // well-defined (default frame would cut last_value at CURRENT ROW).
+      val full = byCustPrice
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          first(col("o_totalprice")).over(full).as("top_price"),
+          last(col("o_totalprice")).over(full).as("bottom_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "window_lag_lead" -> ((s, d) => {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
@@ -130,6 +145,17 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "window_value_fns" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | FIRST_VALUE(o_totalprice) OVER w AS top_price,
+        | LAST_VALUE(o_totalprice) OVER w AS bottom_price,
+        | NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -214,11 +214,15 @@ object StreamPipelines {
     } else {
       val affected = upserts.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val current = spark.read.parquet(dataDir)
+      // mergeSchema + allowMissingColumns: the source schema may EVOLVE
+      // between epochs (a column added upstream); old rows surface the
+      // new column as null, epochs missing a column write nulls — the
+      // standard additive-evolution contract (tested in StreamingSpec).
+      val current = spark.read.option("mergeSchema", "true").parquet(dataDir)
         .filter(col("_bucket").isin(affected: _*)) // partition-pruned read
       val merged = current
         .join(upserts.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(upserts)
+        .unionByName(upserts, allowMissingColumns = true)
         // materialize BEFORE overwriting the directories being read —
         // Spark refuses (or corrupts) an overwrite of its own input
         .localCheckpoint(true)
@@ -278,9 +282,67 @@ object StreamPipelines {
 
   /** Current upsert-target state: exactly one row per key. */
   def readUpsertTarget(spark: SparkSession, target: String): DataFrame =
-    spark.read
+    spark.read.option("mergeSchema", "true")
       .parquet(new org.apache.hadoop.fs.Path(target, "data").toString)
       .drop("_bucket")
+
+  /**
+   * Additive-merge streaming terminal — the incremental MATERIALIZED
+   * VIEW twin of [[upsertBatch]]: each epoch's per-key deltas (row count
+   * + sums of `sumCols`) FOLD INTO the target instead of replacing it.
+   * Addition is not idempotent, so the epoch ledger is load-bearing
+   * correctness here, not an optimization: a replayed epoch must be
+   * skipped outright or every total doubles (asserted in StreamingSpec).
+   * A crash between the data write and the marker write can still
+   * re-apply one epoch — a transactional table format closes that last
+   * window by committing both atomically; the ledger bounds exposure to
+   * exactly one epoch either way.
+   *
+   * Same scale shape as the upsert: deltas aggregate map-side to #keys,
+   * only touched buckets are read (partition-pruned) and rewritten
+   * (dynamic overwrite), and the merge is union + re-aggregate — no
+   * driver-side state beyond the bucket list.
+   */
+  def aggregateBatch(target: String, keyCol: String, sumCols: Seq[String],
+      nBuckets: Int)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val marker = new Path(new Path(target, "_epochs"), batchId.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // replay: totals must not double
+    val aggs = count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val deltas = batch.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("_bucket",
+        pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int"))
+    val dataDir = new Path(target, "data").toString
+    if (!fs.exists(new Path(dataDir))) {
+      deltas.write.partitionBy("_bucket").mode("overwrite").parquet(dataDir)
+    } else {
+      val affected = deltas.select("_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val current = spark.read.parquet(dataDir)
+        .filter(col("_bucket").isin(affected: _*))
+      // union + re-aggregate folds existing totals and new deltas in one
+      // hash agg — handles new keys and existing keys uniformly
+      val valueCols = "n_rows" +: sumCols.map(c => s"sum_$c")
+      val merged = current.unionByName(deltas)
+        .groupBy(col(keyCol), col("_bucket"))
+        .agg(sum(col(valueCols.head)).as(valueCols.head),
+          valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+        .localCheckpoint(true)
+      val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(overwriteKey)
+      spark.conf.set(overwriteKey, "dynamic")
+      try merged.write.partitionBy("_bucket").mode("overwrite").parquet(dataDir)
+      finally prev match {
+        case Some(v) => spark.conf.set(overwriteKey, v)
+        case None => spark.conf.unset(overwriteKey)
+      }
+    }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
 
   /** Wire [[upsertBatch]] as a streaming sink. Checkpointed: a restart
     * resumes at the first unapplied epoch; a replayed epoch is absorbed

@@ -148,6 +148,49 @@ class StreamingSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
   }
 
+  test("upsert sink schema evolution: a column added mid-stream widens the target; old rows read as null") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_evolve").toString + "/t"
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(
+      Seq((1L, "a", 1L)).toDF("k", "v", "seq"), 0L)
+    // epoch 1 arrives with a NEW column
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(
+      Seq((2L, "b", 1L, "extra")).toDF("k", "v", "seq", "note"), 1L)
+    val out = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[String]("note"))).toMap
+    assert(out === Map(1L -> None, 2L -> Some("extra")))
+    // epoch 2 WITHOUT the column still merges; the key it updates nulls it
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(
+      Seq((2L, "c", 2L)).toDF("k", "v", "seq"), 2L)
+    val out2 = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[String]("v"), Option(r.getAs[String]("note"))))).toMap
+    assert(out2 === Map(1L -> (("a", None)), 2L -> (("c", None))))
+  }
+
+  test("additive-merge sink: per-key totals accumulate across epochs; a replayed epoch must not double them") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_aggsink").toString + "/t"
+    def apply(rows: Seq[(Long, Double)], id: Long) =
+      StreamPipelines.aggregateBatch(target, "k", Seq("value"), 4)(
+        rows.toDF("k", "value"), id)
+    def state = s.read.parquet(target + "/data").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("sum_value")))).toMap
+    apply(Seq((1L, 1.0), (1L, 2.0), (2L, 10.0)), 0L)
+    assert(state === Map(1L -> ((2L, 3.0)), 2L -> ((1L, 10.0))))
+    apply(Seq((1L, 4.0), (3L, 7.0)), 1L)
+    val want = Map(1L -> ((3L, 7.0)), 2L -> ((1L, 10.0)), 3L -> ((1L, 7.0)))
+    assert(state === want)
+    // REPLAY epoch 1: addition is not idempotent, the ledger must gate it
+    apply(Seq((1L, 4.0), (3L, 7.0)), 1L)
+    assert(state === want, "replayed epoch doubled the totals")
+    // exactly one row per key always
+    assert(state.size === s.read.parquet(target + "/data").count())
+  }
+
   test("upsert compaction: crowded buckets collapse to one file each; state and skipped buckets unchanged") {
     val s = spark
     import s.implicits._
