@@ -147,10 +147,14 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
+      // tf feeds both the scoring join and the df roll-up; persisted so
+      // the corpus is scanned+exploded exactly once (cache lifecycle
+      // belongs to the runner — Verify/Bench clearCache() per query).
       val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy(col("tok"))
-        .agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("tf")).persist()
+      // df derives from tf (one row per doc-term pair already) instead
+      // of a second corpus explode + distinct.
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("tok"))

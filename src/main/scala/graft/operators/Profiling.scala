@@ -44,6 +44,22 @@ object Profiling {
         .orderBy(col("col_name"))
     }),
 
+    "split_train_holdout" -> ((s, d) => {
+      // Deterministic ~90/10 train/holdout assignment keyed on a
+      // CONTENT-STABLE hash of the doc id (salted so other samplers on
+      // the same key decorrelate): the same doc lands in the same split
+      // on any engine, any partitioning, any run — the leakage-safe
+      // alternative to df.sample() for corpus splits. md5 because both
+      // engines produce identical lowercase hex; first-2-hex-chars <
+      // "e6" ≈ 230/256 ≈ 89.8% train. Pure per-row expressions, no
+      // shuffle beyond the verify sort.
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          when(h < "e6", "train").otherwise("holdout").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic 10% PER-STRATUM sample (by language): first ⌈n·0.1⌉
       // docs of each stratum in doc_id order — every language keeps its
@@ -75,6 +91,12 @@ object Profiling {
          | CAST(MAX($c) AS DOUBLE) AS max_val
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "split_train_holdout" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+        |   THEN 'train' ELSE 'holdout' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, rn, strata_n FROM (

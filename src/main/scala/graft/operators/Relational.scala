@@ -209,7 +209,11 @@ object Relational {
 
     "join_theta_range" -> ((s, d) => {
       // Inequality-only condition → BroadcastNestedLoopJoin with the small
-      // side broadcast. At scale: band-partition the range to avoid NLJ.
+      // side broadcast — the DELIBERATE nested-loop demo (plan-pinned).
+      // The scale-safe rewrite for range-only predicates is SHIPPED as
+      // `join_range_binned`: bin the range key by the window width
+      // (here: p_retailprice into 1000-wide bins), explode the probe
+      // into its 2 overlapping bins, equi-join on bin + residual.
       Tables.supplier(s, d)
         .join(broadcast(Tables.part(s, d)),
           col("s_acctbal") >= col("p_retailprice") - 500 &&
