@@ -136,6 +136,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_lm_score" -> ((s, d) => {
+      // Unigram language-model score per document: mean ln P(token)
+      // under the corpus's own unigram distribution — the shape of the
+      // CCNet/KenLM perplexity quality filter (a real pipeline swaps the
+      // broadcast unigram table for an n-gram LM; the plumbing — corpus
+      // stats pass → broadcast dictionary → per-doc average — is
+      // identical). Low scores = rare-token-heavy docs (quality-filter
+      // candidates). Two hash aggs + a dictionary join; shuffle volume
+      // is #tokens(vocab) + #docs, never corpus size.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("n_total"))
+      val logp = counts.crossJoin(broadcast(total))
+        .select(col("tok"),
+          log(col("n").cast("double") / col("n_total")).as("lp"))
+      toks.join(Q.maybeBroadcast(logp), "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(col("lp")), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf" -> ((s, d) => {
       // Top-3 characteristic terms per document by smoothed TF-IDF —
       // the classic keyword/feature extraction pass of a corpus pipeline.
@@ -195,6 +219,17 @@ object TextOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+        | tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+        | lp AS (SELECT tok, LN(CAST(n AS DOUBLE) / n_total) AS lp
+        |        FROM c CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_toks, ROUND(AVG(lp), 4) AS avg_logprob
+        |FROM t JOIN lp USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
         |           FROM documents),
