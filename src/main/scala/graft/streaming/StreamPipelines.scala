@@ -202,6 +202,10 @@ object StreamPipelines {
     if (fs.exists(marker)) return // replayed epoch: already fully applied
     // Last-write-wins WITHIN the batch first (a micro-batch can carry
     // several versions of a key; exactly one row per key may survive).
+    // CONTRACT: orderCol must totally order rows within a key (a unique
+    // sequence / event id, not a coarse timestamp) — on ties the
+    // surviving row is partition-order-dependent, which breaks the
+    // replay-idempotence guarantee the ledger otherwise provides.
     val wKey = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc)
     val upserts = batch
       .withColumn("_rn", row_number().over(wKey)).filter(col("_rn") === 1)

@@ -89,6 +89,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("range-join binning is exact: bin equi-join + residual equals the naive range join (generated days)") {
+    val s = spark
+    import s.implicits._
+    val W = 30 // window/bin width, as in join_range_binned
+    val daysGen = Gen.listOfN(40, Gen.choose(0, 120))
+    samples(Gen.zip(daysGen, daysGen), 6).foreach { case (probeDays, buildDays) =>
+      val probe = probeDays.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("pid", "pday")
+      val build = buildDays.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+        .toDF("bid", "bday")
+      // ground truth: naive quadratic range join
+      val naive = probe.crossJoin(build)
+        .filter(col("bday") >= col("pday") && col("bday") < col("pday") + W)
+        .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // binned: probe explodes into its two overlapping bins, equi-join,
+      // residual filter — must be EXACTLY the naive pair set
+      val pb = probe.withColumn("bin0", floor(col("pday") / W))
+        .withColumn("bin", explode(array(col("bin0"), col("bin0") + 1)))
+      val bb = build.withColumn("bin", floor(col("bday") / W))
+      val binned = pb.join(bb, "bin")
+        .filter(col("bday") >= col("pday") && col("bday") < col("pday") + W)
+        .select("pid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned === naive,
+        s"missing=${(naive -- binned).take(5)} extra=${(binned -- naive).take(5)}")
+    }
+  }
+
   test("agg_approx_quantile tracks the exact percentile (rank error bounded by n/accuracy)") {
     // At sf0.001 each group's n ≪ accuracy=10000, so the sketch's rank
     // error bound (Greenwald-Khanna: ≤ n/accuracy) allows at most the
