@@ -298,7 +298,13 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
           floor(datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
             / binDays).as("bin"))
-      probe.join(build, Seq("bin"))
+      // Conf-gated broadcast of the (small-by-construction) probe side:
+      // pins a deterministic BHJ at test scale — planner estimates for
+      // the filter+explode subtree drift run-to-run and once flipped
+      // this join into a pathological shape (measured: 2.4 s → 193 s in
+      // one bench session). Above the row threshold it reverts to the
+      // shuffle equi-join on bin, which is the at-scale shape anyway.
+      Q.maybeBroadcast(probe).join(build, Seq("bin"))
         .filter(col("l_shipdate") >= col("o_orderdate").cast("timestamp") &&
           col("l_shipdate") <
             date_add(col("o_orderdate"), binDays).cast("timestamp"))
