@@ -104,6 +104,52 @@ class OperatorSpec extends SparkSpec {
     assert(once.count() === once.dropDuplicates("event_id").count())
   }
 
+  test("upsert_latest is the true last-write-wins state (recomputed from raw events, sf0.001)") {
+    val out = streaming.EventOps.queries("upsert_latest")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    val want = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+    assert(out === want)
+    assert(out.size === Tables.events(spark, sf0001)
+      .select("user_id").distinct().count())
+  }
+
+  test("event_rfm frequencies sum to the total event count (sf0.001)") {
+    val rfm = streaming.EventOps.queries("event_rfm")(spark, sf0001)
+    assert(rfm.agg(sum(col("frequency"))).head.getLong(0) ===
+      Tables.events(spark, sf0001).count())
+    // monetary only counts purchases
+    val mon = rfm.agg(sum(col("monetary"))).head.getDouble(0)
+    val purch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(Q.moneySum(col("value"))).head.getDouble(0)
+    assert(math.abs(mon - purch) < 1e-6)
+  }
+
+  test("window_value_fns: first/last/nth agree with per-group max/min/rank-2 (sf0.001)") {
+    val out = operators.Windows.queries("window_value_fns")(spark, sf0001)
+    val bad = out.groupBy(col("o_custkey"))
+      .agg(max(col("o_totalprice")).as("mx"), min(col("o_totalprice")).as("mn"),
+        first(col("top_price")).as("top"), first(col("bottom_price")).as("bot"))
+      .filter(col("mx") =!= col("top") || col("mn") =!= col("bot"))
+    assert(bad.count() === 0)
+    assert(out.filter(col("second_price") > col("top_price")).count() === 0)
+  }
+
+  test("split_train_holdout is deterministic and roughly 90/10 (sf0.001)") {
+    val a = operators.Profiling.queries("split_train_holdout")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = operators.Profiling.queries("split_train_holdout")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b, "split assignment not deterministic")
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac far from 0.9")
+  }
+
   test("every declared query returns rows at sf0.001 (except join variants that may be empty)") {
     val allowEmpty = Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
