@@ -98,7 +98,22 @@ object Dedup {
   // of 12 rows: P(candidate | j=0.95) = 1-(1-0.95^12)^5 ≈ 0.98 (recall
   // holds) while P(j=0.8) ≈ 0.30 and P(j=0.7) ≈ 0.07 (the bulk prunes).
   val MinHashK = 60   // signature length
-  val LshBands = 5    // 5 bands × 12 rows
+  val LshBands = 5    // default: 5 bands × 12 rows
+
+  /** Conf key overriding the band count (must divide [[MinHashK]]):
+    * banding geometry is a CORPUS property (sharper thresholds want more
+    * rows/band, noisier near-dups want more bands), so at scale it's a
+    * tuning knob, not a code edit — same pattern as the simjoin/broadcast
+    * thresholds. Output is unaffected as long as recall holds (candidates
+    * are exact-verified); only candidate volume moves. */
+  val LshBandsKey = "spark.graft.minhash.bands"
+
+  private def lshBands(docs: DataFrame): Int = {
+    val b = docs.sparkSession.conf.get(LshBandsKey, LshBands.toString).toInt
+    require(b > 0 && MinHashK % b == 0,
+      s"$LshBandsKey=$b must positively divide MinHashK=$MinHashK")
+    b
+  }
 
   /** doc_id → MinHash signature via the custom Aggregator over the
     * (doc_id, tok) RELATION (the demonstrative UDAF surface, SURVEY.md
@@ -156,11 +171,12 @@ object Dedup {
     // and cheaper equality. A hash collision can only ADD a candidate,
     // and every candidate is exact-verified below, so correctness is
     // unaffected.
+    val nBands = lshBands(docs)
     val banded = sigs
       .select(col("doc_id"), posexplode(
-        expr(s"""transform(sequence(0, ${LshBands - 1}),
-                 | b -> xxhash64(slice(sig, b * ${MinHashK / LshBands} + 1,
-                 |   ${MinHashK / LshBands})))""".stripMargin)))
+        expr(s"""transform(sequence(0, ${nBands - 1}),
+                 | b -> xxhash64(slice(sig, b * ${MinHashK / nBands} + 1,
+                 |   ${MinHashK / nBands})))""".stripMargin)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
     val cands = banded.as("a")
       .join(banded.as("b"),

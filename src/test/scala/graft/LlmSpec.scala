@@ -42,6 +42,27 @@ class LlmSpec extends SparkSpec {
       "disjoint doc not farther than near-identical doc")
   }
 
+  test("minhash banding is conf-tunable: 6x10 geometry keeps recall >= 0.9 and rejects a non-divisor") {
+    val exact = Dedup.queries("dedup_near")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(Dedup.LshBandsKey, "6")
+    try {
+      val approx = Dedup.queries("minhash_lsh")(spark, sf0001)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & approx).size.toDouble / exact.size
+      // P(cand | j=0.95) at 6x10 = 1-(1-0.95^10)^6 ≈ 0.994 — recall holds
+      assert(recall >= 0.9, s"6-band recall $recall < 0.9")
+      assert((approx -- exact).isEmpty, "verify step must keep exactness")
+      spark.conf.set(Dedup.LshBandsKey, "7") // 7 does not divide 60
+      val e = intercept[IllegalArgumentException] {
+        Dedup.queries("minhash_lsh")(spark, sf0001).count()
+      }
+      assert(e.getMessage.contains("divide"))
+    } finally spark.conf.unset(Dedup.LshBandsKey)
+  }
+
   test("minhash signatures: UDAF (token relation) and inline expression (token array) are bit-identical (sf0.001)") {
     val docs = Tables.documents(spark, sf0001).limit(100)
     val udafSigs = Dedup.signatures(docs).collect()
