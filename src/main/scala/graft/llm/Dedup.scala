@@ -341,6 +341,27 @@ object Dedup {
     // LlmSpec.
     "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)),
 
+    "dedup_editdist" -> ((s, d) => {
+      // Surface divergence WITHIN canonical groups: docs whose token SETS
+      // are identical (the dedup_groups signature) can still differ in
+      // order/repetition — Levenshtein distance over the raw text ranks
+      // which "duplicates" are literal copies (dist 0) vs paraphrase-like
+      // rearrangements (the keep-best signal a curation pass uses).
+      // Blocking by the group signature keeps the pair space to
+      // within-group pairs (one equi self-join), never all-pairs; both
+      // engines' levenshtein is the exact integer DP, so the oracle
+      // hash-matches.
+      val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), sig.as("sig"))
+      docs.as("a")
+        .join(docs.as("b"),
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_components" -> ((s, d) =>
       connectedComponents(
         jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95))),
@@ -367,6 +388,16 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_editdist" ->
+      """WITH g AS (SELECT doc_id, text,
+        |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+        |    AS sig
+        | FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
+        |FROM g a JOIN g b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) = 1

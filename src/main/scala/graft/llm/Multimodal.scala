@@ -94,6 +94,28 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_resize" -> ((s, d) => {
+      // Aspect-preserving resize planning: fit each image's (stub-derived)
+      // dimensions into a 224×224 box — the standard vision-model
+      // preprocessing. All INTEGER arithmetic (scale = 224·min_side DIV
+      // max_side) so both engines agree exactly; the actual pixel
+      // transform is the decoder stub's job (decode-stub policy above) —
+      // this op owns the metadata plan a resize executor consumes. Pure
+      // per-row expressions, no shuffle.
+      val w = (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 64 + 1)
+      val h = (conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 64 + 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("width"), h.as("height"))
+        .select(col("doc_id"), col("width"), col("height"),
+          when(col("width") >= col("height"), lit(224L))
+            .otherwise(expr("width * 224 div height")).as("out_w"),
+          when(col("width") >= col("height"), expr("height * 224 div width"))
+            .otherwise(lit(224L)).as("out_h"))
+        .withColumn("scale_num", lit(224L))
+        .withColumn("scale_den", greatest(col("width"), col("height")))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_framesample" -> ((s, d) => {
       // Video frame sampling: every 8th frame of each payload, emitted as
       // (frame_idx, ts_millis, byte_offset) rows — the row-expansion +
@@ -131,6 +153,22 @@ object Multimodal {
         | CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
         |   AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH dims AS (SELECT doc_id,
+        |  CAST(CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INTEGER) % 64 + 1
+        |    AS BIGINT) AS width,
+        |  CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
+        |    AS BIGINT) AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CASE WHEN width >= height THEN 224
+        |   ELSE width * 224 // height END AS out_w,
+        | CASE WHEN width >= height THEN height * 224 // width
+        |   ELSE 224 END AS out_h,
+        | CAST(224 AS BIGINT) AS scale_num,
+        | GREATEST(width, height) AS scale_den
+        |FROM dims ORDER BY doc_id""".stripMargin,
 
     "multimodal_framesample" ->
       """WITH m AS (SELECT doc_id, CAST(n_chars % 240 + 16 AS BIGINT) AS n_frames
