@@ -136,6 +136,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_chunks" -> ((s, d) => {
+      // Overlapping token-window chunking (size 32, stride 24 → 8-token
+      // overlap) with provenance offsets — the RAG/pretraining prep step
+      // that turns documents into model-sized pieces without losing
+      // cross-boundary context. Chunk count uses INTEGER ceil math
+      // ((n−C+S−1) div S) so both engines agree exactly. Row expansion is
+      // bounded by n_toks/stride; pure per-row expressions, no shuffle.
+      val (c, st) = (32, 24)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+          col("toks"))
+        .select(col("doc_id"), col("n_toks"), posexplode(expr(
+          s"""transform(
+             |  sequence(0, if(n_toks <= $c, 0,
+             |    (n_toks - $c + ${st - 1}) div $st)),
+             |  i -> array_join(slice(toks, i * $st + 1, $c), ' '))""".stripMargin)))
+        .select(col("doc_id"), col("n_toks"), col("pos").cast("long").as("chunk_idx"),
+          (col("pos").cast("long") * st + 1).as("tok_start"),
+          col("col").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "text_lm_score" -> ((s, d) => {
       // Unigram language-model score per document: mean ln P(token)
       // under the corpus's own unigram distribution — the shape of the
@@ -219,6 +242,19 @@ object TextOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        | e AS (SELECT doc_id, toks, n_toks,
+        |  UNNEST(RANGE(0, CASE WHEN n_toks <= 32 THEN 1
+        |    ELSE (n_toks - 32 + 23) // 24 + 1 END)) AS i
+        | FROM t)
+        |SELECT doc_id, n_toks, i AS chunk_idx, i * 24 + 1 AS tok_start,
+        | ARRAY_TO_STRING(LIST_SLICE(toks, i * 24 + 1, i * 24 + 32), ' ')
+        |   AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
         |           FROM documents),
