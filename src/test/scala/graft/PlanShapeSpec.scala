@@ -49,6 +49,17 @@ class PlanShapeSpec extends SparkSpec {
       "date predicate left as a post-scan Filter — pruning failed")
   }
 
+  test("text_tfidf and text_lm_score: corpus-count broadcast only; no shuffled cartesian anywhere") {
+    for (q <- Seq("text_tfidf", "text_lm_score")) {
+      val p = plan(q)
+      // the 1-row corpus-count frame may broadcast (BNLJ build side of
+      // one row); a ShuffledCartesian/CartesianProduct would mean the
+      // dictionary join degenerated
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+      assert(p.contains("HashAggregate"), s"$q lost its hash aggregation")
+    }
+  }
+
   test("agg_group does partial aggregation before the shuffle") {
     val p = plan("agg_group")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
