@@ -205,6 +205,51 @@ class LlmSpec extends SparkSpec {
     assert(decoded.select("byte_len").distinct().collect().map(_.getInt(0)).toSeq === Seq(16))
   }
 
+  test("text_chunks invariants: full token coverage and exact stride overlap (sf0.001)") {
+    val out = graft.llm.TextOps.queries("text_chunks")(spark, sf0001)
+      .collect().groupBy(_.getLong(0))
+    val nToksByDoc = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (doc, rows) =>
+      val n = nToksByDoc(doc)
+      val sorted = rows.sortBy(_.getLong(2))
+      // chunk indices contiguous from 0
+      assert(sorted.map(_.getLong(2)).toSeq === (0L until sorted.length).toSeq)
+      // stride placement: chunk i starts at i*24+1
+      sorted.foreach(r => assert(r.getLong(3) === r.getLong(2) * 24 + 1))
+      // coverage: the last chunk's window reaches the last token
+      val lastStart = sorted.last.getLong(3)
+      assert(lastStart + 32 - 1 >= n, s"doc $doc: tail tokens uncovered")
+      // no spurious extra chunk: the second-to-last (if any) does NOT cover n
+      if (sorted.length > 1)
+        assert(sorted(sorted.length - 2).getLong(3) + 32 - 1 < n,
+          s"doc $doc: redundant final chunk")
+    }
+  }
+
+  test("dedup_editdist: identical texts at distance 0; rearranged text at known distance (literal frames)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "join filter window agg"),
+      (2L, "join filter window agg"),  // literal copy → dist 0
+      (3L, "agg window filter join"),  // same token set, rearranged
+      (4L, "zebra yak xylophone")      // different set → no pair
+    ).toDF("doc_id", "text")
+    // same blocking + measure as the registry query
+    val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val d = docs.select(col("doc_id"), col("text"), sig.as("sig"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs((1L, 3L)) > 0)
+  }
+
   test("dedup_exact idempotence (sf0.001)") {
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
     assert(out.count() === out.select("doc_id").distinct().count())
