@@ -150,6 +150,26 @@ class OperatorSpec extends SparkSpec {
     assert(frac > 0.8 && frac < 0.97, s"train fraction $frac far from 0.9")
   }
 
+  test("oracle-declared queries emit only comparator-safe schemas (scalar types, unique column names)") {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    // the driver's DuckDB comparator sorts columns BY NAME and cannot
+    // hash array/map/binary cells (SURVEY §7d rule 4) — violating either
+    // turns a correct query into a red CORRECTNESS row
+    SparkEntry.queries
+      .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
+      .foreach { case (name, fn) =>
+        val schema = fn(spark, sf0001).schema
+        assert(schema.map(_.name).distinct.size === schema.size,
+          s"$name has duplicate output column names")
+        schema.foreach { f =>
+          val bad = f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] || f.dataType == BinaryType
+          assert(!bad, s"$name.${f.name} has comparator-unsafe type ${f.dataType}")
+        }
+      }
+  }
+
   test("every declared query returns rows at sf0.001 (except join variants that may be empty)") {
     val allowEmpty = Set.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
