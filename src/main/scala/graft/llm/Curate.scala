@@ -65,10 +65,84 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * RAG/pretraining document-to-chunk pipeline — the second composed
+   * flagship, chaining this round's text ops as ONE fused plan (per-row
+   * expressions + a single bounded explode; the only shuffle is the
+   * verify sort):
+   *
+   *  1. normalize      — collapse consecutive duplicate tokens;
+   *  2. gate           — drop degenerate docs (< 8 normalized tokens);
+   *  3. split          — content-stable train/holdout via salted md5;
+   *  4. chunk          — 32-token windows, stride 24, with offsets;
+   *  5. fingerprint    — rolling hash PER CHUNK (chunk-level dedup key
+   *                      for the downstream exact-dedup pass).
+   *
+   * Output is the chunk-level training table a tokenizer consumes:
+   * (doc_id, n_norm_tokens, split, chunk_idx, tok_start, fingerprint,
+   * chunk_text). Scale: zero joins — linear scan shape end to end.
+   */
+  def ragPrep(docs: DataFrame): DataFrame = {
+    val (c, st) = (32, 24)
+    val dedupRuns = "filter(toks, (x, i) -> i = 0 OR x <> toks[i - 1])"
+    val split2 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2)
+    docs
+      .withColumn("toks", split(trim(col("text")), " "))
+      .withColumn("nta", expr(dedupRuns))
+      .withColumn("n_norm_tokens", size(col("nta")).cast("long"))
+      .filter(col("n_norm_tokens") >= 8)
+      .withColumn("split",
+        when(split2 < "e6", "train").otherwise("holdout"))
+      .select(col("doc_id"), col("n_norm_tokens"), col("split"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(0, if(n_norm_tokens <= $c, 0,
+             |    (n_norm_tokens - $c + ${st - 1}) div $st)),
+             |  i -> slice(nta, i * $st + 1, $c))""".stripMargin)))
+      .select(col("doc_id"), col("n_norm_tokens"), col("split"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("pos").cast("long") * st + 1).as("tok_start"),
+        expr(
+          """aggregate(
+            |  transform(col, t -> ascii(t) * 131L + length(t)),
+            |  0L,
+            |  (acc, v) -> pmod(acc * 31 + v, 2147483647L))""".stripMargin)
+          .as("fingerprint"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, QFn] = Map(
-    "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))))
+    "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
+    "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    // Same five stages in DuckDB (list lambdas index from 1).
+    "pipeline_rag" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks
+        |           FROM documents),
+        | n AS (SELECT doc_id,
+        |   LIST_FILTER(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS nta
+        |  FROM t),
+        | g AS (SELECT doc_id, nta, CAST(LEN(nta) AS BIGINT) AS n_norm_tokens,
+        |   CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+        |     THEN 'train' ELSE 'holdout' END AS split
+        |  FROM n WHERE LEN(nta) >= 8),
+        | e AS (SELECT doc_id, n_norm_tokens, split, nta,
+        |   UNNEST(RANGE(0, CASE WHEN n_norm_tokens <= 32 THEN 1
+        |     ELSE (n_norm_tokens - 32 + 23) // 24 + 1 END)) AS i
+        |  FROM g),
+        | ch AS (SELECT doc_id, n_norm_tokens, split, i AS chunk_idx,
+        |   i * 24 + 1 AS tok_start,
+        |   LIST_SLICE(nta, i * 24 + 1, i * 24 + 32) AS carr
+        |  FROM e)
+        |SELECT doc_id, n_norm_tokens, split, chunk_idx, tok_start,
+        | LIST_REDUCE(LIST_CONCAT([CAST(0 AS BIGINT)],
+        |     LIST_TRANSFORM(carr, t -> CAST(ASCII(t) * 131 + LENGTH(t) AS BIGINT))),
+        |   (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint,
+        | ARRAY_TO_STRING(carr, ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // The same four stages as one SQL pipeline: QUALIFY exact dedup →
     // Jaccard pair graph → recursive-CTE components → canonical keep →
     // quality gate → per-language window sample.
