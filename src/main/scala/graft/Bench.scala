@@ -75,6 +75,18 @@ object Bench {
       a.join(b, col("ia") < col("ib")).filter(cos >= 0.35).count()
     }))
 
+  /** Join-strategy fingerprint of an executed plan: the distinct physical
+    * join operators present, worst-first. Emitted per headline query into
+    * the bench JSON so a flipped join strategy is machine-visible in the
+    * artifact itself (VERDICT r3 #1 — a 59 s entry that reproduces at 4 s
+    * standalone is undiagnosable without knowing which plan actually ran). */
+  def joinStrategies(plan: String): String = {
+    val tokens = Seq("BroadcastNestedLoopJoin", "CartesianProduct",
+      "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    val found = tokens.filter(plan.contains)
+    if (found.isEmpty) "none" else found.mkString("+")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -85,6 +97,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench-time broadcast pin (VERDICT r3 #1): the gates Q.maybeBroadcast
+    // reads are set EXPLICITLY on this session, so no earlier conf drift in
+    // a long run can flip join_range_binned's probe broadcast. The probe's
+    // est rows (~10k at sf0.1, bounded by its one-month filter) sit far
+    // below both gates.
+    spark.conf.set(Q.BroadcastSideThresholdKey, "8000000")
+    spark.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -109,23 +128,36 @@ object Bench {
     }
     // A failed query records -1 (sentinel), never its partial elapsed
     // time: a crash mid-query must be machine-visible in the artifact,
-    // not silently folded into a green-looking total (ADVICE r2).
+    // not silently folded into a green-looking total (ADVICE r2). Each
+    // query also records the join strategies of its EXECUTED (post-AQE)
+    // plan — the self-diagnosis that separates "host was loaded" from
+    // "the planner flipped the join" when an entry spikes.
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
+      var exec: Option[org.apache.spark.sql.DataFrame] = None
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+        try {
+          val agg = fn(spark, sfDir).groupBy().count()
+          agg.head() // same execution shape as DataFrame.count()
+          exec = Some(agg)
+          true
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      val strategy = exec.map(a =>
+        joinStrategies(a.queryExecution.executedPlan.toString)).getOrElse("err")
       // runner owns cache lifecycle for operator-persisted intermediates
       spark.catalog.clearCache()
-      name -> (if (ok) t else -1.0)
+      (name, if (ok) t else -1.0, strategy)
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val strategies = results.map { case (k, _, s) => "\"" + k + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
     val ps = probeResults.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -135,6 +167,7 @@ object Bench {
     val hostFactor = probeTotal / probeBaseline
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""strategies":$strategies,""" +
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
       s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +

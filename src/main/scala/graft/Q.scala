@@ -43,6 +43,13 @@ object Q {
     * side table that may still be broadcast. */
   val BroadcastSideThresholdKey = "spark.graft.broadcastSideThreshold"
 
+  /** Conf key gating [[maybeBroadcast]] by estimated PAYLOAD BYTES: rows
+    * alone miss wide payloads (8M rows of 60-long minhash signatures is
+    * ~4 GB — far past what a driver/executor can hold), so the byte gate
+    * closes the gap between Spark's 10 MB autoBroadcast default and the
+    * row gate. Default 256 MB. */
+  val BroadcastSideMaxBytesKey = "spark.graft.broadcastSideMaxBytes"
+
   /** Fallback bytes-per-row when CBO row counts are absent (same estimate
     * the simjoin rewrite uses — see SimilarityRewrite.EstRowBytes). */
   private val EstRowBytes = 280L
@@ -53,20 +60,25 @@ object Q {
    * UNCONDITIONALLY — a hard-coded hint on a per-doc signature/token
    * table would OOM the driver once the corpus outgrows memory (10⁸
    * docs). Decision is driver-side only (logical-plan `Statistics`, no
-   * data read): estimated rows (CBO row count when present, else
-   * sizeInBytes/280) at or below `spark.graft.broadcastSideThreshold`
-   * (default 8 000 000 rows ≈ low-GB of signature payload) → broadcast
-   * hash join, no shuffle of the big candidate stream; above → no hint,
-   * so the planner falls back to a shuffle join keyed on the join column —
-   * the scale-safe shape. Mirrors how Spark itself promotes BHJ on
-   * `autoBroadcastJoinThreshold`; both expansions are plan-pinned in
-   * PlanShapeSpec.
+   * data read) and gated on BOTH axes: estimated rows (CBO row count when
+   * present, else sizeInBytes/280) at or below
+   * `spark.graft.broadcastSideThreshold` (default 8 000 000 rows) AND
+   * estimated payload at or below `spark.graft.broadcastSideMaxBytes`
+   * (default 256 MB — rows alone would admit a ~4 GB wide-signature
+   * broadcast) → broadcast hash join, no shuffle of the big candidate
+   * stream; above either → no hint, so the planner falls back to a
+   * shuffle join keyed on the join column — the scale-safe shape. Mirrors
+   * how Spark itself promotes BHJ on `autoBroadcastJoinThreshold`; both
+   * expansions are plan-pinned in PlanShapeSpec.
    */
   def maybeBroadcast(side: DataFrame): DataFrame = {
-    val threshold = side.sparkSession.conf
-      .get(BroadcastSideThresholdKey, "8000000").toLong
+    val conf = side.sparkSession.conf
+    val rowThreshold = conf.get(BroadcastSideThresholdKey, "8000000").toLong
+    val byteThreshold = conf
+      .get(BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString).toLong
     val st = side.queryExecution.optimizedPlan.stats
     val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
-    if (estRows <= BigInt(threshold)) broadcast(side) else side
+    if (estRows <= BigInt(rowThreshold) &&
+        st.sizeInBytes <= BigInt(byteThreshold)) broadcast(side) else side
   }
 }

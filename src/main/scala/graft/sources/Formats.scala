@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.StructType
  * Source/sink layer beyond the test harness's parquet: uniform write/read
  * over the columnar (parquet, orc), row-binary (avro — this Spark build
  * bundles the avro connector in spark-sql, probed in IoSpec), and text
- * (csv, json) formats, plus hive-style partitioned writes.
+ * (csv, json, xml — rowTag=row) formats, plus hive-style partitioned
+ * writes.
  *
  * plankton pipelines load/extract through arbitrary task code (SURVEY.md
  * §1a); the engine equivalent is Spark's DataSource API, so this layer is

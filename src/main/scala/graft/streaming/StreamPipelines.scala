@@ -39,14 +39,18 @@ object StreamPipelines {
     StructField("props", StringType)))
 
   /** Production entry: incremental file-stream over an events directory
-    * (new parquet files picked up per micro-batch). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    * (new parquet files picked up per micro-batch). `maxFilesPerTrigger`
+    * bounds epoch size — at scale it's the backpressure knob that keeps a
+    * backlog catch-up from producing one giant micro-batch. */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(StructType(eventSchema.map {
         case f if f.name == "ts" => f.copy(dataType = LongType)
         case f => f
       }))
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
@@ -167,8 +171,9 @@ object StreamPipelines {
   /**
    * Keyed-upsert streaming terminal ("MERGE INTO" against a plain-parquet
    * target) via foreachBatch — the production load step the append-only
-   * file sink cannot express (VERDICT r2 item 5): last-write-wins per
-   * key, not append.
+   * file sink cannot express (VERDICT r2 item 5): highest-orderCol-wins
+   * per key, not append — and not arrival-order: a late epoch carrying an
+   * older version of a key leaves newer target state intact.
    *
    * Target layout: `target/data` is a parquet table hash-partitioned
    * into `nBuckets` directories by key (`_bucket = pmod(xxhash64(key),
@@ -224,9 +229,21 @@ object StreamPipelines {
       // standard additive-evolution contract (tested in StreamingSpec).
       val current = spark.read.option("mergeSchema", "true").parquet(dataDir)
         .filter(col("_bucket").isin(affected: _*)) // partition-pruned read
-      val merged = current
-        .join(upserts.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(upserts, allowMissingColumns = true)
+      // orderCol-wins across epochs, not arrival-order-wins: a later epoch
+      // carrying a LOWER orderCol (late/out-of-order delivery) must not
+      // clobber newer target state — the documented contract and the
+      // upsert_latest batch twin both order by orderCol globally. Union
+      // target ∪ batch and keep the max-orderCol row per key; `_is_new`
+      // breaks exact-orderCol ties toward the batch row, which is only
+      // reachable when orderCol is not unique per key (outside the
+      // contract above) and keeps even that case deterministic.
+      val wMerge = Window.partitionBy(col(keyCol))
+        .orderBy(col(orderCol).desc, col("_is_new").desc)
+      val merged = current.withColumn("_is_new", lit(0))
+        .unionByName(upserts.withColumn("_is_new", lit(1)),
+          allowMissingColumns = true)
+        .withColumn("_rn", row_number().over(wMerge))
+        .filter(col("_rn") === 1).drop("_rn", "_is_new")
         // materialize BEFORE overwriting the directories being read —
         // Spark refuses (or corrupts) an overwrite of its own input
         .localCheckpoint(true)
@@ -268,7 +285,11 @@ object StreamPipelines {
         .count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
       .map(st => st.getPath.getName.stripPrefix("_bucket=").toInt)
     if (crowded.isEmpty) return 0
-    val compacted = spark.read.parquet(dataDir.toString)
+    // mergeSchema: after additive evolution a bucket mixes old/new file
+    // schemas — a single-footer inference would silently drop the evolved
+    // column from every rewritten bucket (ADVICE r3).
+    val compacted = spark.read.option("mergeSchema", "true")
+      .parquet(dataDir.toString)
       .filter(col("_bucket").isin(crowded: _*))
       .repartition(crowded.size, col("_bucket")) // one task → one file per bucket
       .localCheckpoint(true) // materialize before overwriting its own input
@@ -325,12 +346,12 @@ object StreamPipelines {
     } else {
       val affected = deltas.select("_bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val current = spark.read.parquet(dataDir)
+      val current = spark.read.option("mergeSchema", "true").parquet(dataDir)
         .filter(col("_bucket").isin(affected: _*))
       // union + re-aggregate folds existing totals and new deltas in one
       // hash agg — handles new keys and existing keys uniformly
       val valueCols = "n_rows" +: sumCols.map(c => s"sum_$c")
-      val merged = current.unionByName(deltas)
+      val merged = current.unionByName(deltas, allowMissingColumns = true)
         .groupBy(col(keyCol), col("_bucket"))
         .agg(sum(col(valueCols.head)).as(valueCols.head),
           valueCols.tail.map(c => sum(col(c)).as(c)): _*)

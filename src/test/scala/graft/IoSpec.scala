@@ -4,8 +4,8 @@ import graft.sources.Formats
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Source/sink round-trips (parquet, orc, csv, json) and partition-pruned
-  * reads over the events table. */
+/** Source/sink round-trips (parquet, orc, avro, csv, json, xml) and
+  * partition-pruned reads over the events table. */
 class IoSpec extends SparkSpec {
 
   private lazy val base = Files.createTempDirectory("graft_io").toString
@@ -17,7 +17,7 @@ class IoSpec extends SparkSpec {
       round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4))
       .head.toSeq
 
-  test("events round-trip through parquet, orc, avro, csv, json") {
+  test("events round-trip through parquet, orc, avro, csv, json, xml") {
     val src = Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val want = fingerprint(src)

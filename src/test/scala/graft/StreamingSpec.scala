@@ -273,6 +273,93 @@ class StreamingSpec extends SparkSpec {
     assert(again === want)
   }
 
+  test("upsert sink: a later epoch carrying a LOWER orderCol does not clobber newer state") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_ooo").toString + "/t"
+    def state = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[String]("v"), r.getAs[Long]("seq"))))
+      .toMap
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(
+      Seq((1L, "new", 5L)).toDF("k", "v", "seq"), 0L)
+    // late/out-of-order delivery: epoch 1 carries an OLDER version of key
+    // 1 — orderCol-wins must keep seq 5, not arrival-order-overwrite it
+    StreamPipelines.upsertBatch(target, "k", "seq", 4)(
+      Seq((1L, "stale", 3L), (2L, "x", 1L)).toDF("k", "v", "seq"), 1L)
+    assert(state === Map(1L -> (("new", 5L)), 2L -> (("x", 1L))),
+      "late epoch clobbered newer target state")
+  }
+
+  test("upsert compaction after schema evolution: the evolved column survives the rewrite") {
+    val s = spark
+    import s.implicits._
+    val target = java.nio.file.Files.createTempDirectory("graft_evcomp").toString + "/t"
+    // epoch 0 spreads old-schema rows over both buckets; epoch 1 adds a
+    // NEW column but touches only key 1's bucket — so after it the data
+    // dir mixes old-schema files (the untouched bucket) with new-schema
+    // files, the exact layout where a single-footer schema inference in
+    // compaction would silently drop `note` (ADVICE r3, medium).
+    StreamPipelines.upsertBatch(target, "k", "seq", 2)(
+      (1L to 8L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "seq"), 0L)
+    StreamPipelines.upsertBatch(target, "k", "seq", 2)(
+      Seq((1L, "v1b", 2L, "extra")).toDF("k", "v", "seq", "note"), 1L)
+    val n = StreamPipelines.compactUpsertTarget(s, target, maxFilesPerBucket = 0)
+    assert(n >= 1, "setup: nothing compacted")
+    val out = StreamPipelines.readUpsertTarget(s, target).collect()
+      .map(r => r.getAs[Long]("k") -> Option(r.getAs[String]("note"))).toMap
+    assert(out(1L) === Some("extra"), "compaction dropped the evolved column's data")
+    assert((2L to 8L).forall(out(_) === None))
+  }
+
+  test("production path e2e: readEvents file-stream → upsert sink survives an injected crash + restart and matches the batch twin") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, struct}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_prod_e2e").toString
+    val (src, target, cp) = (s"$base/src", s"$base/target", s"$base/cp")
+    // Source files carry the RAW nanos-long ts (exactly what lands in the
+    // ingest directory at production): 4 files → 4 micro-batches under
+    // maxFilesPerTrigger=1.
+    Tables.tune(spark)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    for (q <- 0 to 3) {
+      raw.filter(col("event_id") % 4 === q).coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    // The sink's total order must match the batch twin's (ts DESC,
+    // event_id DESC) — a struct orderCol gives exactly that lexicographic
+    // comparison.
+    def stream = StreamPipelines.readEvents(spark, src, maxFilesPerTrigger = Some(1))
+      .withColumn("ord", struct(col("ts"), col("event_id")))
+    // Run 1 "crashes" after epoch 1 is fully applied but before the
+    // checkpoint commits it — the worst-case replay foreachBatch documents.
+    val q1 = stream.writeStream
+      .option("checkpointLocation", cp).outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamPipelines.upsertBatch(target, "user_id", "ord", 8)(df, id)
+        if (id == 1L) throw new RuntimeException("injected crash")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    // Restart on the same checkpoint through the production entry point:
+    // epoch 1 is REPLAYED (ledger must absorb it), epochs 2–3 proceed.
+    val q2 = StreamPipelines.startUpsert(stream, target, "user_id", "ord", 8,
+      cp, Some(Trigger.AvailableNow()))
+    q2.awaitTermination()
+    // Operational chore between runs: compaction must not change state.
+    StreamPipelines.compactUpsertTarget(spark, target, maxFilesPerBucket = 2)
+    val got = StreamPipelines.readUpsertTarget(spark, target).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    val want = graft.streaming.EventOps.queries("upsert_latest")(spark, sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("event_id"), r.getAs[Double]("value")))).toMap
+    assert(got === want, "post-restart upsert target diverged from the batch upsert_latest twin")
+  }
+
   test("stateful: transformWithState per-user counter accumulates across micro-batches and matches the legacy API") {
     val s = spark
     import s.implicits._
