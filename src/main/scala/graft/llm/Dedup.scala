@@ -147,17 +147,34 @@ object Dedup {
    * Candidate pairs from banded LSH, thinned by a signature-estimate
    * pre-filter, then exact-Jaccard verified.
    *
-   * Three scale levers (each measured at sf0.1 — the naive version spent
+   * Four scale levers (each measured at sf0.1 — the naive version spent
    * ~230 s in the verification join alone):
    *  1. banding bounds candidate generation (never all-pairs);
-   *  2. the MinHash estimate (matching signature fraction) is a 60-long
+   *  2. FIRST-MATCHING-BAND dedup (round 4): a pair agreeing on k bands
+   *     would surface k times; instead of a `distinct()` over the whole
+   *     candidate stream (was ~2.2 s of the 3.4 s total at sf0.1 — the
+   *     single largest stage), the join predicate only accepts a match at
+   *     band b when every earlier band's keys differ, so each pair is
+   *     emitted EXACTLY once and the shuffle disappears. The per-band
+   *     keys ride as flat long columns (codegen'd compares, no array
+   *     allocation — an array/zip_with spelling of the same predicate
+   *     measured 1.7× SLOWER than the distinct it replaces);
+   *  3. the MinHash estimate (matching signature fraction) is a 60-long
    *     compare per candidate — it discards most sub-threshold candidates
    *     before any token array is touched (0.10 slack ≈ 3σ of the
    *     estimator at k=60, so true positives survive);
-   *  3. the per-doc signature and token tables are broadcast — the
+   *  4. the per-doc signature and token tables are broadcast — the
    *     candidate stream never shuffles its payload.
-   * At cluster scale lever 3 flips to a shuffle join on doc_id once the
-   * doc dimension outgrows broadcast; 1 and 2 are unchanged.
+   * At cluster scale lever 4 flips to a shuffle join on doc_id once the
+   * doc dimension outgrows broadcast; the rest are unchanged.
+   *
+   * Deliberately NOT a stop-band filter (the textbook "drop super-heavy
+   * buckets" trick, VERDICT r3 #3): measured on this corpus at sf0.1 the
+   * heavy buckets ARE the true near-dup clusters — capping buckets at
+   * 200 rows keeps only 20 078 of the 190 922 true j ≥ 0.95 pairs. A
+   * stop-band is sound only when heavy buckets are semantic noise
+   * (stop-words); here they carry the answer, so the cost cut comes from
+   * lever 2 instead (same output, bit-for-bit).
    */
   def minhashLsh(docs: DataFrame, thresh: Double): DataFrame = {
     // sigs feeds three subtrees (banding + both verify sides); the
@@ -172,18 +189,28 @@ object Dedup {
     // and every candidate is exact-verified below, so correctness is
     // unaffected.
     val nBands = lshBands(docs)
-    val banded = sigs
-      .select(col("doc_id"), posexplode(
-        expr(s"""transform(sequence(0, ${nBands - 1}),
-                 | b -> xxhash64(slice(sig, b * ${MinHashK / nBands} + 1,
-                 |   ${MinHashK / nBands})))""".stripMargin)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val rows = MinHashK / nBands
+    val keyCols = (0 until nBands).map(b => s"k$b")
+    val keyed = sigs.select(col("doc_id") +:
+      (0 until nBands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as(keyCols(b))): _*)
+    val banded = keyed
+      .select((col("doc_id") +: keyCols.map(col)) :+
+        posexplode(array(keyCols.map(col): _*)): _*)
+      .select(Seq(col("doc_id"), col("pos").as("band"),
+        col("col").as("band_key")) ++ keyCols.map(col): _*)
+    // Accept a (band, band_key) match only when no EARLIER band also
+    // matches — lever 2's exactly-once emission, evaluated inside the
+    // hash join on flat longs.
+    val firstMatchOnly: Column = (1 until nBands).map { i =>
+      (col("a.band") === i) &&
+        (0 until i).map(j => col(s"a.k$j") =!= col(s"b.k$j")).reduce(_ && _)
+    }.foldLeft((col("a.band") === 0): Column)(_ || _)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") && firstMatchOnly)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val minMatches = math.ceil((thresh - 0.10) * MinHashK).toInt
     val estKeep = cands
       .join(Q.maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
@@ -256,6 +283,44 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Neighbor cap for [[editDistanceRank]]'s within-group pairing (must
+    * match the literal 16 in the dedup_editdist oracle SQL). */
+  val EditDistNeighbors = 16
+
+  /**
+   * Surface divergence WITHIN canonical groups: docs whose token SETS are
+   * identical (the dedup_groups signature) can still differ in order /
+   * repetition — Levenshtein distance over the raw text ranks which
+   * "duplicates" are literal copies (dist 0) vs paraphrase-like
+   * rearrangements (the keep-best signal a curation pass uses).
+   *
+   * Blocking by the group signature keeps the pair space to within-group
+   * pairs (one equi self-join), and — round 4, VERDICT r3 #6 — each doc
+   * pairs only with its next `maxNeighbors` group-mates in doc_id rank
+   * order, so one hot signature (empty docs, boilerplate) costs
+   * O(group × K) Levenshtein calls, never O(group²): a 10 M-doc
+   * boilerplate cluster at 100 TB stays linear in the cluster. Rank
+   * adjacency is the right neighborhood for the ranking use-case (the
+   * dist-0 copies it exists to surface are transitive), and the window
+   * rank is deterministic, so the DuckDB oracle replicates the cap
+   * exactly. Both engines' levenshtein is the exact integer DP, so the
+   * oracle hash-matches.
+   */
+  def editDistanceRank(documents: DataFrame, maxNeighbors: Int): DataFrame = {
+    val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val wSig = Window.partitionBy(col("sig")).orderBy(col("doc_id"))
+    val docs = documents
+      .select(col("doc_id"), col("text"), sig.as("sig"))
+      .withColumn("rk", row_number().over(wSig))
+    docs.as("a")
+      .join(docs.as("b"),
+        col("a.sig") === col("b.sig") &&
+        col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + maxNeighbors)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -341,26 +406,8 @@ object Dedup {
     // LlmSpec.
     "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)),
 
-    "dedup_editdist" -> ((s, d) => {
-      // Surface divergence WITHIN canonical groups: docs whose token SETS
-      // are identical (the dedup_groups signature) can still differ in
-      // order/repetition — Levenshtein distance over the raw text ranks
-      // which "duplicates" are literal copies (dist 0) vs paraphrase-like
-      // rearrangements (the keep-best signal a curation pass uses).
-      // Blocking by the group signature keeps the pair space to
-      // within-group pairs (one equi self-join), never all-pairs; both
-      // engines' levenshtein is the exact integer DP, so the oracle
-      // hash-matches.
-      val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"), sig.as("sig"))
-      docs.as("a")
-        .join(docs.as("b"),
-          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_editdist" -> ((s, d) =>
+      editDistanceRank(Tables.documents(s, d), EditDistNeighbors)),
 
     "dedup_components" -> ((s, d) =>
       connectedComponents(
@@ -392,10 +439,12 @@ object Dedup {
       """WITH g AS (SELECT doc_id, text,
         |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
         |    AS sig
-        | FROM documents)
+        | FROM documents),
+        | r AS (SELECT doc_id, text, sig,
+        |  ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rk FROM g)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
-        |FROM g a JOIN g b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |FROM r a JOIN r b ON a.sig = b.sig AND b.rk > a.rk AND b.rk <= a.rk + 16
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_exact" ->

@@ -137,6 +137,27 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    "agg_argmax" -> ((s, d) => {
+      // max_by/min_by (ARG_MAX/ARG_MIN): which order is the biggest per
+      // priority class. Cross-engine ties are nondeterministic, so the
+      // ordering key is made UNIQUE by construction (VERDICT r3 #5):
+      // o_totalprice has exactly 2 decimal digits → price×100 is an exact
+      // integer after the scale-4 decimal cast; ×10¹⁰ then leaves room to
+      // add the (unique) o_orderkey as tiebreak — one exact BIGINT both
+      // engines compare identically (max price 6e5 → key ≤ 6e17 < 2⁶³).
+      // One hash agg, shuffle is #groups — max_by's state is a single
+      // (key, value) pair per group, the cheap form of topk_per_group k=1.
+      val ordKey = (Q.dec(col("o_totalprice")) * 100).cast("long") *
+        lit(10000000000L) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), ordKey).as("top_orderkey"),
+          min_by(col("o_orderkey"), ordKey).as("bottom_orderkey"),
+          max(col("o_totalprice")).as("top_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "agg_stringagg" -> ((s, d) => {
       // Ordered string aggregation (collect → sort → join; DuckDB
       // STRING_AGG ... ORDER BY twin).
@@ -246,6 +267,15 @@ object Aggregates {
     "agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT o_orderpriority,
+        | ARG_MAX(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |   * 10000000000 + o_orderkey) AS top_orderkey,
+        | ARG_MIN(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+        |   * 10000000000 + o_orderkey) AS bottom_orderkey,
+        | MAX(o_totalprice) AS top_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "agg_rollup" ->
       """SELECT COALESCE(n_name, '<all>') AS nation,

@@ -237,17 +237,29 @@ class LlmSpec extends SparkSpec {
       (3L, "agg window filter join"),  // same token set, rearranged
       (4L, "zebra yak xylophone")      // different set → no pair
     ).toDF("doc_id", "text")
-    // same blocking + measure as the registry query
-    val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
-    val d = docs.select(col("doc_id"), col("text"), sig.as("sig"))
-    val pairs = d.as("a").join(d.as("b"),
-        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id"),
-        levenshtein(col("a.text"), col("b.text")).as("dist"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val pairs = Dedup.editDistanceRank(docs, Dedup.EditDistNeighbors)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
-    assert(pairs((1L, 2L)) === 0)
-    assert(pairs((1L, 3L)) > 0)
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs((1L, 3L)) > 0L)
+  }
+
+  test("dedup_editdist: a planted 1000-doc identical-signature group stays O(group x K) pairs") {
+    val s = spark
+    import s.implicits._
+    // 1000 docs over the SAME token set (identical dedup_groups
+    // signature) in rotated order — the hot-signature worst case
+    // (boilerplate / empty-ish docs) that would be O(group²) unbounded.
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val docs = (1L to 1000L).map { i =>
+      val rot = (i % 4).toInt
+      (i, (toks.drop(rot) ++ toks.take(rot)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val k = Dedup.EditDistNeighbors
+    val n = Dedup.editDistanceRank(docs, k).count()
+    val expected = k.toLong * (1000 - k) + k.toLong * (k - 1) / 2
+    assert(n === expected,
+      s"neighbor cap did not bound the pair space: got $n, want $expected")
   }
 
   test("dedup_exact idempotence (sf0.001)") {
