@@ -27,13 +27,21 @@ object Verify {
     // are usually transient (executor loss, storage hiccup); here the retry
     // also makes one flaky query unable to sink the whole round. Every
     // attempt lands in run_history.json (machine-readable: per-query
-    // status / attempts / wall millis / error), next to the parquet dumps.
-    val history = collection.mutable.LinkedHashMap.empty[String, (String, Int, Long, String)]
+    // status / attempts / wall millis / error / stage + shuffle + spill +
+    // peak-memory metrics — VERDICT r3 #4), next to the parquet dumps.
+    val metricsListener = new RunMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
+    val history = collection.mutable.LinkedHashMap
+      .empty[String, (String, Int, Long, String, RunMetrics)]
     toRun.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       var attempt = 0
       var done = false
       var lastErr = ""
+      // scope the metrics to THIS query: flush stray events from the
+      // previous query, zero the counters
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      metricsListener.snapshotAndReset()
       while (attempt < 2 && !done) {
         attempt += 1
         try {
@@ -45,8 +53,10 @@ object Verify {
           System.err.println(s"[verify] $name attempt $attempt failed: $lastErr")
         }
       }
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       history(name) = (if (done) "ok" else "failed", attempt,
-        (System.nanoTime() - t0) / 1000000, if (done) "" else lastErr)
+        (System.nanoTime() - t0) / 1000000, if (done) "" else lastErr,
+        metricsListener.snapshotAndReset())
       // Operators may persist() self-join intermediates (minhash_lsh,
       // embed_lshpairs); the runner owns cache lifecycle — nothing stays
       // pinned past its query.
@@ -68,9 +78,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val hist = history
-      .map { case (k, (st, at, ms, err)) =>
+      .map { case (k, (st, at, ms, err, m)) =>
         s"${q(k)}: {\"status\": ${q(st)}, \"attempts\": $at," +
-        s" \"millis\": $ms, \"error\": ${q(err)}}" }
+        s" \"millis\": $ms, \"error\": ${q(err)}," +
+        s" \"stages\": ${m.stages}," +
+        s" \"shuffle_read_bytes\": ${m.shuffleReadBytes}," +
+        s" \"shuffle_write_bytes\": ${m.shuffleWriteBytes}," +
+        s" \"disk_spill_bytes\": ${m.diskSpillBytes}," +
+        s" \"memory_spill_bytes\": ${m.memorySpillBytes}," +
+        s" \"peak_execution_memory\": ${m.peakExecutionMemory}}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/run_history.json"), hist)
     spark.stop()

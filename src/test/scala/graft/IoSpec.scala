@@ -30,6 +30,48 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("graft-range DSv2 source: short-name lookup, exact rows, slice-parallel partitions") {
+    val df = spark.read.format("graft-range")
+      .option("start", "100").option("end", "1100").option("slices", "5")
+      .load()
+    assert(df.schema.fieldNames.toSeq === Seq("id", "id_squared", "gauss"))
+    assert(df.count() === 1000)
+    // slices become real input partitions — the parallel-read contract
+    assert(df.rdd.getNumPartitions === 5)
+    val agg = df.agg(
+        min(col("id")), max(col("id")), sum(col("id")),
+        min(col("gauss")), max(col("gauss"))).head
+    assert(agg.getLong(0) === 100L && agg.getLong(1) === 1099L)
+    assert(agg.getLong(2) === (100L to 1099L).sum)
+    assert(agg.getDouble(3) >= 0.0 && agg.getDouble(4) < 1.0)
+    // deterministic: two reads agree row-for-row
+    val again = spark.read.format("graft-range")
+      .option("start", "100").option("end", "1100").option("slices", "3")
+      .load()
+    assert(df.exceptAll(again).count() === 0)
+  }
+
+  test("run metrics listener: a shuffling query reports stages and non-zero shuffle bytes") {
+    val listener = new RunMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      listener.snapshotAndReset()
+      // groupBy forces a shuffle; count() forces execution
+      Tables.lineitem(spark, sf0001)
+        .groupBy(col("l_partkey")).agg(sum(col("l_quantity"))).count()
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      val m = listener.snapshotAndReset()
+      assert(m.stages >= 2, s"expected map+reduce stages, got ${m.stages}")
+      assert(m.shuffleWriteBytes > 0, "groupBy produced no shuffle write bytes")
+      assert(m.shuffleReadBytes > 0, "groupBy produced no shuffle read bytes")
+      assert(m.peakExecutionMemory > 0)
+      // counters reset after snapshot
+      val empty = listener.snapshotAndReset()
+      assert(empty.stages === 0 && empty.shuffleWriteBytes === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("partitioned write + partition-pruned read") {
     val src = Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
