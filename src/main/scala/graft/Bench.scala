@@ -110,6 +110,16 @@ object Bench {
       body
       (System.nanoTime() - t0) / 1e9
     }
+    // Cumulative JVM GC wall time: the per-query delta separates "the
+    // host was slow" from "the JVM was collecting" when an entry spikes
+    // (round 4 — the r3 59 s join_range_binned anomaly reproduced WITH
+    // the correct BroadcastHashJoin recorded, so the plan was never the
+    // problem; the artifact must say what was).
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
 
     val probeResults = probes(sfDir).map { case (name, base, run) =>
       (name, base, time(run(spark)))
@@ -135,6 +145,7 @@ object Bench {
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       var exec: Option[org.apache.spark.sql.DataFrame] = None
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -147,18 +158,34 @@ object Bench {
             System.err.println(s"[bench] $name failed: $e"); false
         }
       val t = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
       val strategy = exec.map(a =>
         joinStrategies(a.queryExecution.executedPlan.toString)).getOrElse("err")
       // runner owns cache lifecycle for operator-persisted intermediates
       spark.catalog.clearCache()
-      (name, if (ok) t else -1.0, strategy)
+      // Untimed GC between queries: Spark's ContextCleaner only reaps a
+      // dead broadcast's torrent blocks after the JVM notices the
+      // Broadcast object is unreachable — 26 queries' worth of broadcast
+      // build sides otherwise accumulate in the block manager and the
+      // tail queries pay the eviction/collection bill inside their
+      // TIMED window.
+      exec = None
+      System.gc()
+      (name, if (ok) t else -1.0, strategy, gcSec)
     }
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val strategies = results.map { case (k, _, s) => "\"" + k + "\":\"" + s + "\"" }
+    val strategies = results.map { case (k, _, s, _) => "\"" + k + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, _, g) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    // End-of-run probe repeat: the start probes measure host load BEFORE
+    // the suite; contention rising mid-run (seen in r3) is only visible
+    // by re-measuring after. end/start >> 1 → the host degraded, the
+    // tail entries are inflated for environmental reasons.
+    val probeEnd = time(probes(sfDir).head._3(spark))
     val ps = probeResults.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -167,7 +194,8 @@ object Bench {
     val hostFactor = probeTotal / probeBaseline
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""strategies":$strategies,""" +
+      s""""strategies":$strategies,"gc_sec":$gcs,""" +
+      s""""probe_end_filter":$probeEnd,""" +
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
       s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +
