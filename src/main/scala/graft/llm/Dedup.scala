@@ -132,16 +132,15 @@ object Dedup {
     * whole-stage codegen, ZERO shuffle (the UDAF form pays explode +
     * hash-agg exchange for collocation the row already had). Bit-identical
     * to [[signatures]] — `xxhash64(i, t)` is the same seeded family the
-    * UDAF replays (parity-tested in LlmSpec). Round-2: this swap cut the
-    * minhash_lsh signature stage from 3 Spark jobs to expressions. */
+    * UDAF replays (parity-tested in LlmSpec). Round-2: the swap from the
+    * UDAF cut the signature stage from 3 Spark jobs to expressions;
+    * round 4: the HOF lambda chain (two k-long allocations per token per
+    * row, interpreted dispatch) became the codegen'd
+    * [[graft.plans.MinHashSig]] kernel — same values, one tight loop. */
   def signaturesInline(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      s"""aggregate(
-         |  array_distinct(split(text, ' ')),
-         |  transform(sequence(0, ${MinHashK - 1}), i -> cast(9223372036854775807 as bigint)),
-         |  (acc, t) -> zip_with(acc,
-         |    transform(sequence(0, ${MinHashK - 1}), i -> xxhash64(i, t)),
-         |    (a, h) -> least(a, h)))""".stripMargin).as("sig"))
+    docs.select(col("doc_id"),
+      graft.plans.VectorExprs.minhashSig(
+        array_distinct(split(col("text"), " ")), MinHashK).as("sig"))
 
   /**
    * Candidate pairs from banded LSH, thinned by a signature-estimate
@@ -219,10 +218,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     // Token sets as SORTED xxhash64 arrays: set cardinalities (and hence
     // Jaccard) are preserved, verification becomes a codegen'd merge scan
-    // (graft.plans.JaccardSortedLong) instead of string-array set ops.
+    // (graft.plans.JaccardSortedLong) instead of string-array set ops;
+    // the array itself comes from the TokenHashesSorted kernel (round 4 —
+    // the transform lambda + generic-comparator sort it replaces were
+    // interpreted).
     val tokArrays = docs.select(col("doc_id"),
-      array_sort(transform(array_distinct(split(col("text"), " ")), t => xxhash64(t)))
-        .as("toks"))
+      graft.plans.VectorExprs.tokenHashesSorted(
+        array_distinct(split(col("text"), " "))).as("toks"))
     estKeep
       .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
       .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")

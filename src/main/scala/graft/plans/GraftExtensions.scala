@@ -42,7 +42,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => JaccardSortedLong(args(0), args(1))),
     ("sig_match",
       info("sig_match", "sig_match(a, b) - positionwise match count of bigint arrays"),
-      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))))
+      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(tokens, k) - k-long MinHash signature (xxhash64(i, tok) family); k must be a literal"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "minhash_sig: k must be a literal")
+        MinHashSig(args(0), args(1).eval().asInstanceOf[Number].intValue)
+      }),
+    ("token_hashes_sorted",
+      info("token_hashes_sorted", "token_hashes_sorted(tokens) - sorted xxhash64 of each token (jaccard_sorted feed)"),
+      (args: Seq[Expression]) => TokenHashesSorted(args(0))))
 
   /** Runtime registration on an already-built session. */
   def register(spark: SparkSession): Unit =

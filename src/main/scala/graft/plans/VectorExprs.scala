@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /**
  * Codegen'd float-vector kernels (SURVEY.md §4 / §7b contingency): the
@@ -178,6 +178,153 @@ case class SigMatchCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * MinHash signature of a token array as one codegen'd double loop
+ * (round 4): the HOF spelling — `aggregate(tokens, [MaxValue]*k,
+ * (acc, t) -> zip_with(acc, transform(seq(0,k-1), i -> xxhash64(i,t)),
+ * least))` — allocates TWO k-long arrays per token per row and
+ * dispatches interpreted lambdas throughout; it was the single largest
+ * component of the minhash_lsh bench entry. This kernel folds a k-long
+ * accumulator in place: per token, one pass over k seeded hashes, no
+ * allocation beyond the result.
+ *
+ * BIT-IDENTICAL to both the HOF form and [[graft.llm.MinHashAgg]]:
+ * sig[i] = min over tokens of XXH64(tokenBytes, seed = XXH64.hashInt(i,
+ * 42)) — exactly what `xxhash64(i, tok)` computes (seed 42, int child
+ * then string child). Precondition: no null elements (the caller feeds
+ * `array_distinct(split(text, ' '))`, which cannot produce one).
+ */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<string> and k > 0, got $other / k=$k")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // xxhash64(i, tok) = token-bytes hash seeded with hashInt(i, 42)
+  private lazy val seeds: Array[Long] = Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, seeds(i))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("mhSeeds", seeds, "long[]")
+      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val i = ctx.freshName("i"); val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $t = 0; $t < $n; $t++) {
+         |  if (!$a.isNullAt($t)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |        .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |          $s.numBytes(), $seedsRef[$i]);
+         |      if ($h < $sig[$i]) $sig[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Sorted xxhash64 values of a token array (round 4) — the verify-side
+ * feed for [[JaccardSortedLong]]. Replaces
+ * `array_sort(transform(tokens, t -> xxhash64(t)))`, whose transform
+ * lambda is interpreted and whose sort runs the generic comparator;
+ * here: one hash per token into a long[], `Arrays.sort`, done.
+ * Hash = XXH64(tokenBytes, 42) — exactly `xxhash64(tok)`. Duplicate
+ * hashes (string collisions) are kept, matching array_sort; null
+ * elements are skipped (callers feed distinct split tokens — none).
+ */
+case class TokenHashesSorted(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_hashes_sorted expects array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val toks = a.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    var out = new Array[Long](n)
+    var m = 0
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t)
+        out(m) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        m += 1
+      }
+      t += 1
+    }
+    if (m < n) out = java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |int $m = 0;
+         |for (int $t = 0; $t < $n; $t++) {
+         |  if (!$a.isNullAt($t)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+         |    $out[$m++] = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+         |        $s.numBytes(), 42L);
+         |  }
+         |}
+         |if ($m < $n) $out = java.util.Arrays.copyOf($out, $m);
+         |java.util.Arrays.sort($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over float arrays, accumulated in double. */
   def dotF32(a: Column, b: Column): Column =
@@ -190,4 +337,12 @@ object VectorExprs {
   /** Position-wise match count of two long arrays. */
   def sigMatch(a: Column, b: Column): Column =
     GraftShims.exprColumn(SigMatchCount(GraftShims.expr(a), GraftShims.expr(b)))
+
+  /** k-long MinHash signature of a token array (xxhash64(i, tok) family). */
+  def minhashSig(tokens: Column, k: Int): Column =
+    GraftShims.exprColumn(MinHashSig(GraftShims.expr(tokens), k))
+
+  /** Sorted xxhash64 values of a token array (JaccardSortedLong feed). */
+  def tokenHashesSorted(tokens: Column): Column =
+    GraftShims.exprColumn(TokenHashesSorted(GraftShims.expr(tokens)))
 }

@@ -55,6 +55,57 @@ class KernelSpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("MinHashSig == the HOF aggregate/zip_with formulation bit-for-bit (real corpus)") {
+    val s = spark
+    import s.implicits._
+    val k = graft.llm.Dedup.MinHashK
+    val hof = expr(
+      s"""aggregate(
+         |  array_distinct(split(text, ' ')),
+         |  transform(sequence(0, ${k - 1}), i -> cast(9223372036854775807 as bigint)),
+         |  (acc, t) -> zip_with(acc,
+         |    transform(sequence(0, ${k - 1}), i -> xxhash64(i, t)),
+         |    (a, h) -> least(a, h)))""".stripMargin)
+    val diff = Tables.documents(spark, sf0001)
+      .select(
+        VectorExprs.minhashSig(array_distinct(split($"text", " ")), k).as("fast"),
+        hof.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff === 0)
+    // empty token array → all-MaxValue signature, same as the HOF zero
+    val empty = Seq(Seq.empty[String]).toDF("toks")
+      .select(VectorExprs.minhashSig($"toks", 4)).head.getSeq[Long](0)
+    assert(empty === Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("TokenHashesSorted == array_sort(transform(xxhash64)) (real corpus)") {
+    val s = spark
+    import s.implicits._
+    val ref = array_sort(transform(array_distinct(split($"text", " ")), t => xxhash64(t)))
+    val diff = Tables.documents(spark, sf0001)
+      .select(
+        VectorExprs.tokenHashesSorted(array_distinct(split($"text", " "))).as("fast"),
+        ref.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diff === 0)
+  }
+
+  test("minhash_sig / token_hashes_sorted usable from spark.sql") {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.documents(spark, sf0001).limit(5).createOrReplaceTempView("kdocs")
+    val rows = spark.sql(
+      """SELECT size(minhash_sig(array_distinct(split(text, ' ')), 8)) AS ks,
+        |  size(token_hashes_sorted(array_distinct(split(text, ' ')))) AS nh,
+        |  size(array_distinct(split(text, ' '))) AS nt
+        |FROM kdocs""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === 8)
+      assert(r.getInt(1) === r.getInt(2))
+    }
+  }
+
   test("kernels stay inside whole-stage codegen") {
     val s = spark
     import s.implicits._
