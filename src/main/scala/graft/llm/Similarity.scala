@@ -96,25 +96,37 @@ object Similarity {
 
   /** Fixed-seed Gaussian hyperplanes: signatures are a pure function of
     * the vector — reproducible across sessions and executors (shipped to
-    * executors as a plan literal; 192×64 floats ≈ 49 KB). */
+    * executors as a plan constant; 192×64 floats ≈ 49 KB). */
   private lazy val hyperplanes: Seq[Seq[Float]] = {
     val rng = new java.util.Random(0x6e617264L) // deterministic (JVM LCG spec)
     Seq.fill(HplBits)(Seq.fill(64)(rng.nextGaussian().toFloat))
   }
 
-  /** vec_id, embedding, squared norm, and the 16 packed band keys. */
-  def hyperplaneSigs(emb: DataFrame): DataFrame = {
+  /** The same planes flattened row-major for the codegen kernel. */
+  private lazy val hyperplanesFlat: Array[Float] =
+    hyperplanes.flatten.toArray
+
+  /** vec_id, embedding, squared norm, and the 16 packed band keys —
+    * round 4: computed by the [[graft.plans.HyperplaneBands]] kernel (one
+    * embedding read, 192 sign bits folded in place) instead of 192
+    * per-plane DotF32 calls inside a transform lambda plus an aggregate
+    * bit fold (the HOF spelling; kernel parity-pinned in KernelSpec). */
+  def hyperplaneSigs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"),
+      graft.plans.VectorExprs.hyperplaneBands(
+        col("embedding"), hyperplanesFlat, HplBitsPerBand, 64).as("bands"))
+
+  /** The HOF reference formulation of [[hyperplaneSigs]]'s band keys —
+    * kept ONLY as the parity oracle for KernelSpec. */
+  private[graft] def hyperplaneBandsHof(emb: Column): Column = {
     val planes = typedlit(hyperplanes)
-    emb
-      .select(col("vec_id"), col("embedding"),
-        dotFast(col("embedding"), col("embedding")).as("sq"),
-        transform(sequence(lit(0), lit(HplBits - 1)), h =>
-          when(dotFast(col("embedding"), element_at(planes, h + 1)) > 0, 1)
-            .otherwise(0)).as("sigbits"))
-      .withColumn("bands", transform(sequence(lit(0), lit(HplBands - 1)), b =>
-        aggregate(slice(col("sigbits"), b * HplBitsPerBand + 1, lit(HplBitsPerBand)),
-          lit(0), (acc, x) => acc * 2 + x)))
-      .drop("sigbits")
+    transform(sequence(lit(0), lit(HplBands - 1)), b =>
+      aggregate(
+        slice(transform(sequence(lit(0), lit(HplBits - 1)), h =>
+            when(dotFast(emb, element_at(planes, h + 1)) > 0, 1).otherwise(0)),
+          b * HplBitsPerBand + 1, lit(HplBitsPerBand)),
+        lit(0), (acc, x) => acc * 2 + x))
   }
 
   /** LSH candidate pairs + exact verified cosine ≥ thresh. Candidate

@@ -325,6 +325,95 @@ case class TokenHashesSorted(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Packed random-hyperplane LSH band keys of a float vector in one pass
+ * (round 4): the HOF spelling — 192 `DotF32(emb, element_at(planes, h))`
+ * calls inside a transform lambda, then an aggregate fold per band —
+ * re-reads the embedding once per plane and dispatches interpreted
+ * lambdas for the bit fold; it dominated the embed_lshpairs signature
+ * scan. This kernel reads the embedding once and folds each band's bits
+ * as it goes: sign of the same left-to-right float→double dot
+ * accumulation as [[DotF32]] (bit-identical signs), MSB-first packing
+ * exactly like `aggregate(slice(bits, ...), 0, acc*2+x)`.
+ *
+ * `planes` rides into codegen as one flattened row-major float[]
+ * reference object (nBands·bitsPerBand·dim ≈ 49 KB — a plan constant,
+ * same shipping story as the typedlit it replaces).
+ */
+case class HyperplaneBands(child: Expression, planes: Array[Float],
+    bitsPerBand: Int, dim: Int) extends UnaryExpression {
+
+  private def nBands: Int = planes.length / (bitsPerBand * dim)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if bitsPerBand > 0 && dim > 0 && planes.length % (bitsPerBand * dim) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands expects array<float> and planes % (bitsPerBand*dim) == 0, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = math.min(v.numElements(), dim)
+    val keys = new Array[Int](nBands)
+    var p = 0
+    var b = 0
+    while (b < nBands) {
+      var key = 0
+      var i = 0
+      while (i < bitsPerBand) {
+        var s = 0.0
+        val base = p * dim
+        var j = 0
+        while (j < m) {
+          s += v.getFloat(j).toDouble * planes(base + j).toDouble
+          j += 1
+        }
+        key = key * 2 + (if (s > 0.0) 1 else 0)
+        p += 1; i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planesRef = ctx.addReferenceObj("hplPlanes", planes, "float[]")
+      val m = ctx.freshName("m"); val keys = ctx.freshName("keys")
+      val p = ctx.freshName("p"); val b = ctx.freshName("b")
+      val key = ctx.freshName("key"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val base = ctx.freshName("base")
+      val j = ctx.freshName("j")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $dim);
+         |int[] $keys = new int[$nBands];
+         |int $p = 0;
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  int $key = 0;
+         |  for (int $i = 0; $i < $bitsPerBand; $i++, $p++) {
+         |    double $s = 0.0;
+         |    int $base = $p * $dim;
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $s += ((double) $a.getFloat($j)) * ((double) $planesRef[$base + $j]);
+         |    }
+         |    $key = $key * 2 + ($s > 0.0 ? 1 : 0);
+         |  }
+         |  $keys[$b] = $key;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over float arrays, accumulated in double. */
   def dotF32(a: Column, b: Column): Column =
@@ -345,4 +434,10 @@ object VectorExprs {
   /** Sorted xxhash64 values of a token array (JaccardSortedLong feed). */
   def tokenHashesSorted(tokens: Column): Column =
     GraftShims.exprColumn(TokenHashesSorted(GraftShims.expr(tokens)))
+
+  /** Packed hyperplane LSH band keys (planes flattened row-major). */
+  def hyperplaneBands(emb: Column, planes: Array[Float],
+      bitsPerBand: Int, dim: Int): Column =
+    GraftShims.exprColumn(
+      HyperplaneBands(GraftShims.expr(emb), planes, bitsPerBand, dim))
 }

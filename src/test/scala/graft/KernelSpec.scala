@@ -92,6 +92,17 @@ class KernelSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("HyperplaneBands == the 192-dot HOF formulation (real embeddings)") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val cmp = graft.llm.Similarity.hyperplaneSigs(emb)
+      .withColumn("ref", graft.llm.Similarity.hyperplaneBandsHof($"embedding"))
+      .filter($"bands" =!= $"ref")
+      .count()
+    assert(cmp === 0)
+  }
+
   test("minhash_sig / token_hashes_sorted usable from spark.sql") {
     graft.plans.GraftExtensions.register(spark)
     Tables.documents(spark, sf0001).limit(5).createOrReplaceTempView("kdocs")
