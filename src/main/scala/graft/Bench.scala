@@ -104,6 +104,14 @@ object Bench {
     // below both gates.
     spark.conf.set(Q.BroadcastSideThresholdKey, "8000000")
     spark.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
+    // Per-query task metrics (round 4): executor CPU vs task wall time.
+    // cpu_share ≈ 1 → the measured seconds were real compute; ≪ 1 → the
+    // OS descheduled the worker threads (external host load). This is
+    // the missing datum in the r3 59 s join_range_binned anomaly — the
+    // strategy field proved the PLAN was right; cpu_share proves whether
+    // the TIME was the query's fault.
+    val metricsListener = new RunMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -145,6 +153,8 @@ object Bench {
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       var exec: Option[org.apache.spark.sql.DataFrame] = None
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      metricsListener.snapshotAndReset()
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
@@ -159,6 +169,8 @@ object Bench {
         }
       val t = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      val rm = metricsListener.snapshotAndReset()
       val strategy = exec.map(a =>
         joinStrategies(a.queryExecution.executedPlan.toString)).getOrElse("err")
       // runner owns cache lifecycle for operator-persisted intermediates
@@ -171,15 +183,21 @@ object Bench {
       // TIMED window.
       exec = None
       System.gc()
-      (name, if (ok) t else -1.0, strategy, gcSec)
+      (name, if (ok) t else -1.0, strategy, gcSec, rm)
     }
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val strategies = results.map { case (k, _, s, _) => "\"" + k + "\":\"" + s + "\"" }
+    val strategies = results.map { case (k, _, s, _, _) => "\"" + k + "\":\"" + s + "\"" }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, _, g) => "\"" + k + "\":" + g }
+    val gcs = results.map { case (k, _, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val cpuShares = results.map { case (k, _, _, _, m) =>
+      "\"" + k + "\":" + (math.round(m.cpuShare * 1000) / 1000.0) }
+      .mkString("{", ",", "}")
+    val taskSecs = results.map { case (k, _, _, _, m) =>
+      "\"" + k + "\":" + (m.executorRunMillis / 1e3) }
       .mkString("{", ",", "}")
     // End-of-run probe repeat: the start probes measure host load BEFORE
     // the suite; contention rising mid-run (seen in r3) is only visible
@@ -195,6 +213,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""strategies":$strategies,"gc_sec":$gcs,""" +
+      s""""cpu_share":$cpuShares,"task_sec":$taskSecs,""" +
       s""""probe_end_filter":$probeEnd,""" +
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +

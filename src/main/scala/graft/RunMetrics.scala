@@ -13,7 +13,18 @@ case class RunMetrics(
     shuffleWriteBytes: Long,
     diskSpillBytes: Long,
     memorySpillBytes: Long,
-    peakExecutionMemory: Long)
+    peakExecutionMemory: Long,
+    executorRunMillis: Long,
+    executorCpuNanos: Long) {
+  /** Fraction of task wall time the threads actually held a core —
+    * cpu/run ≈ 1 means the work was real; ≪ 1 means the OS descheduled
+    * the executors (external host contention), the signature that
+    * separates "this query regressed" from "the box was loaded" in a
+    * recorded artifact. */
+  def cpuShare: Double =
+    if (executorRunMillis <= 0) 1.0
+    else (executorCpuNanos / 1e6) / executorRunMillis
+}
 
 /**
  * Stage-granular metrics collector. Register ONCE on the SparkContext;
@@ -34,6 +45,8 @@ class RunMetricsListener extends SparkListener {
   private var diskSpill = 0L
   private var memSpill = 0L
   private var peakMem = 0L
+  private var runMillis = 0L
+  private var cpuNanos = 0L
 
   override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
     synchronized {
@@ -45,14 +58,17 @@ class RunMetricsListener extends SparkListener {
         diskSpill += m.diskBytesSpilled
         memSpill += m.memoryBytesSpilled
         peakMem = math.max(peakMem, m.peakExecutionMemory)
+        runMillis += m.executorRunTime
+        cpuNanos += m.executorCpuTime
       }
     }
 
   def snapshotAndReset(): RunMetrics = synchronized {
     val snap = RunMetrics(stages, shuffleRead, shuffleWrite, diskSpill,
-      memSpill, peakMem)
+      memSpill, peakMem, runMillis, cpuNanos)
     stages = 0L; shuffleRead = 0L; shuffleWrite = 0L
     diskSpill = 0L; memSpill = 0L; peakMem = 0L
+    runMillis = 0L; cpuNanos = 0L
     snap
   }
 }

@@ -86,7 +86,9 @@ object Verify {
         s" \"shuffle_write_bytes\": ${m.shuffleWriteBytes}," +
         s" \"disk_spill_bytes\": ${m.diskSpillBytes}," +
         s" \"memory_spill_bytes\": ${m.memorySpillBytes}," +
-        s" \"peak_execution_memory\": ${m.peakExecutionMemory}}" }
+        s" \"peak_execution_memory\": ${m.peakExecutionMemory}," +
+        s" \"executor_run_millis\": ${m.executorRunMillis}," +
+        s" \"executor_cpu_millis\": ${m.executorCpuNanos / 1000000}}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/run_history.json"), hist)
     spark.stop()

@@ -38,6 +38,23 @@ object ScalarFns {
         .orderBy(col("p_partkey"))
     }),
 
+    "fn_regex" -> ((s, d) => {
+      // Regex scalar surface beyond fn_string's single extract: full-text
+      // extract / global count / global replace / boolean match, all
+      // RE2-safe patterns (no backreferences — portable across Spark's
+      // java.util.regex and DuckDB's RE2). Pure per-row expressions, one
+      // scan, codegen'd; no-match extract is '' on BOTH engines
+      // (verified), so no null-vs-empty divergence.
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "sc[a-z]+", 0).as("first_sc"),
+          size(expr("regexp_extract_all(text, 'scan', 0)")).cast("long").as("n_scan"),
+          regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "_").as("masked60"),
+          expr("text rlike 'join [a-z]+ merge'").cast("long").as("join_then_merge"))
+        .orderBy(col("doc_id"))
+    }),
+
     "fn_date" -> ((s, d) => {
       Tables.orders(s, d)
         .select(
@@ -195,6 +212,14 @@ object ScalarFns {
         | LEN(STRING_SPLIT(p_name, ' ')) AS n_words,
         | RTRIM(p_name, 'aeiou') AS rtrimmed
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_regex" ->
+      """SELECT doc_id,
+        | REGEXP_EXTRACT(text, 'sc[a-z]+') AS first_sc,
+        | LEN(REGEXP_EXTRACT_ALL(text, 'scan')) AS n_scan,
+        | REGEXP_REPLACE(SUBSTRING(text, 1, 60), '[aeiou]', '_', 'g') AS masked60,
+        | CAST(REGEXP_MATCHES(text, 'join [a-z]+ merge') AS BIGINT) AS join_then_merge
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "fn_date" ->
       """SELECT o_orderkey,

@@ -183,6 +183,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_ngram_lm" -> ((s, d) => {
+      // Bigram LM score per document — the n-gram upgrade of
+      // text_lm_score's unigram plumbing: mean ln P(w2|w1) under the
+      // corpus's own add-one-smoothed bigram model (the KenLM/CCNet
+      // perplexity-filter shape one order up; a production pass swaps
+      // the broadcast table for a trained 5-gram LM, plumbing unchanged).
+      // Shape: one explode feeds bigram counts, head counts, AND the
+      // scoring join (persisted — corpus exploded exactly once); the
+      // model table is |vocab|² bounded → conf-gated broadcast; shuffle
+      // never exceeds #bigram-types + #docs.
+      val docs = Tables.documents(s, d)
+      val bi = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val lp = c2.join(c1, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          log((col("c2") + 1).cast("double") / (col("c1") + col("v"))).as("lp"))
+      bi.join(Q.maybeBroadcast(lp), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_tfidf" -> ((s, d) => {
       // Top-3 characteristic terms per document by smoothed TF-IDF —
       // the classic keyword/feature extraction pass of a corpus pipeline.
@@ -264,6 +297,24 @@ object TextOps {
         |        FROM c CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_toks, ROUND(AVG(lp), 4) AS avg_logprob
         |FROM t JOIN lp USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Parallel UNNESTs in one SELECT zip positionally in DuckDB, so the
+    // two LIST_TRANSFORMs over RANGE(1, LEN) emit aligned (w1, w2) rows.
+    "text_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+        | b AS (SELECT doc_id,
+        |     UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i])) AS w1,
+        |     UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i + 1])) AS w2
+        |   FROM d WHERE LEN(toks) >= 2),
+        | c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY 1, 2),
+        | c1 AS (SELECT w1, COUNT(*) AS c1 FROM b GROUP BY 1),
+        | v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |   (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t),
+        | lp AS (SELECT w1, w2, LN(CAST(c2 + 1 AS DOUBLE) / (c1 + v)) AS lp
+        |        FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logprob
+        |FROM b JOIN lp USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->

@@ -158,6 +158,25 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "agg_regr" -> ((s, d) => {
+      // Linear-regression aggregates (SQL:2016 REGR_* family): slope /
+      // intercept / R² of l_extendedprice on l_quantity per return flag —
+      // the one-pass co-moment form (never a collect, never two scans).
+      // Same single-hash-agg shape as agg_stats; state per group is five
+      // doubles, so the shuffle is #groups no matter the corpus size.
+      // 4dp rounding on both engines absorbs co-moment fp accumulation
+      // drift (values ~5e4 → abs drift ~1e-8, far inside the half-ulp).
+      val (y, x) = (col("l_extendedprice"), col("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          regr_count(y, x).as("n_pairs"),
+          Q.r4(regr_slope(y, x)).as("slope"),
+          Q.r4(regr_intercept(y, x)).as("intercept"),
+          Q.r4(regr_r2(y, x)).as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_stringagg" -> ((s, d) => {
       // Ordered string aggregation (collect → sort → join; DuckDB
       // STRING_AGG ... ORDER BY twin).
@@ -276,6 +295,14 @@ object Aggregates {
         |   * 10000000000 + o_orderkey) AS bottom_orderkey,
         | MAX(o_totalprice) AS top_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        | CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        | ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+        | ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+        | ROUND(REGR_R2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_rollup" ->
       """SELECT COALESCE(n_name, '<all>') AS nation,
