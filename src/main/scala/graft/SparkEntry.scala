@@ -27,6 +27,7 @@ object SparkEntry {
     (operators.Sql.queries, operators.Sql.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
+    (sources.SourceOps.queries, sources.SourceOps.oracleSql),
     (llm.TextOps.queries, llm.TextOps.oracleSql),
     (llm.Dedup.queries, llm.Dedup.oracleSql),
     (llm.Curate.queries, llm.Curate.oracleSql),

@@ -214,6 +214,10 @@ object Relational {
       // `join_range_binned`: bin the range key by the window width
       // (here: p_retailprice into 1000-wide bins), explode the probe
       // into its 2 overlapping bins, equi-join on bin + residual.
+      // If the "small" side outgrows broadcast, the rewrite's probe
+      // broadcast is governed by spark.graft.broadcastSideThreshold /
+      // .broadcastSideMaxBytes (Q.maybeBroadcast) — past those gates it
+      // degrades to the shuffle equi-join on bin, never back to a BNLJ.
       Tables.supplier(s, d)
         .join(broadcast(Tables.part(s, d)),
           col("s_acctbal") >= col("p_retailprice") - 500 &&

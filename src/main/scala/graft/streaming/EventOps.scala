@@ -150,6 +150,59 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    "event_anomaly" -> ((s, d) => {
+      // Per-user z-score outliers: events whose value sits ≥ 2.5 sample
+      // standard deviations from that user's own mean — the
+      // metric-anomaly shape (fraud spikes, telemetry outliers). Whole-
+      // partition window aggregates = one shuffle by user, no second
+      // scan and no join against a stats table. The filter compares the
+      // ROUNDED z on both engines so the 4dp fp agreement also decides
+      // the boundary identically.
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .withColumn("mu", avg(col("value")).over(byUser))
+        .withColumn("sd", stddev_samp(col("value")).over(byUser))
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2.5)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    "event_ewma" -> ((s, d) => {
+      // Exponentially-weighted moving average (α = 0.5) of `value` over
+      // each user's timeline — the decay-score shape (engagement decay,
+      // rate smoothing). EWMA is inherently a per-key SEQUENTIAL fold
+      // (state_i depends on state_{i-1}), which no window frame
+      // expresses: the batch form collects each user's ordered events
+      // and left-folds a prefix-state array in one expression; α = 0.5
+      // keeps every multiply binary-exact so both engines' folds agree
+      // bit-for-bit. The OUTPUT is integer basis points via the shared
+      // floor(x·10⁴ + 0.5) formula — engine round() implementations
+      // disagree exactly at the x.xxxx5 boundaries this α generates
+      // (Spark rounds the shortest decimal repr, DuckDB the raw binary),
+      // so neither engine's round() is used. Scale: one shuffle by
+      // user; state arrays are bounded by events-per-user (the same
+      // bound the streaming twin's transformWithState state store
+      // carries — that API is the 100 TB form of this op; this is the
+      // oracle-checkable batch twin).
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("evs"))
+        .withColumn("ew", expr(
+          """aggregate(evs, cast(array() as array<double>),
+            |  (acc, e) -> acc || array(if(size(acc) = 0, e.value,
+            |    0.5d * e.value + 0.5d * element_at(acc, -1))))""".stripMargin))
+        .select(col("user_id"), posexplode(expr(
+          "transform(evs, (e, i) -> struct(e.event_id AS eid, e.value AS v, ew[i] AS ew))")))
+        .select(col("col.eid").as("event_id"), col("user_id"),
+          col("col.v").as("value"),
+          floor(col("col.ew") * 10000 + 0.5).cast("long").as("ewma_bp"))
+        .orderBy(col("event_id"))
+    }),
+
     "event_transitions" -> ((s, d) => {
       // Behavioral transition matrix: count of (event_type → next type)
       // per user timeline — the input to Markov/journey analysis. One
@@ -253,6 +306,35 @@ object EventOps {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
+
+    "event_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |    AVG(value) OVER (PARTITION BY user_id) AS mu,
+        |    STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        | ROUND((value - mu) / sd, 4) AS z
+        |FROM e
+        |WHERE sd > 0 AND ABS(ROUND((value - mu) / sd, 4)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
+
+    // LIST_REDUCE is an acc-first left fold seeded with the first
+    // element — exactly the Spark aggregate() above; parallel UNNESTs
+    // zip positionally.
+    "event_ewma" ->
+      """WITH s AS (SELECT user_id,
+        |    LIST(value ORDER BY ts, event_id) AS vals,
+        |    LIST(event_id ORDER BY ts, event_id) AS eids
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT user_id,
+        |    UNNEST(eids) AS event_id,
+        |    UNNEST(vals) AS value,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(vals) + 1),
+        |      i -> LIST_REDUCE(vals[1:i], (a, x) -> 0.5 * x + 0.5 * a))) AS ew
+        |  FROM s)
+        |SELECT event_id, user_id, value,
+        | CAST(FLOOR(ew * 10000 + 0.5) AS BIGINT) AS ewma_bp
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -16,6 +16,10 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserState(count: Long, lastTsMillis: Long)
 case class UserUpdate(user_id: Long, total_events: Long, last_ts_millis: Long)
 
+/** Per-user EWMA state (α = 0.5) and its per-event output record. */
+case class EwmaState(ewma: Double, n: Long)
+case class EwmaUpdate(user_id: Long, event_id: Long, value: Double, ewma_bp: Long)
+
 /**
  * Structured Streaming surface (SURVEY.md §2c `stream_watermark` /
  * `stream_stateful`): the same event transformations as the batch twins
@@ -166,6 +170,53 @@ object StreamPipelines {
           }
         },
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /**
+   * Per-user EWMA (α = 0.5) via `transformWithState` — the STREAMING twin
+   * of the batch `event_ewma` operator (EventOps): identical fold,
+   * identical floor(x·10⁴ + 0.5) basis-point output, state = one
+   * (ewma, n) pair per user in the RocksDB store. This is the 100 TB
+   * form of the op — the batch twin collects per-user arrays to be
+   * oracle-checkable; here state is O(1) per key and each event costs
+   * one multiply-add.
+   *
+   * Within a micro-batch rows arrive partition-ordered, not
+   * time-ordered, so the fold sorts each batch's rows by (ts nanos,
+   * event_id) first; ACROSS batches order is arrival order — the same
+   * contract every streaming EWMA has (a late event folds late). The
+   * parity test feeds batches in timeline order and asserts bit-equal
+   * trajectories against the batch twin.
+   */
+  def statefulEwma(events: Dataset[Event]): Dataset[EwmaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, EwmaUpdate] {
+          @transient private var st: ValueState[EwmaState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[EwmaState](
+              "ewmaState", Encoders.product[EwmaState], TTLConfig.NONE)
+          override def handleInputRows(uid: Long, rows: Iterator[Event],
+              timers: TimerValues): Iterator[EwmaUpdate] = {
+            var cur = if (st.exists()) st.get() else EwmaState(Double.NaN, 0L)
+            val out = rows.toSeq
+              .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
+                e.event_id))
+              .map { e =>
+                val next =
+                  if (cur.n == 0L) e.value else 0.5 * e.value + 0.5 * cur.ewma
+                cur = EwmaState(next, cur.n + 1)
+                EwmaUpdate(uid, e.event_id, e.value,
+                  math.floor(next * 10000 + 0.5).toLong)
+              }
+            st.update(cur)
+            out.iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
   }
 
   /**

@@ -266,4 +266,45 @@ class LlmSpec extends SparkSpec {
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
     assert(out.count() === out.select("doc_id").distinct().count())
   }
+
+  test("pipeline_decontaminate flags a planted train↔holdout shingle overlap and nothing else") {
+    val s = spark
+    import s.implicits._
+    // Find one train and one holdout id under the content-stable split
+    // rule (the same expression the pipeline applies).
+    val splitOf = (0L until 50L).map { id =>
+      id -> spark.range(1).select(
+        when(substring(md5(concat(lit(id.toString), lit(":split"))), 1, 2) < "e6",
+          "train").otherwise("holdout")).head.getString(0)
+    }.toMap
+    val trainId = splitOf.collectFirst { case (id, "train") => id }.get
+    val holdId = splitOf.collectFirst { case (id, "holdout") => id }.get
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = (0L until 50L).map { id =>
+      val text =
+        if (id == trainId || id == holdId) s"$shared zz$id yy$id xx$id ww$id"
+        else s"a$id b$id c$id d$id e$id f$id"  // 6 unique tokens, no overlap
+      (id, text, "en", "synth", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = llm.Curate.decontaminate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared_grams"), r.getAs[Long]("n_eval_docs"),
+          r.getAs[Long]("contaminated"))).toMap
+    // only train docs reported
+    assert(out.keySet === splitOf.collect { case (id, "train") => id }.toSet)
+    assert(out(trainId) === ((1L, 1L, 1L)),
+      s"planted overlap not flagged: ${out(trainId)}")
+    assert(out.removed(trainId).values.forall(_._3 === 0L),
+      "an unplanted train doc was flagged contaminated")
+  }
+
+  test("text_ngram_lm: n_bigrams = tokens - 1 and log-probs are negative (sf0.001)") {
+    val out = llm.TextOps.queries("text_ngram_lm")(spark, sf0001)
+    val joined = out.join(
+      Tables.documents(spark, sf0001).select(col("doc_id"),
+        (size(split(col("text"), " ")) - 1).cast("long").as("want_bigrams")),
+      "doc_id")
+    assert(joined.filter(col("n_bigrams") =!= col("want_bigrams")).count() === 0)
+    assert(out.filter(col("avg_logprob") >= 0).count() === 0)
+  }
 }

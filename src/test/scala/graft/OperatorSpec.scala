@@ -130,6 +130,60 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(mon - purch) < 1e-6)
   }
 
+  test("event_ewma matches a driver-side fold for the busiest user (sf0.001)") {
+    val out = streaming.EventOps.queries("event_ewma")(spark, sf0001)
+    val top = Tables.events(spark, sf0001).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("user_id"))
+      .head.getAs[Long]("user_id")
+    val vals = Tables.events(spark, sf0001)
+      .filter(col("user_id") === top)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    var st = Double.NaN
+    val want = vals.map { case (eid, v) =>
+      st = if (st.isNaN) v else 0.5 * v + 0.5 * st
+      eid -> math.floor(st * 10000 + 0.5).toLong
+    }.toMap
+    val got = out.filter(col("user_id") === top).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("ewma_bp")).toMap
+    assert(got === want)
+  }
+
+  test("event_anomaly: all flagged rows really are >= 2.5 sample sds from the user mean (sf0.001)") {
+    val out = streaming.EventOps.queries("event_anomaly")(spark, sf0001)
+    assert(out.filter(abs(col("z")) < 2.5).count() === 0)
+    // spot-check one flagged row against driver-side stats
+    out.collect().headOption.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val stats = Tables.events(spark, sf0001).filter(col("user_id") === uid)
+        .agg(avg(col("value")), stddev_samp(col("value"))).head
+      val z = (r.getAs[Double]("value") - stats.getDouble(0)) / stats.getDouble(1)
+      assert(math.abs(math.round(z * 10000) / 10000.0 - r.getAs[Double]("z")) < 1e-9)
+    }
+  }
+
+  test("scan_dsv2_range aggregates match the closed form over multiples of 7 below 100000") {
+    val out = sources.SourceOps.queries("scan_dsv2_range")(spark, sf0001).collect()
+    val mults = 0L.until(100000L, 7L)
+    assert(out.map(_.getAs[Long]("n")).sum === mults.size)
+    assert(out.map(_.getAs[Long]("sum_id")).sum === mults.sum)
+    assert(out.map(_.getAs[Long]("sum_sq")).sum === mults.map(i => i * i).sum)
+  }
+
+  test("agg_regr: intercept = mean_y - slope*mean_x and r2 in [0,1] (sf0.001)") {
+    val out = operators.Aggregates.queries("agg_regr")(spark, sf0001)
+    val means = Tables.lineitem(spark, sf0001).groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("my"), avg(col("l_quantity")).as("mx"))
+    out.join(means, "l_returnflag").collect().foreach { r =>
+      val want = r.getAs[Double]("my") - r.getAs[Double]("slope") * r.getAs[Double]("mx")
+      assert(math.abs(r.getAs[Double]("intercept") - want) < 0.01,
+        s"${r.getAs[String]("l_returnflag")}: intercept ${r.getAs[Double]("intercept")} vs $want")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1)
+    }
+  }
+
   test("window_value_fns: first/last/nth agree with per-group max/min/rank-2 (sf0.001)") {
     val out = operators.Windows.queries("window_value_fns")(spark, sf0001)
     val bad = out.groupBy(col("o_custkey"))

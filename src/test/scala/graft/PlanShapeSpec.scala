@@ -108,6 +108,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_decontaminate: shingle probe joins hash-based, never a nested loop or cartesian") {
+    val p = plan("pipeline_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontamination degenerated to an all-pairs shape")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), "no equi join found in the probe")
+  }
+
+  test("text_ngram_lm: model-table join is hash-based; corpus count broadcast only") {
+    val p = plan("text_ngram_lm")
+    assert(!p.contains("CartesianProduct"), "ngram_lm planned a cartesian")
+    assert(p.contains("HashAggregate"), "ngram_lm lost its hash aggregation")
+  }
+
   test("join_bucketed: SortMergeJoin over bucketed scans with no Exchange below the join") {
     val p = plan("join_bucketed")
     val joinAt = p.indexOf("SortMergeJoin")
