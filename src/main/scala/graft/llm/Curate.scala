@@ -207,11 +207,50 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Token-budget data mixture — the dataset-mixing step of a pretraining
+   * build: each language gets a fixed weight of a global token budget
+   * (here 50 % of the corpus; en 40 %, zh 20 %, es/fr 15 %, de 10 %),
+   * and docs are admitted in deterministic doc_id order until their
+   * language's budget is exhausted. Up-/down-weighting sources is how
+   * real mixtures (web/books/code…) are tuned; the per-lang cumulative
+   * window + budget filter is the whole mechanism.
+   *
+   * Determinism: budgets are INTEGER arithmetic — weight in basis
+   * points of the halved budget, `total * wbp div 10000` — because a
+   * double 0.15·total can floor differently across engines at exact
+   * integers. One 1-row broadcast (corpus total), one shuffle by lang
+   * for the cumulative window; at 100 TB the admission order would be a
+   * salted hash instead of doc_id (same plan shape), and heavily-
+   * weighted languages simply keep more of their stream.
+   */
+  def datamix(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val total = toks.agg(sum(col("n_tokens")).as("total_toks"))
+    // weight × 50 % global budget, in basis points (en 40 % → 2000 bp)
+    val wbp = when(col("lang") === "en", 2000L)
+      .when(col("lang") === "zh", 1000L)
+      .when(col("lang") === "es", 750L)
+      .when(col("lang") === "fr", 750L)
+      .otherwise(500L)
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.crossJoin(broadcast(total))
+      .withColumn("wbp", wbp)
+      .withColumn("budget", expr("total_toks * wbp div 10000"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byLang).cast("long"))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
-    "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))))
+    "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "pipeline_datamix" -> ((s, d) => datamix(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     // Same five stages in DuckDB (list lambdas index from 1).
@@ -270,6 +309,23 @@ object Curate {
         | CAST(SUM(CASE WHEN crn = 1 THEN LEN(STRING_SPLIT(chunk_text, ' '))
         |   ELSE 0 END) AS BIGINT) AS n_kept_tokens
         |FROM ranked GROUP BY split ORDER BY split""".stripMargin,
+
+    // Same integer-bp budgets; // is DuckDB's integer division.
+    "pipeline_datamix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_toks FROM t),
+        | c AS (SELECT doc_id, lang, n_tokens,
+        |    (total_toks * CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 1000
+        |       WHEN 'es' THEN 750 WHEN 'fr' THEN 750 ELSE 500 END) // 10000
+        |      AS budget,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM t CROSS JOIN tot)
+        |SELECT doc_id, lang, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
 
     // Same five decontamination stages; DuckDB list slices are 1-based
     // inclusive, so toks[i:i+4] is the 5-token shingle starting at i.

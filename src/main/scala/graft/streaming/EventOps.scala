@@ -150,6 +150,41 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    "cdc_snapshot_diff" -> ((s, d) => {
+      // Change-data-capture between two snapshots of the keyed user
+      // state (the `upsert_latest` MERGE target as of Jan 16 vs end of
+      // stream): which keys appeared (insert) and which changed their
+      // current row (update) — the diff an incremental downstream load
+      // consumes instead of re-reading the full table. Append-only
+      // source ⇒ no deletes by construction (documented; a full CDC on
+      // a deleting source adds the symmetric left-null arm). Shape: two
+      // window-dedup passes + one full outer join on the key — shuffle
+      // keyed on user_id throughout, output bounded by changed keys.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def stateAt(cut: Option[String]) = {
+        val base = Tables.events(s, d)
+        cut.fold(base)(c => base.filter(col("ts") < lit(c).cast("timestamp")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+      }
+      val old = stateAt(Some("2024-01-16"))
+        .withColumnRenamed("event_id", "old_event_id")
+        .withColumnRenamed("event_type", "old_type")
+      val now = stateAt(None)
+        .withColumnRenamed("event_id", "new_event_id")
+        .withColumnRenamed("event_type", "new_type")
+      old.join(now, Seq("user_id"), "full")
+        .filter(col("old_event_id").isNull ||
+          col("new_event_id") =!= col("old_event_id"))
+        .select(col("user_id"),
+          when(col("old_event_id").isNull, "insert").otherwise("update")
+            .as("change"),
+          coalesce(col("old_event_id"), lit(-1L)).as("old_event_id"),
+          col("new_event_id"), col("new_type"))
+        .orderBy(col("user_id"))
+    }),
+
     "event_anomaly" -> ((s, d) => {
       // Per-user z-score outliers: events whose value sits ≥ 2.5 sample
       // standard deviations from that user's own mean — the
@@ -305,6 +340,25 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
         |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH o AS (SELECT user_id, event_id AS old_event_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        | n AS (SELECT user_id, event_id AS new_event_id,
+        |    event_type AS new_type
+        |  FROM events
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT user_id,
+        | CASE WHEN old_event_id IS NULL THEN 'insert' ELSE 'update' END
+        |   AS change,
+        | COALESCE(old_event_id, -1) AS old_event_id,
+        | new_event_id, new_type
+        |FROM o FULL JOIN n USING (user_id)
+        |WHERE old_event_id IS NULL OR new_event_id <> old_event_id
         |ORDER BY user_id""".stripMargin,
 
     "event_anomaly" ->

@@ -298,6 +298,27 @@ class LlmSpec extends SparkSpec {
       "an unplanted train doc was flagged contaminated")
   }
 
+  test("pipeline_datamix: per-lang kept tokens fit the budget and admission is a doc_id prefix (sf0.001)") {
+    val out = llm.Curate.queries("pipeline_datamix")(spark, sf0001)
+    val totalToks = Tables.documents(spark, sf0001)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val wbp = Map("en" -> 2000L, "zh" -> 1000L, "es" -> 750L, "fr" -> 750L)
+    out.groupBy(col("lang")).agg(max(col("cum_tokens")).as("kept")).collect()
+      .foreach { r =>
+        val budget = totalToks * wbp.getOrElse(r.getString(0), 500L) / 10000
+        assert(r.getAs[Long]("kept") <= budget,
+          s"${r.getString(0)} overshot its token budget")
+      }
+    // prefix property: every admitted doc_id precedes every dropped one
+    // within its language
+    val maxKept = out.groupBy(col("lang")).agg(max(col("doc_id")).as("mx"))
+    val dropped = Tables.documents(spark, sf0001)
+      .join(out.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang")).agg(min(col("doc_id")).as("mn"))
+    val bad = maxKept.join(dropped, "lang").filter(col("mx") > col("mn"))
+    assert(bad.count() === 0, "admission was not a doc_id prefix")
+  }
+
   test("text_ngram_lm: n_bigrams = tokens - 1 and log-probs are negative (sf0.001)") {
     val out = llm.TextOps.queries("text_ngram_lm")(spark, sf0001)
     val joined = out.join(

@@ -150,6 +150,21 @@ class OperatorSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cdc_snapshot_diff: updates really changed, inserts really absent at the cutoff (sf0.001)") {
+    val out = streaming.EventOps.queries("cdc_snapshot_diff")(spark, sf0001)
+    assert(out.filter(col("change") === "update" &&
+      col("new_event_id") === col("old_event_id")).count() === 0)
+    val oldUsers = Tables.events(spark, sf0001)
+      .filter(col("ts") < lit("2024-01-16").cast("timestamp"))
+      .select(col("user_id")).distinct()
+    assert(out.filter(col("change") === "insert")
+      .join(oldUsers, "user_id").count() === 0,
+      "an 'insert' user already existed in the old snapshot")
+    assert(out.filter(col("change") === "update")
+      .join(oldUsers, Seq("user_id"), "left_anti").count() === 0,
+      "an 'update' user was missing from the old snapshot")
+  }
+
   test("event_anomaly: all flagged rows really are >= 2.5 sample sds from the user mean (sf0.001)") {
     val out = streaming.EventOps.queries("event_anomaly")(spark, sf0001)
     assert(out.filter(abs(col("z")) < 2.5).count() === 0)
