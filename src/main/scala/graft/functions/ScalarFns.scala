@@ -55,6 +55,30 @@ object ScalarFns {
         .orderBy(col("doc_id"))
     }),
 
+    "fn_url" -> ((s, d) => {
+      // URL decomposition — the first parse of any web-scraped corpus
+      // (host → domain capping, path → route analytics, query params →
+      // tracking strip). The corpus has no URL column, so each order row
+      // first gets a DETERMINISTIC synthetic URL (like pii_scrub's
+      // synthetic contact line) — parse_url is the operator under test.
+      // Spark's parse_url is a codegen'd built-in (java.net.URI-backed);
+      // the oracle spells the same decomposition as RE2 regexes. Pure
+      // per-row scan shape, no shuffle.
+      val url = concat(lit("https://shop"),
+        pmod(col("o_custkey"), lit(20)).cast("string"),
+        lit(".example.com/cat/"),
+        pmod(col("o_orderkey"), lit(7)).cast("string"),
+        lit("/item?sku="), col("o_orderkey").cast("string"), lit("&ref=email"))
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("sku")).cast("long").as("sku"),
+          parse_url(url, lit("PROTOCOL")).as("proto"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "fn_date" -> ((s, d) => {
       Tables.orders(s, d)
         .select(
@@ -220,6 +244,20 @@ object ScalarFns {
         | REGEXP_REPLACE(SUBSTRING(text, 1, 60), '[aeiou]', '_', 'g') AS masked60,
         | CAST(REGEXP_MATCHES(text, 'join [a-z]+ merge') AS BIGINT) AS join_then_merge
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fn_url" ->
+      """WITH u AS (SELECT o_orderkey,
+        |    'https://shop' || CAST(o_custkey % 20 AS VARCHAR)
+        |      || '.example.com/cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+        |      || '/item?sku=' || CAST(o_orderkey AS VARCHAR) || '&ref=email'
+        |      AS url
+        |  FROM orders)
+        |SELECT o_orderkey,
+        | REGEXP_EXTRACT(url, 'https?://([^/]+)', 1) AS host,
+        | REGEXP_EXTRACT(url, 'https?://[^/]+([^?]*)', 1) AS path,
+        | CAST(REGEXP_EXTRACT(url, 'sku=([0-9]+)', 1) AS BIGINT) AS sku,
+        | REGEXP_EXTRACT(url, '^([a-z]+):', 1) AS proto
+        |FROM u ORDER BY o_orderkey""".stripMargin,
 
     "fn_date" ->
       """SELECT o_orderkey,

@@ -245,14 +245,58 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Per-source document cap — the C4/RefinedWeb anti-domination rule: no
+   * single source (domain, in a web corpus) may contribute more than
+   * `cap` documents, admitted in deterministic doc_id order, and the
+   * decision is reported per source (docs seen / kept / dropped, kept
+   * token mass) — the audit table a corpus governance review reads.
+   *
+   * One shuffle (the per-source window) + one hash agg. At 100 TB the
+   * window key is the source/domain — millions of distinct values in a
+   * web corpus, so the shuffle spreads evenly; a single mega-domain
+   * (the one skewed key) is exactly the thing the cap exists to bound,
+   * and row_number over it degrades to one hot partition ONCE, after
+   * which the cap drops its mass from every downstream stage. A
+   * production variant pre-filters with an approximate per-source count
+   * so the window only runs on sources near the cap (same plan shape).
+   */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > cap, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") <= cap, col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
-    "pipeline_datamix" -> ((s, d) => datamix(Tables.documents(s, d))))
+    "pipeline_datamix" -> ((s, d) => datamix(Tables.documents(s, d))),
+    "curate_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d), 20)))
 
   val oracleSql: Map[String, String] = Map(
+    "curate_source_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | CAST(SUM(CASE WHEN rn <= 20 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |   AS kept_tokens
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
     // Same five stages in DuckDB (list lambdas index from 1).
     "pipeline_rag" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS toks

@@ -367,6 +367,50 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Repeated-n-gram coverage — the corpus-internal boilerplate signal
+   * (the span-dedup statistic of Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better", 2022): for every doc, what
+   * fraction of its n-grams also occur ≥ `hotMin` times corpus-wide?
+   * Docs with high coverage are templated/boilerplate and get dropped
+   * or span-trimmed by a curation pass; this op computes the per-doc
+   * audit table that decision reads.
+   *
+   * Shape: one explode feeds BOTH the global n-gram counts and the
+   * per-doc probe (no second corpus scan); the hot set is small by
+   * construction (only grams with cnt ≥ hotMin survive) → conf-gated
+   * broadcast semi-join; per-doc rollup is one hash agg keyed on
+   * doc_id. Coverage is reported in integer basis points (n_hot ×
+   * 10⁴ div n_grams) — a double ratio can floor differently across
+   * engines at exact ties. At 100 TB the gram key becomes
+   * xxhash64(gram) to shrink exchange width (kept as the exact string
+   * here so the oracle comparison is collision-free by construction).
+   */
+  def hotNgramCover(documents: DataFrame, n: Int, hotMin: Long): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
+        .as("gram"))
+      .persist()
+    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotMin).select(col("gram"))
+    val hotPerDoc = grams.join(Q.maybeBroadcast(hot), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
+    documents
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - (n - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"),
+        when(col("n_grams") > 0,
+          expr("coalesce(n_hot, 0L) * 10000 div n_grams"))
+          .otherwise(0L).as("hot_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> ((s, d) => {
       // Hash-groupBy exact dedup: keep the lowest doc_id per md5(text).
@@ -422,7 +466,10 @@ object Dedup {
       graft.plans.SimilarityJoin.jaccardSelfJoin(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", 0.95)
-        .orderBy(col("doc_a"), col("doc_b"))))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_ngram_cover" -> ((s, d) =>
+      hotNgramCover(Tables.documents(s, d), 3, 3L)))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),
@@ -437,6 +484,26 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // 3-gram slices are toks[i:i+2] (DuckDB slices are 1-based inclusive);
+    // RANGE is empty when LEN(toks) < 3, matching the Spark guard.
+    "dedup_ngram_cover" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |           FROM documents),
+        | tot AS (SELECT doc_id,
+        |    CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS n_grams FROM d),
+        | g AS (SELECT doc_id,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3 + 2),
+        |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS gram
+        |   FROM d WHERE LEN(toks) >= 3),
+        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 3),
+        | hp AS (SELECT doc_id, COUNT(*) AS n_hot
+        |        FROM g JOIN hot USING (gram) GROUP BY doc_id)
+        |SELECT doc_id, n_grams,
+        | CAST(COALESCE(n_hot, 0) AS BIGINT) AS n_hot,
+        | CASE WHEN n_grams > 0
+        |   THEN COALESCE(n_hot, 0) * 10000 // n_grams ELSE 0 END AS hot_bp
+        |FROM tot LEFT JOIN hp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "dedup_editdist" ->
       """WITH g AS (SELECT doc_id, text,
         |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))

@@ -277,6 +277,40 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /**
+   * Symmetric int8 scalar quantization of the embedding column — the
+   * 4× compression step an ANN index applies before storing vectors
+   * (FAISS's SQ8 shape): per vector, scale = max|x| / 127, codes =
+   * round-half-up(x / scale) ∈ [-127, 127], plus the reconstruction
+   * error the recall budget is planned against. Pure per-row expression
+   * work — scan shape, no shuffle, stays in whole-stage codegen; at
+   * 100 TB this runs as a projection inside the index-build scan.
+   *
+   * Determinism: the rounding is spelled floor(x/scale + 0.5) in BOTH
+   * engines (Spark's round() is HALF_UP BigDecimal, DuckDB's is
+   * banker's-adjacent for doubles — never rely on either); float
+   * elements promote to double before any arithmetic; error stats are
+   * reported in parts-per-million (×10⁶) so 4-dp rounding keeps real
+   * precision. scale > 0 always: the corpus vectors are unit-norm
+   * (FIXTURES.md), so max|x| ≥ 1/√64.
+   */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("scale", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127"))
+      .withColumn("codes", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
+      .select(col("vec_id"),
+        round(col("scale") * lit(1e6), 4).as("scale_ppm"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("codes_sum"),
+        array_max(col("codes")).as("codes_max"),
+        round(expr(
+          """aggregate(zip_with(embedding, codes,
+            |  (x, c) -> (CAST(x AS DOUBLE) - c * scale) * (CAST(x AS DOUBLE) - c * scale)),
+            |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+          / size(col("embedding")) * lit(1e6), 4).as("mse_ppm"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteTopK(s, d, 5)
@@ -327,7 +361,9 @@ object Similarity {
       hyperplanePairs(Tables.embeddings(s, d), -1.0)
         .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
         .limit(100)
-    }))
+    }),
+
+    "embed_quantize" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))))
 
   private val embCte =
     """e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
@@ -347,6 +383,26 @@ object Similarity {
       |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) t)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // LIST_SUM left-folds like Spark's aggregate (proven bit-identical by
+    // fn_vector); the rounding is the shared floor(+0.5) spelling.
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        | s AS (SELECT vec_id, emb,
+        |    LIST_MAX(LIST_TRANSFORM(emb, x -> ABS(x))) / 127 AS scale FROM e),
+        | q AS (SELECT vec_id, emb, scale,
+        |    LIST_TRANSFORM(emb, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))
+        |      AS codes
+        |   FROM s)
+        |SELECT vec_id,
+        | ROUND(scale * 1e6, 4) AS scale_ppm,
+        | CAST(LIST_SUM(codes) AS BIGINT) AS codes_sum,
+        | CAST(LIST_MAX(codes) AS BIGINT) AS codes_max,
+        | ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(emb) + 1),
+        |     i -> (emb[i] - codes[i] * scale) * (emb[i] - codes[i] * scale)))
+        |   / LEN(emb) * 1e6, 4) AS mse_ppm
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "sim_topk" ->
       s"""WITH $embCte
          |SELECT probe_id, vec_id, cos_sim, rn FROM topk
