@@ -251,6 +251,19 @@ object EventOps {
         .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "stream_enrich" -> ((s, d) => {
+      // Batch twin of StreamPipelines.enrichBySegment (stream–static
+      // dimension join) — the SAME function body, so the streaming query
+      // StreamingSpec drives and this oracle-checked twin cannot drift.
+      // events.user_id starts at 0 but c_custkey at 1, so the UNKNOWN
+      // bucket is non-empty by construction — the left-join-miss path is
+      // exercised at every sf.
+      StreamPipelines.enrichBySegment(
+          Tables.events(s, d),
+          Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+        .orderBy(col("segment"), col("event_type"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +340,13 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
 
     "event_rfm" ->
       """SELECT user_id, CAST(MAX(ts) AS TIMESTAMP) AS last_seen,

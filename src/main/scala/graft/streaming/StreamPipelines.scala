@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Q
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -104,6 +105,29 @@ object StreamPipelines {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /**
+   * Stream–static enrichment — the most common production streaming
+   * shape: every event joined against a slowly-changing dimension table
+   * (here customer → market segment), rolled up per (segment,
+   * event_type). The dimension side is broadcast: a static DataFrame in
+   * a stream–static join is re-resolvable per micro-batch, so dimension
+   * updates between batches are picked up without restarting the query,
+   * and the stream side never shuffles for the join. LEFT join +
+   * UNKNOWN bucket: an event whose user is missing from the dimension
+   * must surface (silently dropping unmatched events is the classic
+   * enrichment bug), so the miss count is visible in the output.
+   *
+   * This SAME function builds both the streaming query (StreamingSpec,
+   * complete mode) and the oracle-checked batch twin
+   * (`stream_enrich` in [[EventOps]]) — parity by construction.
+   */
+  def enrichBySegment(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Q.moneySum(col("value")).as("sum_value"))
 
   /**
    * Stream–stream INTERVAL join: each click joined to the same user's

@@ -67,6 +67,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dimension join enriches across micro-batches; unmatched users land in UNKNOWN") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Event]
+    val q = StreamPipelines.enrichBySegment(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      // user 1 → BUILDING, user 99 → no dim row → UNKNOWN
+      in.addData(ev(1, ts(10, 0), user = 1), ev(2, ts(10, 5), user = 99))
+      q.processAllAvailable()
+      // second micro-batch accumulates into the same groups
+      in.addData(ev(3, ts(10, 10), user = 1), ev(4, ts(10, 15), user = 2, typ = "view"))
+      q.processAllAvailable()
+      val got = s.sql(
+        "SELECT segment, event_type, n_events, sum_value FROM enrich_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // the streaming result must equal the SAME function run in batch
+      val batch = StreamPipelines.enrichBySegment(
+          Seq(ev(1, ts(10, 0), user = 1), ev(2, ts(10, 5), user = 99),
+            ev(3, ts(10, 10), user = 1), ev(4, ts(10, 15), user = 2, typ = "view")).toDF(),
+          dim)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === batch)
+      assert(got.contains(("BUILDING", "click", 2L, 2.0)))
+      assert(got.exists(_._1 == "UNKNOWN"), "left-join miss path not surfaced")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks match purchases within 10 min; out-of-range never emitted") {
     val s = spark
     import s.implicits._
