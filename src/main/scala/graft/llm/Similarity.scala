@@ -283,8 +283,9 @@ object Similarity {
    * (FAISS's SQ8 shape): per vector, scale = max|x| / 127, codes =
    * round-half-up(x / scale) ∈ [-127, 127], plus the reconstruction
    * error the recall budget is planned against. Pure per-row expression
-   * work — scan shape, no shuffle, stays in whole-stage codegen; at
-   * 100 TB this runs as a projection inside the index-build scan.
+   * work — scan shape, one projection, zero shuffle (plan-pinned); the
+   * HOF lambdas evaluate interpreted, but there is no data movement, so
+   * at 100 TB this runs as a projection inside the index-build scan.
    *
    * Determinism: the rounding is spelled floor(x/scale + 0.5) in BOTH
    * engines (Spark's round() is HALF_UP BigDecimal, DuckDB's is

@@ -31,6 +31,39 @@ object TextOps {
       |  (acc, v) -> pmod(acc * 31 + v, 2147483647L))""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "text_entropy" -> ((s, d) => {
+      // Token-distribution entropy per doc (nats) + normalized form —
+      // the Gopher/CCNet-style repetitiveness signal: low entropy for a
+      // doc's length means a few tokens dominate (boilerplate, keyword
+      // stuffing). Shape: one explode → (doc, tok) hash agg → one
+      // doc-keyed window (no join) → one hash agg.
+      // Determinism: double SUM is summation-order-dependent, and the
+      // engines' partial-agg orders differ — so each token's
+      // -p·ln(p) contribution is rounded to 10 dp and cast to
+      // DECIMAL(18,12) first (the moneySum trick): the sum is then
+      // EXACT and order-independent, and only the final value rounds to
+      // 4 dp. norm_entropy derives from the already-rounded entropy so
+      // both engines divide identical operands.
+      val w = Window.partitionBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(w))
+        .withColumn("n_distinct", count(lit(1)).over(w))
+        .withColumn("p", col("c").cast("double") / col("n"))
+        .withColumn("contrib",
+          round(-col("p") * log(col("p")), 10).cast("decimal(18,12)"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).cast("long").as("n_tokens"),
+          max(col("n_distinct")).cast("long").as("n_distinct"),
+          round(sum(col("contrib")).cast("double"), 4).as("entropy_nats"))
+        .withColumn("norm_entropy",
+          when(col("n_distinct") > 1,
+            round(col("entropy_nats") / log(col("n_distinct").cast("double")), 4))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("lang"), col("n_chars"),
@@ -275,6 +308,29 @@ object TextOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Per-token contributions round to 10 dp → DECIMAL(18,12) → exact,
+    // order-independent sum (see the Spark-side comment).
+    "text_entropy" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        | wn AS (SELECT doc_id, c,
+        |    CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+        |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct
+        |   FROM c),
+        | p AS (SELECT doc_id, n, n_distinct,
+        |    CAST(ROUND(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n), 10)
+        |      AS DECIMAL(18,12)) AS contrib
+        |   FROM wn),
+        | h AS (SELECT doc_id, MAX(n) AS n_tokens, MAX(n_distinct) AS n_distinct,
+        |    ROUND(CAST(SUM(contrib) AS DOUBLE), 4) AS entropy_nats
+        |   FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct, entropy_nats,
+        | CASE WHEN n_distinct > 1
+        |   THEN ROUND(entropy_nats / LN(CAST(n_distinct AS DOUBLE)), 4)
+        |   ELSE 0.0 END AS norm_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
         |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks

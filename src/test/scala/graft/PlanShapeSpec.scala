@@ -60,6 +60,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("embed_quantize is pure scan shape: projection only, no data exchange") {
+    val p = plan("embed_quantize")
+    // the only exchange allowed is the final verify ORDER BY's rangepartitioning
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"quantization introduced a data exchange:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "quantization should be a single projection over the scan")
+  }
+
+  test("dedup_ngram_cover: hot-set probe is a broadcast semi-join, never a nested loop") {
+    val p = plan("dedup_ngram_cover")
+    assert(p.contains("LeftSemi"), "hot-gram probe lost its semi-join shape")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "hot-gram probe degenerated to a nested loop")
+  }
+
+  test("stream_enrich: dimension join is a broadcast left join (stream side never shuffles)") {
+    val p = plan("stream_enrich")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"),
+      s"enrichment dim join is not a broadcast left join:\n${p.linesIterator.take(12).mkString("\n")}")
+  }
+
   test("agg_group does partial aggregation before the shuffle") {
     val p = plan("agg_group")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
