@@ -89,6 +89,27 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    "agg_weighted" -> ((s, d) => {
+      // Quantity-weighted average price per flag — the weighted-mean
+      // aggregate every mixture/quality pipeline reaches for. Exactness:
+      // price and weight each cast DECIMAL(18,4), their product is a
+      // wider exact decimal, both SUMs accumulate exactly (order-
+      // independent, immune to partial-agg ordering), and the single
+      // double division at the end has identical operands on both
+      // engines. One hash agg with map-side partials — shuffle is
+      // #groups.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Q.r4(
+            sum(Q.dec(col("l_extendedprice")) * Q.dec(col("l_quantity")))
+              .cast("double")
+              / sum(Q.dec(col("l_quantity"))).cast("double"))
+            .as("wavg_price"),
+          Q.moneySum(col("l_quantity")).as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_median" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -335,6 +356,15 @@ object Aggregates {
       """SELECT l_returnflag,
         | ROUND(MEDIAN(l_quantity), 4) AS med_qty,
         | ROUND(MEDIAN(l_discount), 4) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |     * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |   AS wavg_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_weight
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_collect" ->

@@ -253,6 +253,34 @@ object EventOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "event_gap_fill" -> ((s, d) => {
+      // Time-series gap filling: a dense (hour × event_type) grid over
+      // the corpus's span with explicit zero rows where nothing happened
+      // — dashboards and anomaly detectors need the zeros (a missing
+      // bucket is indistinguishable from "no data arrived" otherwise).
+      // Shape: the big side is ONE hash agg of events (shuffle =
+      // #buckets); the grid is generated from a 1-row bounds frame
+      // (sequence + explode) crossed with the distinct type set — both
+      // tiny by construction, so the cross is broadcast work, and the
+      // final left join keys on (hour, type) against the pre-aggregated
+      // counts, never against raw events.
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(col("h").cast("timestamp_ntz").as("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     "stream_enrich" -> ((s, d) => {
       // Batch twin of StreamPipelines.enrichBySegment (stream–static
       // dimension join) — the SAME function body, so the streaming query
@@ -340,6 +368,19 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    "event_gap_fill" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        | c AS (SELECT DATE_TRUNC('hour', ts) AS h, event_type, COUNT(*) AS n
+        |       FROM e GROUP BY 1, 2),
+        | b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS h0,
+        |              DATE_TRUNC('hour', MAX(ts)) AS h1 FROM e),
+        | hrs AS (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM b),
+        | ty AS (SELECT DISTINCT event_type FROM e)
+        |SELECT h AS hour, event_type, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |FROM hrs CROSS JOIN ty LEFT JOIN c USING (h, event_type)
+        |ORDER BY hour, event_type""".stripMargin,
 
     "stream_enrich" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
