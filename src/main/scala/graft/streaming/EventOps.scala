@@ -253,6 +253,53 @@ object EventOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "pipeline_observe" -> ((s, d) => {
+      // Operational-analytics composed flagship (the sixth; the events-
+      // side sibling of llm.Curate's corpus chains), fused as ONE plan:
+      //
+      //  1. enrich   — events × customer segment (broadcast dim, left
+      //                join + UNKNOWN bucket, the stream_enrich shape);
+      //  2. densify  — hourly (segment × hour) grid with explicit zeros
+      //                (the event_gap_fill shape — a silent outage IS
+      //                the anomaly the zeros exist to expose);
+      //  3. detect   — per-segment z-score over the dense series
+      //                (the event_anomaly shape): hours whose volume
+      //                sits ≥ 2.5σ from that segment's own mean,
+      //                including zero-volume hours.
+      //
+      // This is the monitoring pipeline an engine operator runs over its
+      // own run-history stream. Scale: raw events touched once (one
+      // hash agg keyed (segment, hour)); the grid is generated, not
+      // scanned; the window partitions by segment over #hours rows.
+      // Boundary decided on the ROUNDED z on both engines.
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hourly = Tables.events(s, d)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = Tables.events(s, d).agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val segs = hourly.select(col("segment")).distinct()
+      val bySeg = Window.partitionBy(col("segment"))
+      hours.crossJoin(broadcast(segs))
+        .join(hourly, Seq("segment", "h"), "left")
+        .select(col("segment"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .withColumn("mu", avg(col("n_events")).over(bySeg))
+        .withColumn("sd", stddev_samp(col("n_events")).over(bySeg))
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("n_events") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2.5)
+        .select(col("segment"), col("h").cast("timestamp_ntz").as("hour"),
+          col("n_events"), col("z"))
+        .orderBy(col("segment"), col("hour"))
+    }),
+
     "event_gap_fill" -> ((s, d) => {
       // Time-series gap filling: a dense (hour × event_type) grid over
       // the corpus's span with explicit zero rows where nothing happened
@@ -368,6 +415,28 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    // The same three fused stages: enrich → densify → detect.
+    "pipeline_observe" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        | hourly AS (SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |    DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n
+        |  FROM e LEFT JOIN customer ON user_id = c_custkey GROUP BY 1, 2),
+        | b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS h0,
+        |              DATE_TRUNC('hour', MAX(ts)) AS h1 FROM e),
+        | hrs AS (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM b),
+        | segs AS (SELECT DISTINCT segment FROM hourly),
+        | grid AS (SELECT segment, h, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+        |   FROM hrs CROSS JOIN segs LEFT JOIN hourly USING (segment, h)),
+        | z AS (SELECT segment, h, n_events,
+        |    AVG(n_events) OVER (PARTITION BY segment) AS mu,
+        |    STDDEV_SAMP(n_events) OVER (PARTITION BY segment) AS sd
+        |  FROM grid)
+        |SELECT segment, h AS hour, n_events,
+        | ROUND((n_events - mu) / sd, 4) AS z
+        |FROM z WHERE sd > 0 AND ABS(ROUND((n_events - mu) / sd, 4)) >= 2.5
+        |ORDER BY segment, hour""".stripMargin,
 
     "event_gap_fill" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
