@@ -51,6 +51,24 @@ class IoSpec extends SparkSpec {
     assert(df.exceptAll(again).count() === 0)
   }
 
+  test("graft-range DSv2 source: column pruning reaches the connector (pruned ReadSchema, values intact)") {
+    val df = spark.read.format("graft-range")
+      .option("start", "0").option("end", "1000").option("slices", "4")
+      .load()
+    val pruned = df.select(col("id_squared"))
+    // DSv2 prints the scan's (pruned) output on the BatchScan node
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("id_squared") && !scanLine.contains("gauss"),
+      s"pruning did not reach the scan: $scanLine")
+    // values survive the pruned read path (reader computes by column name)
+    val s = pruned.agg(sum(col("id_squared"))).head.getLong(0)
+    assert(s === (0L until 1000L).map(i => i * i).sum)
+    // a pruned single-column read of gauss still lands in [0, 1)
+    val g = df.select(col("gauss")).agg(max(col("gauss"))).head.getDouble(0)
+    assert(g < 1.0 && g >= 0.0)
+  }
+
   test("run metrics listener: a shuffling query reports stages and non-zero shuffle bytes") {
     val listener = new RunMetricsListener
     spark.sparkContext.addSparkListener(listener)
