@@ -42,7 +42,8 @@ object Bench {
     "pivot_wide", "subquery_corr", "embed_lshpairs", "simjoin_auto",
     "join_bucketed", "scan_pruned_date", "text_tfidf", "upsert_latest",
     "join_range_binned", "pipeline_decontaminate", "pipeline_datamix",
-    "cdc_snapshot_diff")
+    "cdc_snapshot_diff", "dedup_ngram_cover", "text_entropy",
+    "stream_enrich", "pipeline_observe")
 
   /** Load-normalizer probes + idle-host anchor seconds (sf0.1,
     * local[32], measured 2026-08-12). probe_filter runs first so it
