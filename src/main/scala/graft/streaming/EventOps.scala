@@ -253,6 +253,32 @@ object EventOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "event_sessionize" -> ((s, d) => {
+      // Per-EVENT session assignment (gaps-and-islands): every event gets
+      // its user's running session sequence number — the row-level
+      // complement of stream_session's per-session AGGREGATES (same
+      // 30-minute-gap rule, so the two stay consistent), and the thing a
+      // downstream attribution/journey query joins on. One shuffle by
+      // user, two window passes over it (lag, then running sum) — no
+      // joins, no second scan. Tiebreak on (ts, event_id) keeps the lag
+      // deterministic under equal timestamps.
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(wU))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_s"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
+
     "pipeline_observe" -> ((s, d) => {
       // Operational-analytics composed flagship (the sixth; the events-
       // side sibling of llm.Curate's corpus chains), fused as ONE plan:
@@ -415,6 +441,22 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    // Same gaps-and-islands rule as stream_session's oracle, emitted
+    // per event instead of per session.
+    "event_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        | g AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        | CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
 
     // The same three fused stages: enrich → densify → detect.
     "pipeline_observe" ->

@@ -16,6 +16,11 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql without query: $orphans")
   }
 
+  test("every bench headline name is a registered query (typos would silently drop a bench entry)") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names not in the registry: $missing")
+  }
+
   test("oracle SQL strings are DuckDB-shaped (no read_parquet paths, bare table names)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("read_parquet"), s"$name embeds a path")
