@@ -253,6 +253,39 @@ object EventOps {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "event_locf" -> ((s, d) => {
+      // Forward-fill (last observation carried forward) over the dense
+      // hourly series — the other standard time-series repair next to
+      // event_gap_fill's zero-fill: VALUE metrics (avg ticket size,
+      // sensor reading) must carry the last real observation across
+      // silent hours, not drop to 0. Same grid mechanism as
+      // event_gap_fill; the fill itself is one `last(_, ignoreNulls)`
+      // running window per type — no self-join, no driver loop. The
+      // hourly avg is rounded BEFORE the fill so both engines carry
+      // bit-identical values; leading gaps (before the first
+      // observation) fill with 0.0 explicitly.
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(Q.moneyAvg(col("value")).as("avg_value"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val types = ev.select(col("event_type")).distinct()
+      val wFill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("h", "event_type"), "left")
+        .withColumn("was_gap", col("avg_value").isNull.cast("long"))
+        .withColumn("filled",
+          last(col("avg_value"), ignoreNulls = true).over(wFill))
+        .select(col("h").cast("timestamp_ntz").as("hour"), col("event_type"),
+          col("was_gap"), coalesce(col("filled"), lit(0.0)).as("value_filled"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     "event_sessionize" -> ((s, d) => {
       // Per-EVENT session assignment (gaps-and-islands): every event gets
       // its user's running session sequence number — the row-level
@@ -441,6 +474,30 @@ object EventOps {
         |FROM events
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) = 1
         |ORDER BY event_id""".stripMargin,
+
+    // Grid as in event_gap_fill; the fill is LAST_VALUE IGNORE NULLS over
+    // the same running frame Spark uses.
+    "event_locf" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        | c AS (SELECT DATE_TRUNC('hour', ts) AS h, event_type,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |      / COUNT(*), 4) AS avg_value
+        |   FROM e GROUP BY 1, 2),
+        | b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS h0,
+        |              DATE_TRUNC('hour', MAX(ts)) AS h1 FROM e),
+        | hrs AS (SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS h
+        |         FROM b),
+        | ty AS (SELECT DISTINCT event_type FROM e),
+        | g AS (SELECT event_type, h, avg_value
+        |       FROM hrs CROSS JOIN ty LEFT JOIN c USING (h, event_type))
+        |SELECT h AS hour, event_type,
+        | CAST(avg_value IS NULL AS BIGINT) AS was_gap,
+        | COALESCE(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+        |     PARTITION BY event_type ORDER BY h
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+        |   AS value_filled
+        |FROM g ORDER BY event_type, hour""".stripMargin,
 
     // Same gaps-and-islands rule as stream_session's oracle, emitted
     // per event instead of per session.
