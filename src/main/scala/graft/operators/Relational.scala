@@ -274,6 +274,29 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    "join_asof_fwd" -> ((s, d) => {
+      // FORWARD as-of join — the mirror of join_asof: each signup paired
+      // with the same user's NEXT purchase at-or-after it (time-to-
+      // convert, SLA-response pairing). Same scalable mechanism run
+      // backward: one shuffle by user, a running first(purchase_ts)
+      // window over the REVERSED frame (current row → partition end) —
+      // still no row lookups and no join.
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.withColumn("purchase_ts",
+          first(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     "join_range_binned" -> ((s, d) => {
       // Pure range join (NO equi key): lineitems shipped within 30 days
       // of a high-value order's date. Naively this is a
@@ -490,6 +513,18 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM e) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "join_asof_fwd" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |SELECT event_id, user_id, ts, purchase_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_ts
+        |  FROM e) t
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
 
     "join_full" ->
       """WITH rich AS (SELECT c_custkey, c_acctbal FROM customer

@@ -262,6 +262,36 @@ class LlmSpec extends SparkSpec {
       s"neighbor cap did not bound the pair space: got $n, want $expected")
   }
 
+  test("dedup_ngram_cover: planted boilerplate saturates at 10000 bp; unique docs stay at 0 (literal frames)") {
+    val s = spark
+    import s.implicits._
+    // 5 identical docs (every 3-gram occurs 5 ≥ 3 times) + 1 unique doc
+    // whose grams appear once each
+    val docs = ((1L to 5L).map(i => (i, "scan filter join agg window sort")) :+
+      (6L, "zebra yak xylophone walrus vulture")).toDF("doc_id", "text")
+    val cover = Dedup.hotNgramCover(docs, 3, 3L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (1L to 5L).foreach(i => assert(cover(i) === 10000L, s"doc $i not saturated"))
+    assert(cover(6L) === 0L, "unique doc wrongly flagged as boilerplate")
+  }
+
+  test("embed_quantize: codes bounded to [-127,127] and per-element error <= scale/2 (sf0.001)") {
+    val q = Similarity.quantizeInt8(graft.Tables.embeddings(spark, sf0001))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scalePpm = r.getDouble(1)
+      val codesMax = r.getLong(3)
+      val msePpm = r.getDouble(4)
+      assert(codesMax <= 127L, s"vec ${r.getLong(0)} code beyond int8: $codesMax")
+      // round-half-up guarantees |x - c·scale| ≤ scale/2 per element, so
+      // MSE ≤ (scale/2)² — compare in the same ppm scale
+      val scale = scalePpm / 1e6
+      assert(msePpm / 1e6 <= scale * scale / 4 * 1.0001,
+        s"vec ${r.getLong(0)} reconstruction error beyond the rounding bound")
+    }
+  }
+
   test("dedup_exact idempotence (sf0.001)") {
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
     assert(out.count() === out.select("doc_id").distinct().count())
