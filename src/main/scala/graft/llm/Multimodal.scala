@@ -104,6 +104,31 @@ object Multimodal {
         .orderBy(col("doc_id"))
     }),
 
+    "multimodal_tokens" -> ((s, d) => {
+      // Multimodal token budgeting: how many sequence positions each doc
+      // costs a vision-language model — ViT patch count over the RESIZED
+      // dims (14-px patches, the ViT-L/14 geometry; consistent with
+      // multimodal_resize's 224-box plan) plus text tokens. This is the
+      // number a multimodal datamix is budgeted in (the image side
+      // usually dominates). All integer arithmetic: ceil(a/14) is
+      // (a+13) div 14 — no doubles anywhere. Pure per-row scan shape.
+      val w0 = (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 64 + 1)
+      val h0 = (conv(substring(md5(col("text")), 3, 2), 16, 10).cast("long") % 64 + 1)
+      Tables.documents(s, d)
+        .withColumn("width", w0)
+        .withColumn("height", h0)
+        .withColumn("out_w", when(col("width") >= col("height"), 224L)
+          .otherwise(expr("width * 224 div height")))
+        .withColumn("out_h", when(col("width") >= col("height"),
+          expr("height * 224 div width")).otherwise(224L))
+        .withColumn("img_tokens",
+          expr("((out_w + 13) div 14) * ((out_h + 13) div 14)"))
+        .withColumn("txt_tokens", size(split(col("text"), " ")).cast("long"))
+        .select(col("doc_id"), col("img_tokens"), col("txt_tokens"),
+          (col("img_tokens") + col("txt_tokens")).as("total_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "multimodal_resize" -> ((s, d) => {
       // Aspect-preserving resize planning: fit each image's (stub-derived)
       // dimensions into a 224×224 box — the standard vision-model
@@ -163,6 +188,28 @@ object Multimodal {
         | CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
         |   AS INTEGER) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same resize plan, then ViT-L/14 patch count; // is integer division.
+    "multimodal_tokens" ->
+      """WITH dims AS (SELECT doc_id, text,
+        |  CAST(CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INTEGER) % 64 + 1
+        |    AS BIGINT) AS width,
+        |  CAST(CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INTEGER) % 64 + 1
+        |    AS BIGINT) AS height
+        | FROM documents),
+        | r AS (SELECT doc_id, text,
+        |  CASE WHEN width >= height THEN 224
+        |    ELSE width * 224 // height END AS out_w,
+        |  CASE WHEN width >= height THEN height * 224 // width
+        |    ELSE 224 END AS out_h
+        | FROM dims),
+        | t AS (SELECT doc_id,
+        |  ((out_w + 13) // 14) * ((out_h + 13) // 14) AS img_tokens,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS txt_tokens
+        | FROM r)
+        |SELECT doc_id, img_tokens, txt_tokens,
+        | img_tokens + txt_tokens AS total_tokens
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "multimodal_resize" ->
       """WITH dims AS (SELECT doc_id,
