@@ -23,11 +23,15 @@ import org.apache.spark.sql.expressions.Window
  *
  * Scale notes (100 TB): the chain is exactly the production shape —
  * cheap exact dedup first collapses mass before the expensive pairwise
- * stage (stage 2's candidate generation swaps to minhash_lsh at scale,
- * same interface: a (doc_a, doc_b) pair frame feeds the same component
- * step); the quality gate is a free per-row filter; the sample bounds
- * what leaves the pipeline. Every stage shuffles by doc or language key
- * only — no stage collects.
+ * stage. Stage 2's candidate generation is CONF-SWAPPABLE
+ * (`spark.graft.curate.pairStrategy` = exact | lsh): both arms emit the
+ * same (doc_a, doc_b) pair frame into the same component step — `exact`
+ * (prefix-filtered AllPairs Jaccard) is the oracle arm at test sf,
+ * `lsh` (MinHash banding) is the 100 TB arm; a planted-duplicate parity
+ * test pins that the arms agree where LSH recall is guaranteed. The
+ * quality gate is a free per-row filter; the sample bounds what leaves
+ * the pipeline. Every stage shuffles by doc or language key only — no
+ * stage collects.
  */
 object Curate {
 
@@ -38,9 +42,14 @@ object Curate {
       .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") === 1)
       .drop("rn")
-    // 2. near-dup components → drop non-canonical members
-    val comps = Dedup.connectedComponents(
-      Dedup.jaccardPairs(Dedup.distinctTokens(exactKept), 0.95))
+    // 2. near-dup components → drop non-canonical members (pair source
+    // picked by conf — exact at test sf, minhash-LSH at scale)
+    val lshArm = docs.sparkSession.conf
+      .getOption("spark.graft.curate.pairStrategy").contains("lsh")
+    val pairs =
+      if (lshArm) Dedup.minhashLsh(exactKept, 0.95)
+      else Dedup.jaccardPairs(Dedup.distinctTokens(exactKept), 0.95)
+    val comps = Dedup.connectedComponents(pairs)
     val nearKept = exactKept.join(
       comps.filter(col("doc_id") =!= col("component_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")

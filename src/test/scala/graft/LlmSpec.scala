@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Curate, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Property checks for the approximate / non-oracle LLM-data operators
@@ -290,6 +290,30 @@ class LlmSpec extends SparkSpec {
       assert(msePpm / 1e6 <= scale * scale / 4 * 1.0001,
         s"vec ${r.getLong(0)} reconstruction error beyond the rounding bound")
     }
+  }
+
+  test("pipeline_curate: lsh pair arm curates identically to the exact arm on planted duplicates (conf swap)") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 have IDENTICAL token sets (rearranged text): distinct
+    // md5 → both survive stage 1; identical sets → identical minhash
+    // signatures → they collide in EVERY band, so LSH recall is 1 by
+    // construction and the two arms must curate identically
+    val docs = Seq(
+      (1L, "join filter window agg sort limit scan", "en"),
+      (2L, "agg window filter join scan limit sort", "en"),
+      (3L, "merge shuffle broadcast partition skew salt", "en"),
+      (4L, "zebra yak xylophone walrus vulture quail", "fr"),
+      (5L, "alpha beta gamma delta epsilon zeta", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val exact = Curate.curate(docs).collect().toSeq
+    assert(exact.map(_.getLong(0)).contains(1L) && !exact.map(_.getLong(0)).contains(2L),
+      "stage 2 should keep only the canonical member of the 1-2 pair")
+    s.conf.set("spark.graft.curate.pairStrategy", "lsh")
+    try {
+      val lsh = Curate.curate(docs).collect().toSeq
+      assert(lsh === exact, "lsh arm curated a different document set")
+    } finally s.conf.unset("spark.graft.curate.pairStrategy")
   }
 
   test("dedup_exact idempotence (sf0.001)") {
