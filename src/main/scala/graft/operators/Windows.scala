@@ -72,6 +72,21 @@ object Windows {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "window_share" -> ((s, d) => {
+      // Share-of-total: each order's percentage of its customer's spend —
+      // the contribution/mix-shift shape every revenue dashboard carries.
+      // The denominator is the exact whole-partition DECIMAL sum (one
+      // window, no self-join against a totals table); the single double
+      // division has identical operands on both engines, rounded 4 dp.
+      val w = Window.partitionBy(col("o_custkey"))
+      val dec = col("o_totalprice").cast(DecimalType(18, 4))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          Q.r4(dec.cast("double") * 100 /
+            sum(dec).over(w).cast("double")).as("pct_of_cust"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "window_range_frame" -> ((s, d) => {
       // RANGE frame on the numeric order key: all orders within 10k below
       // the current price. Peer rows (price ties) are all included, so the
@@ -171,6 +186,13 @@ object Windows {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "window_share" ->
+      """SELECT o_custkey, o_orderkey,
+        | ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) * 100
+        |   / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |       PARTITION BY o_custkey) AS DOUBLE), 4) AS pct_of_cust
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_range_frame" ->
