@@ -83,6 +83,42 @@ class PlanShapeSpec extends SparkSpec {
       s"enrichment dim join is not a broadcast left join:\n${p.linesIterator.take(12).mkString("\n")}")
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain into the fact scan side") {
+    // The 100 TB lever Spark itself provides for selective SMJ joins: the
+    // filtered (small) side builds a bloom filter at runtime and the fact
+    // side probes it BEFORE the shuffle — shuffle volume drops to ~the
+    // match rate. Default size thresholds target real clusters, so the
+    // test lowers them to fire at test sf; the assertion is that the
+    // engine's query shapes are ELIGIBLE (no pattern in our plans blocks
+    // the injection).
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creationSideThreshold is the MAX creation-side size (default 10M,
+      // our filtered orders fit); applicationSideScanSizeThreshold is the
+      // MIN fact-side size (default 10G, targets real clusters) — lower
+      // only the latter so the rule fires at test sf
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1b")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.Tables.lineitem(spark, sf001)
+      val sel = graft.Tables.orders(spark, sf001)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000)
+      val plan = li.join(sel,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom"),
+        "runtime bloom filter was not injected into the probe side:\n" +
+          plan.linesIterator.take(16).mkString("\n"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
   test("agg_group does partial aggregation before the shuffle") {
     val p = plan("agg_group")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
