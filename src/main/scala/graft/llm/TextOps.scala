@@ -64,6 +64,27 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_zipf" -> ((s, d) => {
+      // Vocabulary rank-frequency table (the Zipf curve): top-50 tokens
+      // by corpus frequency with dense rank and corpus share in basis
+      // points — the tokenizer-sanity artifact every corpus build eyeballs
+      // (a broken tokenizer shows up as a distorted head). One explode →
+      // one hash agg → TakeOrderedAndProject (never a full sort); share
+      // is integer bp of the broadcast 1-row total. Rank ties break by
+      // token so both engines rank identically.
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share_bp", expr("n * 10000 div n_total"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("rank"), col("tok"), col("n"), col("share_bp"))
+        .orderBy(col("rank"))
+    }),
+
     "text_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("lang"), col("n_chars"),
@@ -308,6 +329,17 @@ object TextOps {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "text_zipf" ->
+      """WITH t AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+        | tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+        | r AS (SELECT tok, n, n * 10000 // n_total AS share_bp,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rank
+        |   FROM c CROSS JOIN tot)
+        |SELECT rank, tok, n, share_bp FROM r
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
     // Per-token contributions round to 10 dp → DECIMAL(18,12) → exact,
     // order-independent sum (see the Spark-side comment).
     "text_entropy" ->

@@ -274,6 +274,24 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    "join_null_safe" -> ((s, d) => {
+      // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+      // match each other instead of silently dropping — the semantics a
+      // dimension join needs when "unknown" is itself a category. The
+      // NULLs are manufactured (NULLIF on the priority) since the corpus
+      // has none; the NULL group's row count proves the null-match path.
+      // Plans as an ordinary hash join on a coalesced key. Output key is
+      // coalesced to a sentinel so the sort key stays non-nullable (§7d).
+      val pri = nullif(col("o_orderpriority"), lit("1-URGENT"))
+      val a = Tables.orders(s, d).select(col("o_orderkey"), pri.as("pri"))
+      val b = a.select(col("pri")).distinct()
+        .withColumn("dim_tag", coalesce(col("pri"), lit("?")))
+      a.as("a").join(b.as("b"), col("a.pri") <=> col("b.pri"))
+        .groupBy(coalesce(col("a.pri"), lit("<null>")).as("pri_key"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("pri_key"))
+    }),
+
     "join_asof_fwd" -> ((s, d) => {
       // FORWARD as-of join — the mirror of join_asof: each signup paired
       // with the same user's NEXT purchase at-or-after it (time-to-
@@ -513,6 +531,14 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
         |  FROM e) t
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH a AS (SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pri
+        |           FROM orders),
+        | b AS (SELECT DISTINCT pri, COALESCE(pri, '?') AS dim_tag FROM a)
+        |SELECT COALESCE(a.pri, '<null>') AS pri_key, COUNT(*) AS n_orders
+        |FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
+        |GROUP BY 1 ORDER BY pri_key""".stripMargin,
 
     "join_asof_fwd" ->
       """WITH e AS (
