@@ -285,7 +285,6 @@ object Relational {
       val pri = nullif(col("o_orderpriority"), lit("1-URGENT"))
       val a = Tables.orders(s, d).select(col("o_orderkey"), pri.as("pri"))
       val b = a.select(col("pri")).distinct()
-        .withColumn("dim_tag", coalesce(col("pri"), lit("?")))
       a.as("a").join(b.as("b"), col("a.pri") <=> col("b.pri"))
         .groupBy(coalesce(col("a.pri"), lit("<null>")).as("pri_key"))
         .agg(count(lit(1)).as("n_orders"))
@@ -535,7 +534,7 @@ object Relational {
     "join_null_safe" ->
       """WITH a AS (SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pri
         |           FROM orders),
-        | b AS (SELECT DISTINCT pri, COALESCE(pri, '?') AS dim_tag FROM a)
+        | b AS (SELECT DISTINCT pri FROM a)
         |SELECT COALESCE(a.pri, '<null>') AS pri_key, COUNT(*) AS n_orders
         |FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri
         |GROUP BY 1 ORDER BY pri_key""".stripMargin,
