@@ -20,9 +20,11 @@ case class RunMetrics(
     * cpu/run ≈ 1 means the work was real; ≪ 1 means the OS descheduled
     * the executors (external host contention), the signature that
     * separates "this query regressed" from "the box was loaded" in a
-    * recorded artifact. */
+    * recorded artifact. -1.0 is the NO-DATA sentinel: a query that ran
+    * zero tasks (or whose metrics never arrived) must not read as
+    * "fully CPU-bound" in the artifact. */
   def cpuShare: Double =
-    if (executorRunMillis <= 0) 1.0
+    if (executorRunMillis <= 0) -1.0
     else (executorCpuNanos / 1e6) / executorRunMillis
 }
 

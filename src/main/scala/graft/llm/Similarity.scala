@@ -292,13 +292,16 @@ object Similarity {
    * banker's-adjacent for doubles — never rely on either); float
    * elements promote to double before any arithmetic; error stats are
    * reported in parts-per-million (×10⁶) so 4-dp rounding keeps real
-   * precision. scale > 0 always: the corpus vectors are unit-norm
-   * (FIXTURES.md), so max|x| ≥ 1/√64.
+   * precision. scale is floored at Double.MinPositiveValue so an
+   * all-zero embedding yields codes of all zeros (and mse 0) instead of
+   * NULL/NaN — the operator is total, not dependent on the fixture's
+   * unit-norm guarantee (which makes max|x| ≥ 1/√64 here anyway, so the
+   * floor never fires on this corpus and the oracle parity is unchanged).
    */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("scale", expr(
-        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127"))
+        "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127, 4.9e-324d)"))
       .withColumn("codes", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))"))
       .select(col("vec_id"),

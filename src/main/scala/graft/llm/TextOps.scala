@@ -66,22 +66,31 @@ object TextOps {
 
     "text_zipf" -> ((s, d) => {
       // Vocabulary rank-frequency table (the Zipf curve): top-50 tokens
-      // by corpus frequency with dense rank and corpus share in basis
-      // points — the tokenizer-sanity artifact every corpus build eyeballs
-      // (a broken tokenizer shows up as a distorted head). One explode →
-      // one hash agg → TakeOrderedAndProject (never a full sort); share
-      // is integer bp of the broadcast 1-row total. Rank ties break by
-      // token so both engines rank identically.
+      // by corpus frequency with rank and corpus share in basis points —
+      // the tokenizer-sanity artifact every corpus build eyeballs (a
+      // broken tokenizer shows up as a distorted head). One explode →
+      // one hash agg → TakeOrderedAndProject(50): the LIMIT runs BEFORE
+      // ranking, so the full vocabulary (10⁷–10⁸ distinct tokens on a
+      // real corpus) never flows through a single-partition window sort.
+      // Rank is then assigned over the 50 survivors WITHOUT a window:
+      // collect into one array sorted by the (-n, tok) struct order —
+      // the same (n desc, tok asc) total order the limit used — and
+      // positional-explode. Share is integer bp of the broadcast 1-row
+      // total. Rank ties break by token so both engines rank identically.
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       val total = toks.agg(count(lit(1)).as("n_total"))
-      counts.crossJoin(broadcast(total))
+      counts.orderBy(col("n").desc, col("tok")).limit(50)
+        .crossJoin(broadcast(total))
         .withColumn("share_bp", expr("n * 10000 div n_total"))
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("long"))
-        .filter(col("rank") <= 50)
-        .select(col("rank"), col("tok"), col("n"), col("share_bp"))
+        .agg(sort_array(collect_list(struct((-col("n")).as("neg_n"),
+          col("tok").as("tok"), col("n").as("n"),
+          col("share_bp").as("share_bp")))).as("arr"))
+        .select(posexplode(col("arr")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.tok").as("tok"), col("col.n").as("n"),
+          col("col.share_bp").as("share_bp"))
         .orderBy(col("rank"))
     }),
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -28,15 +28,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * This is deliberately the SMALLEST complete V2 surface — provider →
  * table → scan-builder → batch → partitions → reader — the skeleton a
  * real connector (JDBC slice reader, message-queue snapshot, internal
- * blob format) starts from. Two scale-relevant contracts are real:
- * partition planning (`slices` input splits become `slices` independent
- * `InputPartition`s, so a 1000-executor cluster reads 1000 slices in
- * parallel with zero driver involvement beyond planning) and COLUMN
- * PRUNING (`SupportsPushDownRequiredColumns`: readers materialize only
- * the columns the query touches — what keeps a 2-column projection over
- * a wide source from reading whole rows; plan-pinned in IoSpec) — the
- * same contracts every production V2 source (parquet, kafka, delta)
- * follows.
+ * blob format) starts from. Four scale-relevant contracts are real:
+ *
+ *  - partition planning: `slices` input splits become `slices`
+ *    independent `InputPartition`s, so a 1000-executor cluster reads
+ *    1000 slices in parallel with zero driver involvement beyond
+ *    planning;
+ *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): readers
+ *    materialize only the columns the query touches — what keeps a
+ *    2-column projection over a wide source from reading whole rows;
+ *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): id-range comparisons
+ *    (`=`, `<`, `<=`, `>`, `>=`) narrow the planned [lo, hi) interval
+ *    at PLANNING time, so slices outside the predicate are never even
+ *    created — the partition-pruning contract that makes a selective
+ *    predicate over a 100 TB source schedule 1 task, not 10⁵. Pushed
+ *    conjuncts are fully enforced by the range itself (exact, not
+ *    best-effort), so they are consumed — Spark plans no residual
+ *    Filter for them;
+ *  - LIMIT PUSHDOWN (`SupportsPushDownLimit`): a bare LIMIT n clamps
+ *    the planned interval to its first n ids (reported as partial, so
+ *    Spark's own global limit still runs — any n rows satisfy an
+ *    unordered limit, and these are the cheapest n to produce).
+ *
+ * All four are plan-pinned in IoSpec; the same contracts every
+ * production V2 source (parquet, kafka, delta, JDBC) follows.
  */
 class GraftRangeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-range"
@@ -70,7 +85,8 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters with SupportsPushDownLimit {
       // Column pruning pushdown: Catalyst hands the connector the set of
       // columns the query actually touches, and the readers materialize
       // ONLY those — the contract that makes a 2-column projection over
@@ -82,18 +98,87 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
         // an empty projection (e.g. COUNT(*)) still needs row COUNT —
         // keep zero fields and emit empty rows
         required = requiredSchema
+
+      // Filter pushdown: id-range comparisons narrow [effLo, effHi) at
+      // planning. The source generates exactly [lo, hi) per slice, so a
+      // pushed range conjunct is EXACTLY enforced — accepted filters are
+      // consumed (not returned as residual) and Spark plans no Filter
+      // node for them. Everything else (modulo, gauss predicates, OR
+      // trees) comes back as residual and evaluates post-scan as usual.
+      // Values arrive as the analyzer's promoted literals — any integral
+      // java.lang.Number; IsNotNull on non-nullable columns is trivially
+      // true and consumed so a lone range predicate leaves NO residual.
+      private var effLo: Long = start
+      private var effHi: Long = end
+      private var accepted: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        def longOf(v: Any): Option[Long] = v match {
+          case n: java.lang.Long => Some(n)
+          case n: java.lang.Integer => Some(n.longValue)
+          case n: java.lang.Short => Some(n.longValue)
+          case n: java.lang.Byte => Some(n.longValue)
+          case _ => None
+        }
+        def push(f: Filter): Boolean = f match {
+          case EqualTo("id", v) => longOf(v).exists { x =>
+            effLo = math.max(effLo, x); effHi = math.min(effHi, x + 1); true }
+          case GreaterThan("id", v) => longOf(v).exists { x =>
+            effLo = math.max(effLo, x + 1); true }
+          case GreaterThanOrEqual("id", v) => longOf(v).exists { x =>
+            effLo = math.max(effLo, x); true }
+          case LessThan("id", v) => longOf(v).exists { x =>
+            effHi = math.min(effHi, x); true }
+          case LessThanOrEqual("id", v) => longOf(v).exists { x =>
+            effHi = math.min(effHi, x + 1); true }
+          case IsNotNull(c) => GraftRangeTable.schema.fieldNames.contains(c)
+          case _ => false
+        }
+        val (ok, residual) = filters.partition(push)
+        accepted = ok
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = accepted
+
+      // Limit pushdown: clamp to the first `limit` ids of the (already
+      // filter-narrowed) interval. Partial by contract — Spark keeps its
+      // global limit, the source just stops PLANNING work past row n.
+      private var pushedLimit: Long = Long.MaxValue
+      override def pushLimit(limit: Int): Boolean = {
+        pushedLimit = limit.toLong
+        true
+      }
+      override def isPartiallyPushed: Boolean = true
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
-      // Partition planning: contiguous [lo, hi) slices. Pure arithmetic —
-      // the driver never materializes a row.
+      override def description(): String = {
+        val hi =
+          if (pushedLimit == Long.MaxValue || effHi - effLo <= pushedLimit) effHi
+          else effLo + pushedLimit
+        s"GraftRange[$start,$end) pushed=[$effLo,$hi) " +
+          s"filters=${accepted.mkString("[", ",", "]")} " +
+          s"limit=${if (pushedLimit == Long.MaxValue) "none" else pushedLimit}"
+      }
+      // Partition planning: contiguous [lo, hi) slices of the ORIGINAL
+      // range, intersected with the pushed interval; empty slices are
+      // dropped — fewer planned partitions is the observable contract a
+      // selective predicate buys (plan-pinned in IoSpec). Pure
+      // arithmetic — the driver never materializes a row.
       override def planInputPartitions(): Array[InputPartition] = {
         val n = end - start
-        (0 until slices).map { i =>
-          val lo = start + n * i / slices
-          val hi = start + n * (i + 1) / slices
-          GraftRangePartition(lo, hi): InputPartition
-        }.toArray
+        val hiEff =
+          if (pushedLimit == Long.MaxValue || effHi - effLo <= pushedLimit) effHi
+          else effLo + pushedLimit
+        (0 until slices).iterator
+          .map { i =>
+            val lo = start + n * i / slices
+            val hi = start + n * (i + 1) / slices
+            GraftRangePartition(math.max(lo, effLo), math.min(hi, hiEff))
+          }
+          .filter(p => p.lo < p.hi)
+          .map(p => p: InputPartition)
+          .toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new GraftRangeReaderFactory(required.fieldNames)

@@ -294,7 +294,11 @@ object EventOps {
       // downstream attribution/journey query joins on. One shuffle by
       // user, two window passes over it (lag, then running sum) — no
       // joins, no second scan. Tiebreak on (ts, event_id) keeps the lag
-      // deterministic under equal timestamps.
+      // deterministic under equal timestamps. The gap test compares
+      // MICROSECOND deltas (events.ts carries µs precision): a
+      // second-truncated compare flips events whose true gap straddles
+      // the 30-min boundary by < 1 s, diverging from both the oracle's
+      // INTERVAL comparison and stream_session's session_window rule.
       val wU = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -302,7 +306,8 @@ object EventOps {
         .withColumn("prev", lag(col("ts"), 1).over(wU))
         .withColumn("new_s",
           when(col("prev").isNull ||
-            col("ts").cast("long") - col("prev").cast("long") >= 1800, 1L)
+            unix_micros(col("ts")) - unix_micros(col("prev")) >=
+              1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("session_seq", sum(col("new_s"))
           .over(wU.rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -69,6 +69,54 @@ class IoSpec extends SparkSpec {
     assert(g < 1.0 && g >= 0.0)
   }
 
+  test("graft-range DSv2 source: filter pushdown prunes slices at planning and leaves no residual Filter") {
+    def src = spark.read.format("graft-range")
+      .option("start", "0").option("end", "100000").option("slices", "8")
+      .load()
+    // selective range conjunction: [99000, 100000) sits entirely in the
+    // last of 8 slices — planning must produce 1 partition, not 8
+    val sel = src.filter(col("id") >= 99000 && col("id") < 100000)
+    assert(sel.rdd.getNumPartitions === 1,
+      "range predicate did not prune planned slices")
+    val scan = sel.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    assert(scan.description().contains("pushed=[99000,100000)"),
+      s"pushed interval missing from scan description: ${scan.description()}")
+    // fully-enforced conjuncts are consumed: no residual FilterExec
+    // ("Filter (" is the exec node; "RuntimeFilters: []" on the scan is not)
+    assert(!sel.queryExecution.executedPlan.toString.contains("Filter ("),
+      "pushed range predicate left a residual Filter node")
+    // pruned read returns exactly the full-scan-then-filter rows
+    assert(sel.count() === 1000)
+    assert(sel.agg(sum(col("id"))).head.getLong(0) === (99000L until 100000L).sum)
+    // a non-pushable predicate (modulo) stays residual and still works
+    val mixed = src.filter(col("id") >= 99000 && col("id") % 7 === 0)
+    assert(mixed.rdd.getNumPartitions === 1)
+    assert(mixed.queryExecution.executedPlan.toString.contains("Filter ("),
+      "modulo residual was wrongly consumed")
+    assert(mixed.count() === 99000L.until(100000L).count(_ % 7 == 0))
+    // empty pushed interval plans zero partitions and returns zero rows
+    val empty = src.filter(col("id") < 0)
+    assert(empty.rdd.getNumPartitions === 0)
+    assert(empty.count() === 0)
+  }
+
+  test("graft-range DSv2 source: limit pushdown clamps planned work, global limit still applies") {
+    val df = spark.read.format("graft-range")
+      .option("start", "0").option("end", "100000").option("slices", "8")
+      .load()
+      .limit(5)
+    // 5 rows fit in the first slice; the other 7 are never planned
+    assert(df.rdd.getNumPartitions === 1,
+      "pushed limit did not clamp planned slices")
+    assert(df.count() === 5)
+    // partial-push contract: Spark's own limit still sits on top, so the
+    // result is exactly 5 rows even though the source could emit more
+    assert(df.collect().map(_.getAs[Long]("id")).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("run metrics listener: a shuffling query reports stages and non-zero shuffle bytes") {
     val listener = new RunMetricsListener
     spark.sparkContext.addSparkListener(listener)

@@ -49,6 +49,16 @@ class PlanShapeSpec extends SparkSpec {
       "date predicate left as a post-scan Filter — pruning failed")
   }
 
+  test("text_zipf: vocabulary never crosses an unpartitioned window — limit before rank") {
+    val p = plan("text_zipf")
+    // the r4 wart: row_number over Window.orderBy(...) ranked the FULL
+    // vocabulary through one partition. The fix ranks AFTER a top-50
+    // TakeOrderedAndProject, with no window at all.
+    assert(!p.contains("Window"), s"text_zipf still plans a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocabulary top-k lost its TakeOrderedAndProject shape")
+  }
+
   test("text_tfidf and text_lm_score: corpus-count broadcast only; no shuffled cartesian anywhere") {
     for (q <- Seq("text_tfidf", "text_lm_score")) {
       val p = plan(q)
