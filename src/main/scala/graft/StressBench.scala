@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-growth benchmark over the builder-owned stress corpus
+ * (VERDICT r4 item 1): runs the heavy dedup/similarity/range-join
+ * families at 1×/3×/10× of sf0.1-equivalent size and emits
+ * BENCH_stress.json with, per query and scale:
+ *
+ *   - wall seconds, result rows, executed join strategies, gc seconds,
+ *     cpu_share (the same self-diagnosis fields as bench.json);
+ *   - the fitted time/rows growth EXPONENTS over the 10× span
+ *     (e = log(y10/y1) / log(10)) — the number the 100 TB claim rests
+ *     on: e ≈ 1 is linear scaling, e ≈ 2 means the operator went
+ *     quadratic and its scale story is wrong;
+ *   - for the two LSH families, the CANDIDATE-PAIR counts (the frame
+ *     before verification, counted by the operators' own candidate
+ *     stages) and their growth exponent — banding's sub-quadratic
+ *     candidate growth is the claim that separates LSH from all-pairs.
+ *
+ * Methodology matches Bench: first-touch timings in one warm JVM,
+ * result forced via groupBy().count() (also yielding the row count),
+ * caches cleared and an untimed GC between entries. The curate pipeline
+ * runs its LSH arm (`spark.graft.curate.pairStrategy=lsh`) — the 100 TB
+ * configuration, not the small-corpus oracle arm.
+ *
+ * Reading the artifact: `join_range_binned`'s OUTPUT grows ~quadratically
+ * in the scale factor BY CONSTRUCTION (both probe rows and per-bin
+ * density scale linearly, and the true join result is their product) —
+ * for that entry the scale claim is `sec_per_mrow` staying flat
+ * (time tracking output, candidates ∝ rows-per-bin), not e_time ≈ 1.
+ */
+object StressBench {
+
+  val stressQueries: Seq[String] = Seq(
+    "minhash_lsh", "dedup_near", "tokjoin_auto", "text_tfidf",
+    "pipeline_curate", "pipeline_decontaminate",
+    "embed_lshpairs", "simjoin_auto", "sim_topk", "join_range_binned")
+
+  case class Entry(sec: Double, rows: Long, strategy: String,
+      gcSec: Double, cpuShare: Double)
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.length > 0) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_STRESS_ROOT", "stressdata")
+    val scales = Seq(("s1", 1.0), ("s3", 3.0), ("s10", 10.0))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stressbench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Same explicit gates as Bench so plan shapes match the sf0.1 pins;
+    // curate runs its scale arm.
+    spark.conf.set(Q.BroadcastSideThresholdKey, "8000000")
+    spark.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
+    spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
+    val metricsListener = new RunMetricsListener
+    spark.sparkContext.addSparkListener(metricsListener)
+
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+
+    def measure(mk: () => org.apache.spark.sql.DataFrame): Entry = {
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      metricsListener.snapshotAndReset()
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      var rows = -1L
+      var strategy = "err"
+      try {
+        val agg = mk().groupBy().count()
+        rows = agg.head().getLong(0)
+        strategy = Bench.joinStrategies(agg.queryExecution.executedPlan.toString)
+      } catch {
+        case e: Throwable => System.err.println(s"[stress] failed: $e")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      val m = metricsListener.snapshotAndReset()
+      spark.catalog.clearCache()
+      System.gc()
+      Entry(if (rows >= 0) sec else -1.0, rows, strategy, gcSec, m.cpuShare)
+    }
+
+    // name -> scale -> entry, insertion-ordered for stable JSON
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Entry]]
+    def record(name: String, scale: String, e: Entry): Unit = {
+      results.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty[String, Entry])(scale) = e
+      println(f"[stress] $scale%-4s $name%-28s ${e.sec}%8.2f s  " +
+        f"rows=${e.rows}%-10d gc=${e.gcSec}%5.2f cpu=${e.cpuShare}%5.2f  ${e.strategy}")
+    }
+
+    for ((scale, _) <- scales) {
+      val dir = s"$root/$scale"
+      for (name <- stressQueries)
+        record(name, scale, measure(() => SparkEntry.queries(name)(spark, dir)))
+      // LSH candidate-pair counts via the operators' own candidate stages
+      record("minhash_lsh_candidates", scale,
+        measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))
+      record("embed_lsh_candidates", scale,
+        measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, dir))))
+    }
+
+    def fmt(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null"
+      else (math.round(d * 1000) / 1000.0).toString
+    val span = math.log(10.0)
+    val qJson = results.map { case (name, byScale) =>
+      val e1 = byScale("s1"); val e10 = byScale("s10")
+      val eTime =
+        if (e1.sec > 0 && e10.sec > 0) math.log(e10.sec / e1.sec) / span
+        else Double.NaN
+      val eRows =
+        if (e1.rows > 0 && e10.rows > 0)
+          math.log(e10.rows.toDouble / e1.rows) / span
+        else Double.NaN
+      val secPerMrow = byScale.map { case (s, e) =>
+        val v = if (e.rows > 0) e.sec / (e.rows / 1e6) else Double.NaN
+        s""""$s":${fmt(v)}"""
+      }.mkString("{", ",", "}")
+      val entries = byScale.map { case (s, e) =>
+        s""""$s":{"sec":${fmt(e.sec)},"rows":${e.rows},""" +
+          s""""strategy":"${e.strategy}","gc_sec":${fmt(e.gcSec)},""" +
+          s""""cpu_share":${fmt(e.cpuShare)}}"""
+      }.mkString(",")
+      s""""$name":{$entries,"e_time":${fmt(eTime)},"e_rows":${fmt(eRows)},""" +
+        s""""sec_per_mrow":$secPerMrow}"""
+    }.mkString("{", ",", "}")
+    val sizes = scales.map { case (s, f) =>
+      s""""$s":{"docs":${10000 * f.toInt},"embeddings":${20000 * f.toInt},""" +
+        s""""lineitem":${600000L * f.toInt},"orders":${150000L * f.toInt}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"stress","unit":"sec","scales":$sizes,""" +
+      s""""queries":$qJson,"root":"$root"}"""
+    println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "BENCH_stress.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[stress] write $out failed: $e") }
+    spark.stop()
+  }
+}

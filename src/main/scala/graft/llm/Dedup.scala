@@ -142,6 +142,48 @@ object Dedup {
       graft.plans.VectorExprs.minhashSig(
         array_distinct(split(col("text"), " ")), MinHashK).as("sig"))
 
+  /** Banded candidate stage of [[minhashLsh]] — (doc_a, doc_b) emitted
+    * exactly once per banding match, BEFORE any verification. Split out
+    * so scale instrumentation (StressBench) can count candidates with
+    * the same code the operator runs: the candidate count is THE number
+    * that must grow sub-quadratically for the banding claim to hold.
+    *
+    * Band key = xxhash64 of the 12-long signature slice: an 8-byte join
+    * key instead of a ~120-char concat string — smaller banding exchange
+    * and cheaper equality. A hash collision can only ADD a candidate,
+    * and every candidate is exact-verified by the caller, so correctness
+    * is unaffected. The `firstMatchOnly` predicate accepts a (band, key)
+    * match only when no EARLIER band also matches — exactly-once
+    * emission evaluated inside the hash join on flat longs, replacing a
+    * whole-stream distinct() (round 4, lever 2). */
+  private[graft] def lshCandidatePairs(sigs: DataFrame, nBands: Int): DataFrame = {
+    val rows = MinHashK / nBands
+    val keyCols = (0 until nBands).map(b => s"k$b")
+    val keyed = sigs.select(col("doc_id") +:
+      (0 until nBands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as(keyCols(b))): _*)
+    val banded = keyed
+      .select((col("doc_id") +: keyCols.map(col)) :+
+        posexplode(array(keyCols.map(col): _*)): _*)
+      .select(Seq(col("doc_id"), col("pos").as("band"),
+        col("col").as("band_key")) ++ keyCols.map(col): _*)
+    val firstMatchOnly: Column = (1 until nBands).map { i =>
+      (col("a.band") === i) &&
+        (0 until i).map(j => col(s"a.k$j") =!= col(s"b.k$j")).reduce(_ && _)
+    }.foldLeft((col("a.band") === 0): Column)(_ || _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id") && firstMatchOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Candidate pairs straight from a documents frame — the
+    * instrumentation entry point ([[lshCandidatePairs]] over
+    * [[signaturesInline]] with the conf-resolved band count). */
+  def lshCandidates(docs: DataFrame): DataFrame =
+    lshCandidatePairs(signaturesInline(docs), lshBands(docs))
+
   /**
    * Candidate pairs from banded LSH, thinned by a signature-estimate
    * pre-filter, then exact-Jaccard verified.
@@ -182,34 +224,7 @@ object Dedup {
     // after-materialization hook, so Verify/Bench clearCache() between
     // queries (round-1 ADVICE: nothing stays pinned across queries).
     val sigs = signaturesInline(docs).persist()
-    // Band key = xxhash64 of the 12-long signature slice: an 8-byte join
-    // key instead of a ~120-char concat string — smaller banding exchange
-    // and cheaper equality. A hash collision can only ADD a candidate,
-    // and every candidate is exact-verified below, so correctness is
-    // unaffected.
-    val nBands = lshBands(docs)
-    val rows = MinHashK / nBands
-    val keyCols = (0 until nBands).map(b => s"k$b")
-    val keyed = sigs.select(col("doc_id") +:
-      (0 until nBands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as(keyCols(b))): _*)
-    val banded = keyed
-      .select((col("doc_id") +: keyCols.map(col)) :+
-        posexplode(array(keyCols.map(col): _*)): _*)
-      .select(Seq(col("doc_id"), col("pos").as("band"),
-        col("col").as("band_key")) ++ keyCols.map(col): _*)
-    // Accept a (band, band_key) match only when no EARLIER band also
-    // matches — lever 2's exactly-once emission, evaluated inside the
-    // hash join on flat longs.
-    val firstMatchOnly: Column = (1 until nBands).map { i =>
-      (col("a.band") === i) &&
-        (0 until i).map(j => col(s"a.k$j") =!= col(s"b.k$j")).reduce(_ && _)
-    }.foldLeft((col("a.band") === 0): Column)(_ || _)
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id") && firstMatchOnly)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = lshCandidatePairs(sigs, lshBands(docs))
     val minMatches = math.ceil((thresh - 0.10) * MinHashK).toInt
     val estKeep = cands
       .join(Q.maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")

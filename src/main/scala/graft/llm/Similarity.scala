@@ -134,20 +134,33 @@ object Similarity {
     * all-pairs); verification attaches vectors per side — broadcast at
     * this sf, flips to a shuffle join on vec_id once the corpus outgrows
     * broadcast (same note as minhash_lsh). */
-  def hyperplanePairs(emb: DataFrame, thresh: Double): DataFrame = {
-    // Persisted for the same reason as minhashLsh's sigs: four subtrees
-    // (both banding sides + both verify sides) would recompute the
-    // 192-dot signature scan; the runner clearCache()s between queries.
-    val sigs = hyperplaneSigs(emb).persist()
+  /** Band-bucket candidate stage of [[hyperplanePairs]] — split out so
+    * scale instrumentation (StressBench) counts candidates with the same
+    * code the operator runs (the sub-quadratic growth claim is about
+    * THIS frame, not the verified output). */
+  private[graft] def hyperplaneCandidatePairs(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("vec_id"), posexplode(col("bands")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
-    val cands = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+  }
+
+  /** Candidate pairs straight from an embeddings frame — the
+    * instrumentation entry point. */
+  def lshCandidates(emb: DataFrame): DataFrame =
+    hyperplaneCandidatePairs(hyperplaneSigs(emb))
+
+  def hyperplanePairs(emb: DataFrame, thresh: Double): DataFrame = {
+    // Persisted for the same reason as minhashLsh's sigs: four subtrees
+    // (both banding sides + both verify sides) would recompute the
+    // 192-dot signature scan; the runner clearCache()s between queries.
+    val sigs = hyperplaneSigs(emb).persist()
+    val cands = hyperplaneCandidatePairs(sigs)
     val sides = sigs.select(col("vec_id"), col("embedding"), col("sq"))
     // Conf-gated broadcast (graft.Q.maybeBroadcast): below the row
     // threshold the per-vector side table broadcasts; above, the planner
