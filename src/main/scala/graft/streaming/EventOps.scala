@@ -46,15 +46,11 @@ object EventOps {
       // session_window end = last event + gap, so last_ts = end - 30m.
       // The DuckDB oracle is the gaps-and-islands formulation; a new
       // session starts when the gap is >= 30m (matching Spark's
-      // [start, end) window-merge semantics).
-      Tables.events(s, d)
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          col("w.start").cast("timestamp_ntz").as("session_start"),
-          (col("w.end") - expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
-            .as("last_ts"),
-          col("n_events"))
+      // [start, end) window-merge semantics). The aggregate itself is
+      // StreamPipelines.sessionAgg — the SAME function that builds the
+      // watermarked streaming query (StreamingSpec), so batch twin and
+      // stream share the session rule by construction.
+      StreamPipelines.sessionAgg(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))
     }),
 
@@ -210,32 +206,16 @@ object EventOps {
       // each user's timeline — the decay-score shape (engagement decay,
       // rate smoothing). EWMA is inherently a per-key SEQUENTIAL fold
       // (state_i depends on state_{i-1}), which no window frame
-      // expresses: the batch form collects each user's ordered events
-      // and left-folds a prefix-state array in one expression; α = 0.5
-      // keeps every multiply binary-exact so both engines' folds agree
-      // bit-for-bit. The OUTPUT is integer basis points via the shared
-      // floor(x·10⁴ + 0.5) formula — engine round() implementations
-      // disagree exactly at the x.xxxx5 boundaries this α generates
-      // (Spark rounds the shortest decimal repr, DuckDB the raw binary),
-      // so neither engine's round() is used. Scale: one shuffle by
-      // user; state arrays are bounded by events-per-user (the same
-      // bound the streaming twin's transformWithState state store
-      // carries — that API is the 100 TB form of this op; this is the
-      // oracle-checkable batch twin).
-      Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
-          col("value")))).as("evs"))
-        .withColumn("ew", expr(
-          """aggregate(evs, cast(array() as array<double>),
-            |  (acc, e) -> acc || array(if(size(acc) = 0, e.value,
-            |    0.5d * e.value + 0.5d * element_at(acc, -1))))""".stripMargin))
-        .select(col("user_id"), posexplode(expr(
-          "transform(evs, (e, i) -> struct(e.event_id AS eid, e.value AS v, ew[i] AS ew))")))
-        .select(col("col.eid").as("event_id"), col("user_id"),
-          col("col.v").as("value"),
-          floor(col("col.ew") * 10000 + 0.5).cast("long").as("ewma_bp"))
-        .orderBy(col("event_id"))
+      // expresses. This batch form (ewmaBatch below) is the ORACLE
+      // STAND-IN: it collects each user's ordered events into one task,
+      // so per-task memory is O(events-per-hottest-key) — measured fine
+      // through a planted 200 k-event single user (OperatorSpec hot-key
+      // property, ~10 MB of task state), but a key with 10⁸ events needs
+      // the SCALE PATH: StreamPipelines.statefulEwma, the
+      // transformWithState twin with O(1) state per key and bit-parity
+      // asserted in StreamingSpec. Exact arm / scale arm — the same
+      // pairing dedup_near ↔ minhash_lsh declares.
+      ewmaBatch(Tables.events(s, d)).orderBy(col("event_id"))
     }),
 
     "event_transitions" -> ((s, d) => {
@@ -634,4 +614,52 @@ object EventOps {
         |SELECT from_type, to_type, COUNT(*) AS n FROM t
         |WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)
+
+  /**
+   * Batch EWMA fold (α = 0.5), the oracle-checkable exact arm of the
+   * EWMA pair (scale arm: [[StreamPipelines.statefulEwma]]). Collects
+   * each key's ordered events EXECUTOR-side (one task holds one key's
+   * array — per-task memory is O(events-per-hottest-key), ~48 B/event;
+   * the hot-key property test drives 200 k events through one user) and
+   * prefix-folds it with [[ewmaPrefix]]; α = 0.5 keeps every multiply
+   * binary-exact so Spark's and DuckDB's folds agree bit-for-bit. The
+   * OUTPUT is integer basis points via the shared floor(x·10⁴ + 0.5)
+   * formula — engine round() implementations disagree exactly at the
+   * x.xxxx5 boundaries this α generates (Spark rounds the shortest
+   * decimal repr, DuckDB the raw binary), so neither engine's round()
+   * is used. One shuffle by user, nothing driver-side.
+   */
+  def ewmaBatch(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .withColumn("ew", ewmaPrefix(expr("transform(evs, e -> e.value)")))
+      .select(col("user_id"), posexplode(expr(
+        "transform(evs, (e, i) -> struct(e.event_id AS eid, e.value AS v, ew[i] AS ew))")))
+      .select(col("col.eid").as("event_id"), col("user_id"),
+        col("col.v").as("value"),
+        floor(col("col.ew") * 10000 + 0.5).cast("long").as("ewma_bp"))
+
+  /**
+   * O(n) EWMA prefix scan over one key's ordered values. A UDF on
+   * purpose (the one place the functions-over-UDFs rule inverts): the
+   * Catalyst spelling — `aggregate(..., acc || array(step))` — copies
+   * the accumulated array EVERY step, O(n²) work per key that turns a
+   * 200 k-event hot key into ~2·10¹⁰ element copies inside one task. A
+   * sequential in-place fold is O(n), and the arithmetic is the same
+   * two multiplies + one add per step in the same order
+   * (`0.5·v + 0.5·prev`, IEEE-deterministic), so the oracle
+   * hash-parity with DuckDB's LIST_REDUCE is unchanged.
+   */
+  private val ewmaPrefix =
+    org.apache.spark.sql.functions.udf { (vals: Seq[Double]) =>
+      var prev = 0.0
+      var first = true
+      vals.map { v =>
+        val e = if (first) { first = false; v } else 0.5 * v + 0.5 * prev
+        prev = e
+        e
+      }
+    }
 }

@@ -93,6 +93,41 @@ object StreamPipelines {
   }
 
   /**
+   * Per-user session aggregates with a 30-minute inactivity gap — the
+   * shared core of the batch twin (`stream_session` in [[EventOps]],
+   * DuckDB-oracled) and the streaming form below: one function, two
+   * execution modes, so the session rule cannot drift between them.
+   * `session_window` end = last event + gap, so last_ts = end − 30 m.
+   */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        (col("w.end") - expr("INTERVAL 30 MINUTES")).cast("timestamp_ntz")
+          .as("last_ts"),
+        col("n_events"))
+
+  /**
+   * Streaming session windows (VERDICT r4 item 8): the watermarked,
+   * append-mode form of [[sessionAgg]]. Sessions are MERGED in the state
+   * store as events arrive (two provisional sessions < 30 m apart
+   * coalesce), and a session is emitted exactly once — when the
+   * watermark passes its end (last event + gap), i.e. when no on-time
+   * event can extend it any more. Events later than the watermark delay
+   * are dropped, never resurrecting an emitted session.
+   *
+   * Scale notes (100 TB/day): state shuffles by user_id (the session
+   * key), sessions-in-progress are the only state (bounded by active
+   * users × watermark horizon), and append mode means the sink sees each
+   * closed session once — the exact production sessionization contract.
+   */
+  def sessionizeWithWatermark(events: DataFrame,
+      delay: String = "1 hour"): DataFrame =
+    sessionAgg(events.withWatermark("ts", delay))
+
+  /**
    * Streaming dedup with BOUNDED state: duplicates of an event_id are
    * dropped only while the id is within the 10-minute watermark horizon —
    * after the watermark passes, state for old ids is evicted (unlike

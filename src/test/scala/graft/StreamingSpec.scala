@@ -67,6 +67,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: provisional sessions merge, finalize on watermark, match the batch twin; late rows dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamPipelines.sessionizeWithWatermark(in.toDF(), delay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00 and 10:20 — one session (gap < 30 m).
+      // The 10:20 event arrives in a LATER micro-batch than 10:00, so the
+      // state store must merge two provisional sessions, not just extend.
+      in.addData(ev(1, ts(10, 0), user = 1))
+      q.processAllAvailable()
+      in.addData(ev(2, ts(10, 20), user = 1), ev(3, ts(10, 5), user = 2))
+      q.processAllAvailable()
+      // watermark = 10:20 < every session end → nothing finalized yet
+      assert(s.sql("SELECT * FROM sess_out").count() === 0)
+      // 12:00 event pushes the watermark past both session ends
+      in.addData(ev(4, ts(12, 0), user = 1))
+      q.processAllAvailable()
+      val closed = s.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.time.LocalDateTime]("session_start").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(closed === Set(
+        (1L, "2024-01-01T10:00", 2L), // merged across micro-batches
+        (2L, "2024-01-01T10:05", 1L)))
+      // a late event that WOULD have merged into user 1's closed session
+      // (watermark is 12:00 > 10:10) must be dropped, not resurrect it
+      in.addData(ev(5, ts(10, 10), user = 1))
+      in.addData(ev(6, ts(14, 0), user = 3)) // advance watermark → close 12:00 session
+      q.processAllAvailable()
+      val n1 = s.sql(
+        "SELECT n_events FROM sess_out WHERE user_id = 1 AND session_start = '2024-01-01 10:00:00'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(n1 === Seq(2L), "late row resurrected or duplicated a closed session")
+      // PARITY: every finalized session equals the batch twin (the same
+      // sessionAgg function, oracle-checked as stream_session) run over
+      // the on-time rows. The 14:00 session is still open in the stream,
+      // so compare the batch result minus that one in-flight session.
+      val onTime = Seq(ev(1, ts(10, 0), user = 1), ev(2, ts(10, 20), user = 1),
+        ev(3, ts(10, 5), user = 2), ev(4, ts(12, 0), user = 1))
+      val batch = StreamPipelines.sessionAgg(onTime.toDF())
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.time.LocalDateTime]("session_start").toString,
+          r.getAs[Long]("n_events"))).toSet
+      val streamed = s.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.time.LocalDateTime]("session_start").toString,
+          r.getAs[Long]("n_events"))).toSet
+      assert(streamed === batch,
+        "finalized streaming sessions diverged from the batch twin")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: dimension join enriches across micro-batches; unmatched users land in UNKNOWN") {
     val s = spark
     import s.implicits._
