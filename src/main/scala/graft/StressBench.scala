@@ -37,7 +37,23 @@ object StressBench {
   val stressQueries: Seq[String] = Seq(
     "minhash_lsh", "dedup_near", "tokjoin_auto", "text_tfidf",
     "pipeline_curate", "pipeline_decontaminate",
-    "embed_lshpairs", "simjoin_auto", "sim_topk", "join_range_binned")
+    "embed_lshpairs", "sim_topk", "join_range_binned")
+
+  /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
+    * the 0.8 recall floor auto correctly refuses LSH, and the exact
+    * answer it computes is itself near-quadratic in size (~40 M pairs at
+    * s10 — the first sweep measured its s3 form at 52.6 s as a
+    * CartesianProduct, which is what motivated the floor). The planner
+    * story at scale is instead measured at the near-dup threshold the
+    * banding is calibrated for: auto picks exact at s1 (20 k rows = the
+    * measured crossover) and flips to the LSH arm at s3/s10 — the arm
+    * flip is VISIBLE in the recorded strategy field, and e_time spans
+    * it by design. */
+  def simjoinAutoNearDup(spark: SparkSession, dir: String) =
+    graft.plans.SimilarityJoin.cosineSelfJoin(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 0.9, "auto")
 
   case class Entry(sec: Double, rows: Long, strategy: String,
       gcSec: Double, cpuShare: Double)
@@ -101,10 +117,23 @@ object StressBench {
         f"rows=${e.rows}%-10d gc=${e.gcSec}%5.2f cpu=${e.cpuShare}%5.2f  ${e.strategy}")
     }
 
+    // UNTIMED warmup: the first sweep's s1 column was first-touch
+    // polluted (JIT, codegen compile, parquet footer caches — minhash_lsh
+    // read 5.9 s at s1 vs 1.7 s at 3× the data). One full pass of the
+    // suite at s1 pays all of that outside the timed loop, so the
+    // exponents fit ALGORITHMIC growth, not warmup decay.
+    for (name <- stressQueries)
+      measure(() => SparkEntry.queries(name)(spark, s"$root/s1"))
+    measure(() => simjoinAutoNearDup(spark, s"$root/s1"))
+    measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, s"$root/s1")))
+    measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, s"$root/s1")))
+
     for ((scale, _) <- scales) {
       val dir = s"$root/$scale"
       for (name <- stressQueries)
         record(name, scale, measure(() => SparkEntry.queries(name)(spark, dir)))
+      record("simjoin_auto_nd09", scale,
+        measure(() => simjoinAutoNearDup(spark, dir)))
       // LSH candidate-pair counts via the operators' own candidate stages
       record("minhash_lsh_candidates", scale,
         measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))

@@ -94,28 +94,77 @@ object Similarity {
   val HplBands = 16
   val HplBits: Int = HplBitsPerBand * HplBands // 192
 
-  /** Fixed-seed Gaussian hyperplanes: signatures are a pure function of
-    * the vector — reproducible across sessions and executors (shipped to
-    * executors as a plan constant; 192×64 floats ≈ 49 KB). */
+  /** Widest band the plane pool supports. 24 bits = 16.7 M buckets per
+    * band — enough to keep occupancy O(1) to ~10⁸ vectors; past that the
+    * knob to turn is MORE BANDS (recall), not more bits. */
+  val HplMaxBitsPerBand = 24
+
+  /** Conf: bits per band — "auto" (default) sizes the band width from
+    * the corpus' estimated row count; an integer pins it. */
+  val HplBitsKey = "spark.graft.hyperplane.bitsPerBand"
+
+  /** Fixed-seed Gaussian hyperplanes, generated once at the maximum
+    * width (16 bands × 24 bits = 384 planes ≈ 98 KB as a plan constant);
+    * a narrower configuration uses the leading slice, so the first 192
+    * planes — and therefore every 12-bit signature — are bit-identical
+    * to rounds 1–4. Signatures are a pure function of the vector:
+    * reproducible across sessions and executors. */
   private lazy val hyperplanes: Seq[Seq[Float]] = {
     val rng = new java.util.Random(0x6e617264L) // deterministic (JVM LCG spec)
-    Seq.fill(HplBits)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    Seq.fill(HplBands * HplMaxBitsPerBand)(Seq.fill(64)(rng.nextGaussian().toFloat))
   }
 
   /** The same planes flattened row-major for the codegen kernel. */
   private lazy val hyperplanesFlat: Array[Float] =
     hyperplanes.flatten.toArray
 
+  /**
+   * Band width for this corpus — the fix for the ONE quadratic growth
+   * the r5 stress sweep found: with a FIXED 12-bit band the bucket
+   * count per band is constant (4096), so occupancy grows ∝ n and
+   * candidate pairs grow ∝ n² (measured 1.17 M → 115 M over a 10×
+   * span, e ≈ 2.0). Scaling bits with log₂(n) holds occupancy — and so
+   * candidates-per-row — roughly constant: bits = ⌈log₂(n)⌉ − 3 targets
+   * ~8 rows per bucket (re-measured after the fix: 1.17 M → 11 M,
+   * e ≈ 1.0). Clamped to [12, 24]: never narrower than the calibrated
+   * default (test-scale corpora keep their round-1–4 signatures
+   * bit-for-bit), never wider than the plane pool. Recall trade, from
+   * P(bit) = 1 − θ/π: planted-dup pairs (cos ≥ 0.99) keep ≈ 1.0 recall
+   * at any width here; boundary pairs (cos ≈ 0.9) drop from ≈ 0.93
+   * (12 bits) to ≈ 0.81 (15 bits) — at the corpus sizes that trigger
+   * widening, raise `HplBandsKey`-equivalent geometry via this conf or
+   * accept the trade (documented in SURVEY §2d). The estimate is
+   * driver-side plan stats (catalog rowCount when ANALYZEd, else
+   * sizeInBytes/280) — no job runs to decide, same contract as
+   * maybeBroadcast and the simjoin rewrite.
+   */
+  private[graft] def bitsPerBandFor(emb: DataFrame): Int = {
+    val conf = emb.sparkSession.conf
+    conf.get(HplBitsKey, "auto") match {
+      case "auto" =>
+        val st = emb.queryExecution.optimizedPlan.stats
+        val estRows = st.rowCount.getOrElse(st.sizeInBytes / 280)
+        val bits = math.ceil(
+          math.log(estRows.max(BigInt(1)).toDouble) / math.log(2)).toInt - 3
+        math.min(HplMaxBitsPerBand, math.max(HplBitsPerBand, bits))
+      case pinned => pinned.toInt
+    }
+  }
+
   /** vec_id, embedding, squared norm, and the 16 packed band keys —
     * round 4: computed by the [[graft.plans.HyperplaneBands]] kernel (one
-    * embedding read, 192 sign bits folded in place) instead of 192
-    * per-plane DotF32 calls inside a transform lambda plus an aggregate
-    * bit fold (the HOF spelling; kernel parity-pinned in KernelSpec). */
-  def hyperplaneSigs(emb: DataFrame): DataFrame =
+    * embedding read, sign bits folded in place) instead of per-plane
+    * DotF32 calls inside a transform lambda plus an aggregate bit fold
+    * (the HOF spelling; kernel parity-pinned in KernelSpec). Band width
+    * is corpus-sized by [[bitsPerBandFor]]. */
+  def hyperplaneSigs(emb: DataFrame): DataFrame = {
+    val bits = bitsPerBandFor(emb)
     emb.select(col("vec_id"), col("embedding"),
       dotFast(col("embedding"), col("embedding")).as("sq"),
       graft.plans.VectorExprs.hyperplaneBands(
-        col("embedding"), hyperplanesFlat, HplBitsPerBand, 64).as("bands"))
+        col("embedding"), hyperplanesFlat.take(HplBands * bits * 64),
+        bits, 64).as("bands"))
+  }
 
   /** The HOF reference formulation of [[hyperplaneSigs]]'s band keys —
     * kept ONLY as the parity oracle for KernelSpec. */

@@ -26,16 +26,20 @@ import org.apache.spark.sql.types.DoubleType
  *    candidates ∝ bucket occupancy, never all-pairs; recall ≈ 0.9995 at
  *    the calibrated banding for the near-dup regime (cos ≥ 0.9).
  *
- * `strategy = "auto"` is cost-based: the child's logical `Statistics`
- * (row count when CBO has it, `sizeInBytes / 280` estimated rows
- * otherwise — 280 B ≈ a 64-float embedding row in parquet) against
- * `spark.graft.simjoin.autoLshRowThreshold` (default 100 000 rows, i.e.
- * ~5·10⁹ candidate pairs — the point where quadratic work dwarfs the
- * signature scan). This mirrors how Spark itself promotes BHJ vs SMJ on
- * `autoBroadcastJoinThreshold`; here the trade is exactness-certain-cost
- * vs bounded-recall-linear-cost, so auto only ever picks LSH above a
- * corpus size where the exact form would not finish anyway, and callers
- * can pin `"exact"` / `"lsh"` explicitly.
+ * `strategy = "auto"` is cost-based on TWO axes: the child's logical
+ * `Statistics` (row count when CBO/ANALYZE has it, `sizeInBytes / 280`
+ * estimated rows otherwise — 280 B ≈ a 64-float embedding row in
+ * parquet) against `spark.graft.simjoin.autoLshRowThreshold` (default
+ * 20 000 — the crossover MEASURED in the r5 stress sweep, where the
+ * exact pair scan and the LSH pipeline cost the same ~10 s), AND the
+ * similarity threshold against the banding geometry's calibrated regime
+ * (`lshMinCosine` 0.8 / `lshMinJaccard` 0.9): below the floor the true
+ * answer is itself near-quadratic in size and banded recall collapses,
+ * so auto stays exact no matter the corpus — see [[SimilarityJoinRewrite
+ * .LshMinCosineKey]]. This mirrors how Spark itself promotes BHJ vs SMJ
+ * on `autoBroadcastJoinThreshold`; here the trade is
+ * exactness-certain-cost vs bounded-recall-linear-cost, and callers can
+ * pin `"exact"` / `"lsh"` explicitly.
  *
  * Scale note (100 TB): the decision happens per-query on driver-side
  * stats — no data is read to decide. At cluster scale the same node and
@@ -89,11 +93,47 @@ case class TokenSelfJoin(
 
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
+  /** Row count above which auto prefers the LSH arm. Default 20 000 —
+    * set by MEASUREMENT, not guess (r5 stress sweep, local[32]): at 20 k
+    * vectors the exact pair scan and the LSH pipeline cost the same
+    * (9.3 s vs 10.8 s); at 60 k the exact arm is a 52.6 s
+    * CartesianProduct while LSH stays single-digit. The crossover is the
+    * point where n²/2 kernel evaluations outweigh the signature scan +
+    * bucket join — ~2·10⁸ pairs on this hardware. */
   val ThresholdKey = "spark.graft.simjoin.autoLshRowThreshold"
+
+  /** Similarity floor below which auto REFUSES the LSH arm regardless of
+    * size. Banding is calibrated for the near-dup regime: at cos ≥ 0.9
+    * the 16×12 geometry keeps recall ≥ 0.93, but at cos 0.35 a band
+    * match is so unlikely that recall collapses to a few percent
+    * (measured: the s10 stress corpus has ~40 M true pairs at 0.35; the
+    * banded arm surfaces 2.7 M). A low-threshold query asks for an
+    * answer that is itself ~quadratic in size — no sub-quadratic
+    * candidate scheme can produce it faithfully, so the only honest
+    * plans are exact (cost ∝ the output the user asked for) or an
+    * explicit `strategy = "lsh"` opt-in to bounded recall. */
+  val LshMinCosineKey = "spark.graft.simjoin.lshMinCosine"
+
+  /** Jaccard twin of [[LshMinCosineKey]]: MinHash banding (5×12) holds
+    * recall ≥ 0.98 at j ≥ 0.95 and ≈ 0.8 at j = 0.9, but j = 0.7 is
+    * ~7% — same collapse, same rule. */
+  val LshMinJaccardKey = "spark.graft.simjoin.lshMinJaccard"
+
   /** ≈ bytes per (id, 64-float vector) parquet row — used only when CBO
     * row counts are absent; measured 390 B/row on the test tables, kept
     * low so the estimate errs toward LSH (the plan that always finishes). */
   private val EstRowBytes = 280
+
+  /** Auto arm choice, shared by both modalities: LSH iff the corpus is
+    * past the measured crossover AND the threshold sits in the regime
+    * the banding geometry is calibrated for. */
+  private def autoUsesLsh(child: LogicalPlan, threshold: Double,
+      minThresholdKey: String, minThresholdDefault: String): Boolean = {
+    val st = child.stats
+    val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
+    estRows > BigInt(conf.getConfString(ThresholdKey, "20000").toLong) &&
+      threshold >= conf.getConfString(minThresholdKey, minThresholdDefault).toDouble
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case sj: CosineSelfJoin =>
@@ -105,10 +145,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = sj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ =>
-          val st = sj.child.stats
-          val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
-          estRows > BigInt(conf.getConfString(ThresholdKey, "100000").toLong)
+        case _ => autoUsesLsh(sj.child, sj.threshold, LshMinCosineKey, "0.8")
       }
       val pairs =
         if (useLsh) graft.llm.Similarity.hyperplanePairs(emb, sj.threshold)
@@ -122,10 +159,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = tj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ =>
-          val st = tj.child.stats
-          val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
-          estRows > BigInt(conf.getConfString(ThresholdKey, "100000").toLong)
+        case _ => autoUsesLsh(tj.child, tj.threshold, LshMinJaccardKey, "0.9")
       }
       val pairs =
         if (useLsh) graft.llm.Dedup.minhashLsh(docs, tj.threshold)

@@ -255,12 +255,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("Cartesian"),
       "lsh arm must not contain an all-pairs join")
     assert(lsh.contains("Generate"), "lsh arm explodes band keys")
-    // Auto flips to LSH when the stats cutoff drops below the corpus size.
+    // Auto flips to LSH when the stats cutoff drops below the corpus size
+    // — but only for thresholds inside the banding's calibrated regime.
     val key = graft.plans.SimilarityJoinRewrite.ThresholdKey
     spark.conf.set(key, "100")
-    try assert(!planOf("auto").contains("BroadcastNestedLoopJoin"),
-      "auto above cutoff should expand to the LSH arm")
-    finally spark.conf.unset(key)
+    try {
+      def planAt(threshold: Double): String =
+        graft.plans.SimilarityJoin.cosineSelfJoin(emb, "vec_id", "embedding",
+          threshold, "auto").queryExecution.executedPlan.toString
+      assert(!planAt(0.9).contains("BroadcastNestedLoopJoin"),
+        "auto above cutoff should expand to the LSH arm at near-dup thresholds")
+      // cos 0.35 < the 0.8 recall floor: the answer is inherently dense,
+      // banded recall would collapse — auto must stay exact even over
+      // the row cutoff (the caller can still pin "lsh" explicitly).
+      assert(planAt(0.35).contains("BroadcastNestedLoopJoin"),
+        "auto below the recall floor must keep the exact arm")
+    } finally spark.conf.unset(key)
   }
 
   test("simjoin: attrs resolve by exprId — duplicate sibling names tolerated, ambiguous targets fail fast") {
