@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Catalog-statistics integration (VERDICT r4 item 5): the `ANALYZE TABLE`
+ * path that feeds real row counts into every stats-driven planning
+ * decision — Spark's own join reorder / broadcast promotion AND the
+ * graft similarity rewrite ([[graft.plans.SimilarityJoinRewrite]]), whose
+ * auto arm reads `child.stats.rowCount` and falls back to a
+ * `sizeInBytes / 280` estimate only when no row count is present.
+ *
+ * Wiring: a path-based `spark.read.parquet(dir)` carries ONLY
+ * `sizeInBytes` (there is nowhere to persist more), so at 100 TB every
+ * estimate is a guess scaled from bytes. Registering the directory as an
+ * external catalog table and running ANALYZE persists row/column stats
+ * in the metastore; with `spark.sql.cbo.enabled` those surface as
+ * `Statistics.rowCount`/`attributeStats` on every logical plan over the
+ * table — no counting job at query time, which is exactly the contract
+ * a 1000-executor cluster needs (stats are computed once per load, read
+ * by every query).
+ *
+ * Staleness follows Spark's own model: stats describe the table as of
+ * the last ANALYZE; after appends they under-count until re-analyzed
+ * (the auto arm then errs toward the exact plan — re-run [[analyze]]
+ * after bulk loads, as on any warehouse).
+ */
+object CatalogStats {
+
+  /** Session confs that let persisted catalog stats reach logical-plan
+    * `Statistics` (rowCount propagation through Project/Filter/Join). */
+  def enableCbo(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
+  /** Idempotently register a parquet directory as an external catalog
+    * table — the prerequisite for persisting statistics (a path-based
+    * read has no metastore entry to hold them). */
+  def register(spark: SparkSession, table: String, path: String): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
+      s"LOCATION '$path'")
+
+  /** `ANALYZE TABLE` — table-level row count + per-column NDV/min/max
+    * for `columns` (equi-height histograms are a further conf away).
+    * One scan at load time; every subsequent query plans on the result. */
+  def analyze(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /** The row count this frame's logical plan carries, if any — i.e.
+    * what stats-driven rules (including the simjoin auto arm) will see.
+    * None ⇒ they fall back to size-based estimation. */
+  def planRowCount(df: DataFrame): Option[BigInt] =
+    df.queryExecution.analyzed.stats.rowCount
+}

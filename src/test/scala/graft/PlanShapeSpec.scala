@@ -293,6 +293,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly one attribute"))
   }
 
+  test("catalog stats drive the simjoin auto arm: ANALYZE flips the decision the size estimate gets wrong") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val s = spark
+    // 100 rows × ~10 KB of incompressible hex — the shape where bytes-based
+    // row estimation fails hard: sizeInBytes/280 sees thousands of "rows".
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/docs"
+    s.range(100).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(0, 319), " +
+        "i -> md5(cast(id * 1000 + i as string))), ' ')").as("text"))
+      .write.parquet(dir)
+    graft.sources.CatalogStats.register(s, "graft_stats_docs", dir)
+    graft.sources.CatalogStats.enableCbo(s)
+    val key = graft.plans.SimilarityJoinRewrite.ThresholdKey
+    s.conf.set(key, "1000")
+    def planOf(): String = graft.plans.SimilarityJoin.jaccardSelfJoin(
+      s.table("graft_stats_docs"), "doc_id", "text", 0.95, "auto")
+      .queryExecution.executedPlan.toString
+    try {
+      // ABSENT stats: fall back to sizeInBytes/280 ≈ 3500 rows > 1000 →
+      // the auto arm wrongly (but safely) expands to LSH (no Window node).
+      assert(graft.sources.CatalogStats.planRowCount(s.table("graft_stats_docs")).isEmpty,
+        "setup: unanalyzed table should carry no row count")
+      assert(!planOf().contains("Window"),
+        "without stats the size estimate should push auto over the cutoff to LSH")
+      // PRESENT stats: ANALYZE persists rowCount=100; the same query now
+      // plans on the true count — 100 < 1000 → exact prefix-filter arm.
+      graft.sources.CatalogStats.analyze(s, "graft_stats_docs", Seq("doc_id"))
+      assert(graft.sources.CatalogStats.planRowCount(s.table("graft_stats_docs"))
+        === Some(BigInt(100)), "ANALYZE should surface rowCount on the plan")
+      assert(planOf().contains("Window"),
+        "with catalog stats auto should pick the exact arm by true row count")
+    } finally {
+      s.conf.unset(key)
+      s.conf.unset("spark.sql.cbo.enabled")
+      s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      s.sql("DROP TABLE IF EXISTS graft_stats_docs")
+    }
+  }
+
   test("tokjoin: auto expands to the prefix-filter exact arm under the cutoff, lsh to banded minhash") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
