@@ -125,8 +125,10 @@ object Similarity {
    * candidate pairs grow ∝ n² (measured 1.17 M → 115 M over a 10×
    * span, e ≈ 2.0). Scaling bits with log₂(n) holds occupancy — and so
    * candidates-per-row — roughly constant: bits = ⌈log₂(n)⌉ − 3 targets
-   * ~8 rows per bucket (re-measured after the fix: 1.17 M → 11 M,
-   * e ≈ 1.0). Clamped to [12, 24]: never narrower than the calibrated
+   * ~8 rows per bucket (re-measured after the fix: 1.17 M → 17.6 M over
+   * the same 10× span, e ≈ 1.18 — the residual over 1.0 is the discrete
+   * bit steps, 12→13→15 bits across the three scales). Clamped to
+   * [12, 24]: never narrower than the calibrated
    * default (test-scale corpora keep their round-1–4 signatures
    * bit-for-bit), never wider than the plane pool. Recall trade, from
    * P(bit) = 1 − θ/π: planted-dup pairs (cos ≥ 0.99) keep ≈ 1.0 recall
@@ -294,7 +296,11 @@ object Similarity {
     // from 0 — on sparse or non-zero-based id spaces it yields fewer
     // than k (possibly zero) seeds and silently degrades the result
     // (ADVICE r2). The cluster index is the seed's rank, not its id.
-    val wSeed = Window.orderBy(col("vec_id"))
+    // The rank window runs AFTER limit(k), so its frame is ≤ k rows —
+    // a single partition is the intended plan, stated explicitly via a
+    // constant partition key (also silences WindowExec's global-sort
+    // warning, which is about unbounded frames, not this one).
+    val wSeed = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
     var centroids = emb
       .orderBy(col("vec_id")).limit(k)
       .select((row_number().over(wSeed) - 1).as("cl"),
