@@ -92,6 +92,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // --all (or SPARK_GRAFT_BENCH_ALL=1): full-registry coverage mode
+    // (VERDICT r4 item 6) — every SparkEntry query, not just the 33
+    // headline entries, with the same per-query strategy/gc/cpu_share
+    // self-diagnosis fields. The headline artifact stays the driver
+    // contract; this mode exists so NON-headline operators have a perf
+    // regression signal too, written to bench_all.json by default so it
+    // never clobbers the driver's bench.json.
+    val allMode = args.contains("--all") ||
+      sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -152,7 +161,10 @@ object Bench {
     // query also records the join strategies of its EXECUTED (post-AQE)
     // plan — the self-diagnosis that separates "host was loaded" from
     // "the planner flipped the join" when an entry spikes.
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val suite =
+      if (allMode) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val results = suite.map { name =>
       val fn = SparkEntry.queries(name)
       var exec: Option[org.apache.spark.sql.DataFrame] = None
       org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
@@ -220,9 +232,11 @@ object Bench {
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
       s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +
+      (if (allMode) s""""mode":"all",""" else "") +
       s""""sf":"$sfDir"}"""
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (allMode) "bench_all.json" else "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()

@@ -45,10 +45,12 @@ object StressBench {
     * s10 — the first sweep measured its s3 form at 52.6 s as a
     * CartesianProduct, which is what motivated the floor). The planner
     * story at scale is instead measured at the near-dup threshold the
-    * banding is calibrated for: auto picks exact at s1 (20 k rows = the
-    * measured crossover) and flips to the LSH arm at s3/s10 — the arm
-    * flip is VISIBLE in the recorded strategy field, and e_time spans
-    * it by design. */
+    * banding is calibrated for: s1 (20 k vectors) sits AT the measured
+    * crossover — where exact (9.3 s) and LSH (10.8 s) genuinely cost
+    * the same, so either choice is correct and the r5 estimator change
+    * (leaf-bytes row estimation) legitimately moved it from exact to
+    * LSH — while s3/s10 are clearly past it and must pick LSH. The
+    * chosen arm is recorded per scale in the strategy field. */
   def simjoinAutoNearDup(spark: SparkSession, dir: String) =
     graft.plans.SimilarityJoin.cosineSelfJoin(
       Tables.embeddings(spark, dir)

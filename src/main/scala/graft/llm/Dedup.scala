@@ -97,6 +97,25 @@ object Dedup {
   // band (classic 16×4) admits nearly every pair as a candidate. 5 bands
   // of 12 rows: P(candidate | j=0.95) = 1-(1-0.95^12)^5 ≈ 0.98 (recall
   // holds) while P(j=0.8) ≈ 0.30 and P(j=0.7) ≈ 0.07 (the bulk prunes).
+  //
+  // Default JUSTIFIED BY SWEEP (graft.BandSweep, r5; recall = fraction
+  // of exact j≥0.95 pairs surfaced as candidates):
+  //
+  //   corpus        b   rows  candidates  recall   full lsh sec
+  //   sf0.1         4    15    1 251 561  0.9758       1.4
+  //   sf0.1         5    12    2 120 152  1.0000       1.8   ← default
+  //   sf0.1         6    10    2 767 057  1.0000       2.0
+  //   sf0.1        10     6    6 317 571  1.0000       4.6
+  //   stress s10    4    15       11 984  0.9987       3.6
+  //   stress s10    5    12       11 998  0.9998       3.1   ← default
+  //   stress s10    6    10       12 002  1.0000       3.1
+  //   stress s10   10     6       75 492  1.0000       3.1
+  //
+  // b=4 is the only cheaper point and it LOSES true pairs (2.4% at
+  // sf0.1); b≥6 buys no recall on either corpus while growing the
+  // candidate stage 1.3–6×. b=5 is the knee on both, so it stays the
+  // default; sharper thresholds (j→1) want fewer/wider bands and
+  // noisier near-dup regimes more bands — that's what the conf is for.
   val MinHashK = 60   // signature length
   val LshBands = 5    // default: 5 bands × 12 rows
 

@@ -295,15 +295,22 @@ object Similarity {
     // not `vec_id < k`: a filter on the id VALUE assumes ids are dense
     // from 0 — on sparse or non-zero-based id spaces it yields fewer
     // than k (possibly zero) seeds and silently degrades the result
-    // (ADVICE r2). The cluster index is the seed's rank, not its id.
-    // The rank window runs AFTER limit(k), so its frame is ≤ k rows —
-    // a single partition is the intended plan, stated explicitly via a
-    // constant partition key (also silences WindowExec's global-sort
-    // warning, which is about unbounded frames, not this one).
-    val wSeed = Window.partitionBy(lit(0)).orderBy(col("vec_id"))
+    // (ADVICE r2). The cluster index is the seed's rank, not its id —
+    // attached via a k-row driver collect + broadcast join rather than a
+    // rank window: a global `Window.orderBy` plans an unpartitioned
+    // WindowExec (a constant partition key gets constant-folded away),
+    // and k rows is exactly the bounded-collect shape the bucket-pruning
+    // reads already use. TakeOrderedAndProject returns the ids in seed
+    // order, so the array index IS the rank.
+    val s = emb.sparkSession
+    import s.implicits._
+    val seedIds = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
+    val seedRank = broadcast(
+      seedIds.zipWithIndex.toSeq.toDF("vec_id", "cl"))
     var centroids = emb
-      .orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(wSeed) - 1).as("cl"),
+      .join(seedRank, "vec_id")
+      .select(col("cl"),
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
       .localCheckpoint(true)
     for (_ <- 1 to iters)

@@ -26,10 +26,10 @@ import org.apache.spark.sql.types.DoubleType
  *    candidates ∝ bucket occupancy, never all-pairs; recall ≈ 0.9995 at
  *    the calibrated banding for the near-dup regime (cos ≥ 0.9).
  *
- * `strategy = "auto"` is cost-based on TWO axes: the child's logical
- * `Statistics` (row count when CBO/ANALYZE has it, `sizeInBytes / 280`
- * estimated rows otherwise — 280 B ≈ a 64-float embedding row in
- * parquet) against `spark.graft.simjoin.autoLshRowThreshold` (default
+ * `strategy = "auto"` is cost-based on TWO axes: the child's estimated
+ * row count (rowCount when CBO/ANALYZE has it, else leaf-relation bytes
+ * over a measured compressed bytes-per-row — see [[SimilarityJoinRewrite
+ * estimatedRows]]) against `spark.graft.simjoin.autoLshRowThreshold` (default
  * 20 000 — the crossover MEASURED in the r5 stress sweep, where the
  * exact pair scan and the LSH pipeline cost the same ~10 s), AND the
  * similarity threshold against the banding geometry's calibrated regime
@@ -119,19 +119,50 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     * ~7% — same collapse, same rule. */
   val LshMinJaccardKey = "spark.graft.simjoin.lshMinJaccard"
 
-  /** ≈ bytes per (id, 64-float vector) parquet row — used only when CBO
-    * row counts are absent; measured 390 B/row on the test tables, kept
-    * low so the estimate errs toward LSH (the plan that always finishes). */
-  private val EstRowBytes = 280
+  /** COMPRESSED bytes per row for size-based row estimation, calibrated
+    * per modality against the on-disk test tables (r5): embeddings
+    * measure ~40 B/row (64 synthetic floats compress 6×; incompressible
+    * random vectors measure ~240 B), documents ~13 B/row (tiny-vocab
+    * text). Spark's `sizeInBytes` for a file relation IS the compressed
+    * on-disk size, so the divisor must match compressed reality — the
+    * first bench_all run proved the uncompressed-estimate 280 B
+    * mis-sized a 50 k-doc corpus as 910 rows and silently kept a 21 s
+    * exact arm where the 2 s LSH arm was the designed choice. Real
+    * corpora compress LESS than these synthetic tables, so small
+    * divisors over-estimate rows there — erring toward LSH, the plan
+    * that always finishes; `ANALYZE TABLE` (CatalogStats) replaces the
+    * estimate with truth. */
+  private val EstRowBytesVec = 40
+  private val EstRowBytesTok = 13
+
+  /** Estimated child row count for the auto decision. Preference order:
+    * (1) the child plan's own `rowCount` (CBO + ANALYZE propagates it);
+    * (2) the sum of LEAF rowCounts (ANALYZE without CBO: catalog stats
+    * sit on the leaf but size-only estimation won't propagate them);
+    * (3) leaf `sizeInBytes` / bytesPerRow. Leaves, not the child's own
+    * sizeInBytes: size-only propagation scales a Project's bytes by its
+    * column-width share, so `select(id, text)` over a wide table
+    * under-counts rows by that share (measured 50 k → 910 at sf0.1) —
+    * the full relation size is the honest base for a ROW estimate. */
+  private def estimatedRows(child: LogicalPlan, bytesPerRow: Int): BigInt =
+    child.stats.rowCount.getOrElse {
+      val leaves = child.collectLeaves()
+      val leafCounts = leaves.flatMap(_.stats.rowCount)
+      if (leaves.nonEmpty && leafCounts.size == leaves.size) leafCounts.sum
+      else {
+        val leafBytes = leaves.map(_.stats.sizeInBytes).sum
+        (if (leafBytes > 0) leafBytes else child.stats.sizeInBytes) / bytesPerRow
+      }
+    }
 
   /** Auto arm choice, shared by both modalities: LSH iff the corpus is
     * past the measured crossover AND the threshold sits in the regime
     * the banding geometry is calibrated for. */
   private def autoUsesLsh(child: LogicalPlan, threshold: Double,
-      minThresholdKey: String, minThresholdDefault: String): Boolean = {
-    val st = child.stats
-    val estRows = st.rowCount.getOrElse(st.sizeInBytes / EstRowBytes)
-    estRows > BigInt(conf.getConfString(ThresholdKey, "20000").toLong) &&
+      minThresholdKey: String, minThresholdDefault: String,
+      bytesPerRow: Int): Boolean = {
+    estimatedRows(child, bytesPerRow) >
+      BigInt(conf.getConfString(ThresholdKey, "20000").toLong) &&
       threshold >= conf.getConfString(minThresholdKey, minThresholdDefault).toDouble
   }
 
@@ -145,7 +176,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = sj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ => autoUsesLsh(sj.child, sj.threshold, LshMinCosineKey, "0.8")
+        case _ => autoUsesLsh(sj.child, sj.threshold, LshMinCosineKey, "0.8", EstRowBytesVec)
       }
       val pairs =
         if (useLsh) graft.llm.Similarity.hyperplanePairs(emb, sj.threshold)
@@ -159,7 +190,7 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = tj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ => autoUsesLsh(tj.child, tj.threshold, LshMinJaccardKey, "0.9")
+        case _ => autoUsesLsh(tj.child, tj.threshold, LshMinJaccardKey, "0.9", EstRowBytesTok)
       }
       val pairs =
         if (useLsh) graft.llm.Dedup.minhashLsh(docs, tj.threshold)
