@@ -37,7 +37,12 @@ object StressBench {
   val stressQueries: Seq[String] = Seq(
     "minhash_lsh", "dedup_near", "tokjoin_auto", "text_tfidf",
     "pipeline_curate", "pipeline_decontaminate",
-    "embed_lshpairs", "sim_topk", "join_range_binned")
+    "embed_lshpairs", "sim_topk", "join_range_binned",
+    // r5 breadth: the event/window families — one shuffle by a key
+    // whose per-key work is scale-invariant in this corpus (disjoint
+    // key-shifted copies), so e_time ≈ 1 is the pass bar, not a hope.
+    "event_sessionize", "event_ewma", "join_asof",
+    "topk_per_group", "window_time_rolling")
 
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
@@ -56,6 +61,18 @@ object StressBench {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", 0.9, "auto")
+
+  /** Decontamination's Bloom scale arm (r5): holdout-gram Bloom bits
+    * broadcast as a pre-filter on the train gram stream, exact join
+    * verifies — measured here so the arm's build cost (count + bloom
+    * aggregate over the SMALL side) and filter win are on the record
+    * next to the exact arm's numbers. */
+  def decontBloom(spark: SparkSession, dir: String) = {
+    val c = spark.conf
+    c.set(graft.llm.Curate.DecontStrategyKey, "bloom")
+    try graft.llm.Curate.decontaminate(Tables.documents(spark, dir))
+    finally c.unset(graft.llm.Curate.DecontStrategyKey)
+  }
 
   case class Entry(sec: Double, rows: Long, strategy: String,
       gcSec: Double, cpuShare: Double)
@@ -94,7 +111,19 @@ object StressBench {
       var rows = -1L
       var strategy = "err"
       try {
-        val agg = mk().groupBy().count()
+        // Force EVERY output column through a checksum, not
+        // groupBy().count(): under a bare count, column pruning deletes
+        // any computation the row count doesn't depend on — a window
+        // rank that is projected but never filtered, session ids, EWMA
+        // values — and the "measurement" collapses to a parquet count
+        // (caught in r5: event_sessionize at s10 read 0.20 s flat).
+        // xxhash64 over the full row struct makes all columns
+        // load-bearing; its per-row cost is noise next to the operator.
+        val df = mk()
+        val agg = df.agg(count(lit(1)).as("n"),
+          // cast to double: a BIGINT sum of hashes overflows, and under
+          // ANSI (Spark 4 default) that throws instead of wrapping
+          sum(xxhash64(struct(df.columns.map(col): _*)).cast("double")).as("chk"))
         rows = agg.head().getLong(0)
         strategy = Bench.joinStrategies(agg.queryExecution.executedPlan.toString)
       } catch {
@@ -127,6 +156,7 @@ object StressBench {
     for (name <- stressQueries)
       measure(() => SparkEntry.queries(name)(spark, s"$root/s1"))
     measure(() => simjoinAutoNearDup(spark, s"$root/s1"))
+    measure(() => decontBloom(spark, s"$root/s1"))
     measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, s"$root/s1")))
     measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, s"$root/s1")))
 
@@ -136,6 +166,8 @@ object StressBench {
         record(name, scale, measure(() => SparkEntry.queries(name)(spark, dir)))
       record("simjoin_auto_nd09", scale,
         measure(() => simjoinAutoNearDup(spark, dir)))
+      record("pipeline_decont_bloom", scale,
+        measure(() => decontBloom(spark, dir)))
       // LSH candidate-pair counts via the operators' own candidate stages
       record("minhash_lsh_candidates", scale,
         measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))

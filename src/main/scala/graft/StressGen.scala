@@ -162,6 +162,12 @@ object StressGen {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     replicate(spark, srcDir, outDir, "lineitem", Seq("l_orderkey"), factor)
     replicate(spark, srcDir, outDir, "orders", Seq("o_orderkey"), factor)
+    // events: key-shift user_id AND event_id — each copy is a disjoint
+    // user population with an identical timeline, so sessions/windows
+    // per user are invariant and total work must scale linearly; the
+    // per-hour event density (gap-fill grids, time-rolling frames)
+    // grows exactly ×factor.
+    replicate(spark, srcDir, outDir, "events", Seq("event_id", "user_id"), factor)
   }
 
   def main(args: Array[String]): Unit = {

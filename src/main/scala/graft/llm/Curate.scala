@@ -186,6 +186,11 @@ object Curate {
    * exchange width — kept as the exact string here so the oracle
    * comparison is collision-free by construction.
    */
+  /** Conf: `exact` (default) joins every train gram against the holdout
+    * index; `bloom` pre-filters train grams through a Bloom filter of
+    * the holdout grams first. Output is identical either way. */
+  val DecontStrategyKey = "spark.graft.decontaminate.strategy"
+
   def decontaminate(docs: DataFrame): DataFrame = {
     val n = 5
     val splitCol =
@@ -201,8 +206,33 @@ object Curate {
         .as("gram"))
     val holdIdx = grams.filter(col("split") === "holdout")
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
-    val trainGrams = grams.filter(col("split") === "train")
+    val trainGramsAll = grams.filter(col("split") === "train")
       .select(col("doc_id"), col("gram")).distinct()
+    // Bloom arm (r5, conf-gated like curate's pair strategy): at 100 TB
+    // the holdout set (eval benchmarks) stays orders of magnitude
+    // smaller than train, but its DISTINCT gram INDEX can still outgrow
+    // a row broadcast. A Bloom filter of the holdout grams is ~1.2 B per
+    // gram at 1% fpp — a single compact broadcast that pre-filters the
+    // (enormous) train gram stream down to the contaminated sliver
+    // BEFORE the shuffle join. False positives only add verify-join
+    // rows; the exact join behind the filter eliminates them, so both
+    // arms emit identical output and share the oracle (same
+    // sketch-then-verify contract as minhash_lsh / embed_lshpairs).
+    // The Bloom build is a driver-side aggregate over the SMALL side
+    // only (two jobs at load time: count + build), same cost class as
+    // ANALYZE; the train side is never collected.
+    val bloomArm = docs.sparkSession.conf
+      .getOption(DecontStrategyKey).contains("bloom")
+    val trainGrams =
+      if (!bloomArm) trainGramsAll
+      else {
+        val holdGrams = holdIdx.select(col("gram")).distinct()
+        val nGrams = math.max(holdGrams.count(), 1L)
+        val bloom = holdGrams.stat.bloomFilter("gram", nGrams, 0.01)
+        val bf = docs.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: String) => bf.value.mightContainString(g))
+        trainGramsAll.filter(mightContain(col("gram")))
+      }
     val hits = trainGrams.join(Q.maybeBroadcast(holdIdx), "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),

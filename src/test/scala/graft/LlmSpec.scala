@@ -350,6 +350,17 @@ class LlmSpec extends SparkSpec {
       s"planted overlap not flagged: ${out(trainId)}")
     assert(out.removed(trainId).values.forall(_._3 === 0L),
       "an unplanted train doc was flagged contaminated")
+    // BLOOM arm parity: the Bloom pre-filter only thins the train gram
+    // stream before the same verify join — false positives are joined
+    // away, so output must be IDENTICAL, planted overlap included.
+    s.conf.set(llm.Curate.DecontStrategyKey, "bloom")
+    try {
+      val bloomOut = llm.Curate.decontaminate(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_shared_grams"), r.getAs[Long]("n_eval_docs"),
+            r.getAs[Long]("contaminated"))).toMap
+      assert(bloomOut === out, "bloom arm diverged from the exact arm")
+    } finally s.conf.unset(llm.Curate.DecontStrategyKey)
   }
 
   test("pipeline_datamix: per-lang kept tokens fit the budget and admission is a doc_id prefix (sf0.001)") {
