@@ -185,8 +185,20 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try {
-          val agg = fn(spark, sfDir).groupBy().count()
-          agg.head() // same execution shape as DataFrame.count()
+          // Checksum-forced execution (r5 — found via StressBench):
+          // under a bare groupBy().count(), column pruning deletes any
+          // computation the row count doesn't depend on (a window rank
+          // that's projected but never filtered, session ids, EWMA
+          // values), so several entries were measuring little more than
+          // the scan. xxhash64 over the full row struct makes every
+          // output column load-bearing; hash cost is noise next to the
+          // operators. This raises window/event-family numbers vs
+          // rounds 1–4 BY MEASURING THEM — a methodology fix, not a
+          // regression; the cast to double avoids ANSI sum overflow.
+          val df = fn(spark, sfDir)
+          val agg = df.agg(count(lit(1)).as("n"),
+            sum(xxhash64(struct(df.columns.map(col): _*)).cast("double")).as("chk"))
+          agg.head()
           exec = Some(agg)
           true
         } catch {
