@@ -6,15 +6,16 @@ import org.apache.spark.sql.functions._
 /**
  * Scale-growth benchmark over the builder-owned stress corpus
  * (VERDICT r4 item 1): runs the heavy dedup/similarity/range-join
- * families at 1×/3×/10× of sf0.1-equivalent size and emits
+ * families at 1×/3×/10×/30× of sf0.1-equivalent size and emits
  * BENCH_stress.json with, per query and scale:
  *
  *   - wall seconds, result rows, executed join strategies, gc seconds,
  *     cpu_share (the same self-diagnosis fields as bench.json);
- *   - the fitted time/rows growth EXPONENTS over the 10× span
- *     (e = log(y10/y1) / log(10)) — the number the 100 TB claim rests
- *     on: e ≈ 1 is linear scaling, e ≈ 2 means the operator went
- *     quadratic and its scale story is wrong;
+ *   - the time/rows growth EXPONENTS, least-squares slope of ln(y) on
+ *     ln(scale) over every measured scale (a 1.5-order-of-magnitude
+ *     span) — the number the 100 TB claim rests on: e ≈ 1 is linear
+ *     scaling, e ≈ 2 means the operator went quadratic and its scale
+ *     story is wrong;
  *   - for the two LSH families, the CANDIDATE-PAIR counts (the frame
  *     before verification, counted by the operators' own candidate
  *     stages) and their growth exponent — banding's sub-quadratic
@@ -80,7 +81,12 @@ object StressBench {
   def main(args: Array[String]): Unit = {
     val root = if (args.length > 0) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_STRESS_ROOT", "stressdata")
-    val scales = Seq(("s1", 1.0), ("s3", 3.0), ("s10", 10.0))
+    // s30 present → a 1.5-order-of-magnitude span; exponents are the
+    // least-squares slope over ALL scale points (r5 late), not the
+    // endpoint ratio — one noisy endpoint can no longer swing the fit.
+    val scales = Seq(("s1", 1.0), ("s3", 3.0), ("s10", 10.0), ("s30", 30.0))
+      .filter { case (s, _) =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/$s")) }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stressbench")
@@ -178,16 +184,23 @@ object StressBench {
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null"
       else (math.round(d * 1000) / 1000.0).toString
-    val span = math.log(10.0)
+    // Least-squares slope of ln(y) on ln(scale factor) over every scale
+    // with a valid measurement — the growth exponent.
+    def fitSlope(pts: Seq[(Double, Double)]): Double =
+      if (pts.size < 2) Double.NaN
+      else {
+        val n = pts.size
+        val mx = pts.map(_._1).sum / n
+        val my = pts.map(_._2).sum / n
+        val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+        if (den == 0) Double.NaN
+        else pts.map { case (x, y) => (x - mx) * (y - my) }.sum / den
+      }
     val qJson = results.map { case (name, byScale) =>
-      val e1 = byScale("s1"); val e10 = byScale("s10")
-      val eTime =
-        if (e1.sec > 0 && e10.sec > 0) math.log(e10.sec / e1.sec) / span
-        else Double.NaN
-      val eRows =
-        if (e1.rows > 0 && e10.rows > 0)
-          math.log(e10.rows.toDouble / e1.rows) / span
-        else Double.NaN
+      val eTime = fitSlope(scales.flatMap { case (s, f) =>
+        byScale.get(s).filter(_.sec > 0).map(e => (math.log(f), math.log(e.sec))) })
+      val eRows = fitSlope(scales.flatMap { case (s, f) =>
+        byScale.get(s).filter(_.rows > 0).map(e => (math.log(f), math.log(e.rows.toDouble))) })
       val secPerMrow = byScale.map { case (s, e) =>
         val v = if (e.rows > 0) e.sec / (e.rows / 1e6) else Double.NaN
         s""""$s":${fmt(v)}"""

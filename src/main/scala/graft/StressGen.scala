@@ -182,7 +182,7 @@ object StressGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
-    for ((name, factor) <- Seq(("s1", 1), ("s3", 3), ("s10", 10))) {
+    for ((name, factor) <- Seq(("s1", 1), ("s3", 3), ("s10", 10), ("s30", 30))) {
       writeScale(spark, srcDir, s"$outRoot/$name", factor)
       println(s"[stressgen] wrote $outRoot/$name (factor $factor)")
     }
