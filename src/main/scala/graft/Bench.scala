@@ -198,7 +198,10 @@ object Bench {
           val df = fn(spark, sfDir)
           val agg = df.agg(count(lit(1)).as("n"),
             sum(xxhash64(struct(df.columns.map(col): _*)).cast("double")).as("chk"))
-          agg.head()
+          // collect(), not head(): head() executes a separate limit(1)
+          // QueryExecution, so THIS plan's AQE would stay unfinalized
+          // and the recorded strategy would be the pre-adaptive guess
+          agg.collect()
           exec = Some(agg)
           true
         } catch {

@@ -130,7 +130,10 @@ object StressBench {
           // cast to double: a BIGINT sum of hashes overflows, and under
           // ANSI (Spark 4 default) that throws instead of wrapping
           sum(xxhash64(struct(df.columns.map(col): _*)).cast("double")).as("chk"))
-        rows = agg.head().getLong(0)
+        // collect(), not head(): head() runs a separate limit(1) plan,
+        // leaving this plan's AQE unfinalized — the strategy field must
+        // be the FINAL adaptive plan
+        rows = agg.collect()(0).getLong(0)
         strategy = Bench.joinStrategies(agg.queryExecution.executedPlan.toString)
       } catch {
         case e: Throwable => System.err.println(s"[stress] failed: $e")

@@ -49,6 +49,44 @@ class PlanShapeSpec extends SparkSpec {
       "date predicate left as a post-scan Filter — pruning failed")
   }
 
+  test("AQE splits a skewed shuffle-join partition (the automatic arm of the skew story)") {
+    // join_salted is the MANUAL skew arm; at cluster scale the first
+    // line of defense is AQE's OptimizeSkewedJoin splitting an outsized
+    // partition into parallel sub-reads. Thresholds here are shrunk so
+    // test-sized data trips the same code path a 100 TB hot key would:
+    // one key carries ~100k rows (≫ the others), the skewed-partition
+    // gate is 64 KB, and the post-AQE SMJ must carry the skew marker.
+    val s = spark
+    import org.apache.spark.sql.functions.{col, concat, count, lit, sum, when}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = s.range(110000)
+        .select(when(col("id") < 100000, 7L).otherwise(col("id") % 97).as("k"),
+          col("id").as("payload"))
+      val dim = s.range(97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("label"))
+      val joined = fact.join(dim, "k").agg(count(lit(1)), sum(col("payload")))
+      // collect(), not head(): head() routes through a separate
+      // limit(1) QueryExecution, leaving THIS plan's AQE unfinalized
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("skew=true"),
+        s"AQE did not mark the skewed SMJ partition:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("text_zipf: vocabulary never crosses an unpartitioned window — limit before rank") {
     val p = plan("text_zipf")
     // the r4 wart: row_number over Window.orderBy(...) ranked the FULL
