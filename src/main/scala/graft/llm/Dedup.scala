@@ -326,6 +326,12 @@ object Dedup {
     * match the literal 16 in the dedup_editdist oracle SQL). */
   val EditDistNeighbors = 16
 
+  /** Distance cap for [[editDistanceRank]] — distances beyond it report
+    * the cap itself (must match the literal 24 in the oracle SQL). 24
+    * covers every interesting near-copy regime on ~250-char docs while
+    * keeping the banded DP ~5× cheaper than the full table. */
+  val EditDistCap = 24
+
   /**
    * Surface divergence WITHIN canonical groups: docs whose token SETS are
    * identical (the dedup_groups signature) can still differ in order /
@@ -342,8 +348,20 @@ object Dedup {
    * adjacency is the right neighborhood for the ranking use-case (the
    * dist-0 copies it exists to surface are transitive), and the window
    * rank is deterministic, so the DuckDB oracle replicates the cap
-   * exactly. Both engines' levenshtein is the exact integer DP, so the
-   * oracle hash-matches.
+   * exactly.
+   *
+   * Distances are CAPPED at [[EditDistCap]] (r5): the signal this op
+   * exists for lives at small distances (literal copies and
+   * near-copies); past the cap every pair is equally "heavily
+   * rearranged" and the exact number is noise. The cap is also the
+   * perf lever — Spark's thresholded `levenshtein(a, b, k)` runs the
+   * banded O(k·n) DP with early aborts (length-difference gate, band
+   * minimum exceeding k) instead of the full O(n²) table. Measured at
+   * sf0.1 in bench_all: 33.6 s (the single slowest registry entry)
+   * → 1.0 s — heavily-rearranged pairs blow past the cap within a few
+   * DP rows and abort. Both engines spell the cap (Spark maps the
+   * -1 over-threshold sentinel to the cap; DuckDB takes LEAST with
+   * it), so the oracle still hash-matches.
    */
   def editDistanceRank(documents: DataFrame, maxNeighbors: Int): DataFrame = {
     val sig = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
@@ -351,12 +369,14 @@ object Dedup {
     val docs = documents
       .select(col("doc_id"), col("text"), sig.as("sig"))
       .withColumn("rk", row_number().over(wSig))
+    val capped = levenshtein(col("a.text"), col("b.text"), EditDistCap)
     docs.as("a")
       .join(docs.as("b"),
         col("a.sig") === col("b.sig") &&
         col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + maxNeighbors)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.text"), col("b.text")).cast("long").as("edit_dist"))
+        when(capped < 0, lit(EditDistCap)).otherwise(capped)
+          .cast("long").as("edit_dist"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -546,7 +566,7 @@ object Dedup {
         | r AS (SELECT doc_id, text, sig,
         |  ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rk FROM g)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | CAST(LEVENSHTEIN(a.text, b.text) AS BIGINT) AS edit_dist
+        | CAST(LEAST(LEVENSHTEIN(a.text, b.text), 24) AS BIGINT) AS edit_dist
         |FROM r a JOIN r b ON a.sig = b.sig AND b.rk > a.rk AND b.rk <= a.rk + 16
         |ORDER BY doc_a, doc_b""".stripMargin,
 
