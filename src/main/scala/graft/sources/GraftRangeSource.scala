@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -48,9 +49,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *  - LIMIT PUSHDOWN (`SupportsPushDownLimit`): a bare LIMIT n clamps
  *    the planned interval to its first n ids (reported as partial, so
  *    Spark's own global limit still runs — any n rows satisfy an
- *    unordered limit, and these are the cheapest n to produce).
+ *    unordered limit, and these are the cheapest n to produce);
+ *  - AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`, r5 — the rung
+ *    after filters/limit on the connector ladder): an ungrouped
+ *    COUNT(*) / MIN(id) / MAX(id) over the (filter-narrowed) interval
+ *    is CLOSED-FORM — count = hi−lo, min = lo, max = hi−1 — so the
+ *    pushdown is COMPLETE: Spark plans no aggregate at all, and the
+ *    scan emits the one answer row from planning arithmetic (a single
+ *    synthetic partition; zero row reads). This is the same contract
+ *    that lets a JDBC source answer COUNT(*) with `SELECT COUNT(*)`
+ *    server-side, or parquet answer MIN/MAX from footer statistics —
+ *    on a 100 TB source it is the difference between a metadata lookup
+ *    and a full scan. Anything else (SUM, AVG, gauss columns,
+ *    GROUP BY) is declined and Spark aggregates raw rows as before.
  *
- * All four are plan-pinned in IoSpec; the same contracts every
+ * All five are plan-pinned in IoSpec; the same contracts every
  * production V2 source (parquet, kafka, delta, JDBC) follows.
  */
 class GraftRangeSource extends TableProvider with DataSourceRegister {
@@ -86,7 +99,8 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters with SupportsPushDownLimit {
+        with SupportsPushDownFilters with SupportsPushDownLimit
+        with SupportsPushDownAggregates {
       // Column pruning pushdown: Catalyst hands the connector the set of
       // columns the query actually touches, and the readers materialize
       // ONLY those — the contract that makes a 2-column projection over
@@ -149,8 +163,50 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
       }
       override def isPartiallyPushed: Boolean = true
 
+      // Aggregate pushdown: accepted only when the WHOLE aggregation is
+      // answerable from the pushed interval (ungrouped count/min/max on
+      // id) — then the pushdown is COMPLETE (Spark plans no agg node)
+      // and planInputPartitions emits one synthetic answer row. Filters
+      // are pushed before aggregates in V2ScanRelationPushDown, so the
+      // interval is already narrowed when the answer is computed.
+      private var pushedAggs: Seq[String] = Nil
+      private def aggSupported(agg: Aggregation): Boolean = {
+        def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+          e match {
+            case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+            case _ => false
+          }
+        agg.groupByExpressions.isEmpty &&
+          agg.aggregateExpressions.nonEmpty &&
+          agg.aggregateExpressions.forall {
+            case _: CountStar => true
+            case m: Min => isId(m.column)
+            case m: Max => isId(m.column)
+            case _ => false
+          }
+      }
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        aggSupported(agg)
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        if (!aggSupported(agg)) false
+        else {
+          pushedAggs = agg.aggregateExpressions.toSeq.map {
+            case _: CountStar => "count"
+            case _: Min => "min"
+            case _ => "max"
+          }
+          true
+        }
+      }
+      private def aggResultSchema: StructType =
+        StructType(pushedAggs.zipWithIndex.map {
+          case ("count", i) => StructField(s"agg_$i", LongType, nullable = false)
+          case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+        })
+
       override def build(): Scan = this
-      override def readSchema(): StructType = required
+      override def readSchema(): StructType =
+        if (pushedAggs.nonEmpty) aggResultSchema else required
       override def toBatch: Batch = this
       override def description(): String = {
         val hi =
@@ -158,7 +214,9 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
           else effLo + pushedLimit
         s"GraftRange[$start,$end) pushed=[$effLo,$hi) " +
           s"filters=${accepted.mkString("[", ",", "]")} " +
-          s"limit=${if (pushedLimit == Long.MaxValue) "none" else pushedLimit}"
+          s"limit=${if (pushedLimit == Long.MaxValue) "none" else pushedLimit}" +
+          (if (pushedAggs.nonEmpty) s" aggs=${pushedAggs.mkString("[", ",", "]")}"
+           else "")
       }
       // Partition planning: contiguous [lo, hi) slices of the ORIGINAL
       // range, intersected with the pushed interval; empty slices are
@@ -166,6 +224,17 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
       // selective predicate buys (plan-pinned in IoSpec). Pure
       // arithmetic — the driver never materializes a row.
       override def planInputPartitions(): Array[InputPartition] = {
+        if (pushedAggs.nonEmpty) {
+          // Complete agg pushdown: ONE synthetic partition carrying the
+          // closed-form answers; nothing iterates the interval.
+          val cnt = math.max(0L, effHi - effLo)
+          val values: Seq[Any] = pushedAggs.map {
+            case "count" => cnt
+            case "min" => if (cnt > 0) effLo else null
+            case "max" => if (cnt > 0) effHi - 1 else null
+          }
+          return Array(GraftAggResultPartition(values))
+        }
         val n = end - start
         val hiEff =
           if (pushedLimit == Long.MaxValue || effHi - effLo <= pushedLimit) effHi
@@ -188,10 +257,24 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
 private[sources] case class GraftRangePartition(lo: Long, hi: Long)
     extends InputPartition
 
+/** The one-row answer of a completely-pushed-down aggregation. */
+private[sources] case class GraftAggResultPartition(values: Seq[Any])
+    extends InputPartition
+
 private[sources] class GraftRangeReaderFactory(columns: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[GraftRangePartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case agg: GraftAggResultPartition => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = InternalRow.fromSeq(agg.values)
+        override def close(): Unit = ()
+      }
+      case part: GraftRangePartition => rowReader(part)
+    }
+
+  private def rowReader(part: GraftRangePartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private var cur = part.lo - 1
       override def next(): Boolean = { cur += 1; cur < part.hi }

@@ -117,6 +117,39 @@ class IoSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Long]("id")).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("graft-range DSv2 source: complete aggregate pushdown answers count/min/max from planning arithmetic") {
+    def src = spark.read.format("graft-range")
+      .option("start", "0").option("end", "100000").option("slices", "8")
+      .load()
+    // ungrouped count/min/max on id: closed-form over the pushed
+    // interval — Spark must plan NO aggregate node, and the answer
+    // composes with filter pushdown (interval narrowed first)
+    val agg = src.filter(col("id") >= 90000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"complete agg pushdown still planned an aggregate:\n$plan")
+    val scan = agg.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.get
+    assert(scan.description().contains("aggs=[count,min,max]"),
+      s"pushed aggs missing from scan description: ${scan.description()}")
+    val row = agg.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((10000L, 90000L, 99999L)))
+    // an unsupported aggregate (sum) is declined: Spark aggregates raw
+    // rows as before, values still correct
+    val declined = src.filter(col("id") >= 99000).agg(sum(col("id")).as("s"))
+    assert(declined.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "sum should NOT be pushed — the source must decline it")
+    assert(declined.head.getLong(0) === (99000L until 100000L).sum)
+    // empty interval: count 0, null min/max — the closed form's edge
+    val empty = src.filter(col("id") < 0)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("run metrics listener: a shuffling query reports stages and non-zero shuffle bytes") {
     val listener = new RunMetricsListener
     spark.sparkContext.addSparkListener(listener)
