@@ -39,7 +39,9 @@ import org.apache.spark.sql.functions._
  * measured scale arm, see BENCH_stress.json), simhash_pairs (exact
  * hamming≤3 guarantee). Their cost is the price of oracle-checkable
  * exactness at sf0.1, not a scale defect; regressions in them still
- * matter, which is why --all records them.
+ * matter, which is why --all records them. (dedup_editdist left this
+ * list in r5: capping distances at EditDistCap cut its banded DP from
+ * 33.6 s to ~1 s with the oracle still hash-matching.)
  */
 object Bench {
 
