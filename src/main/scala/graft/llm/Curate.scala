@@ -320,8 +320,46 @@ object Curate {
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "pipeline_decont_bloom" -> ((s, d) => {
+      // The Bloom arm under the SAME oracle as the exact arm — safe
+      // because parity is DETERMINISTIC, not probabilistic: the Bloom
+      // pre-filter has no false negatives (every true hit survives) and
+      // its false positives are eliminated by the exact join behind it,
+      // so the two arms' outputs are bit-identical by construction.
+      // Conf scoping: the arm choice is read when the frame is BUILT,
+      // so set → build → restore keeps the session conf clean.
+      val prev = s.conf.getOption(DecontStrategyKey)
+      s.conf.set(DecontStrategyKey, "bloom")
+      try decontaminate(Tables.documents(s, d))
+      finally prev match {
+        case Some(v) => s.conf.set(DecontStrategyKey, v)
+        case None => s.conf.unset(DecontStrategyKey)
+      }
+    }),
     "pipeline_datamix" -> ((s, d) => datamix(Tables.documents(s, d))),
     "curate_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d), 20)))
+
+  private lazy val DecontOracleSql: String =
+    """WITH d AS (SELECT doc_id,
+        |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+        |         THEN 'train' ELSE 'holdout' END AS split,
+        |    STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents),
+        | g AS (SELECT doc_id, split,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 5 + 2),
+        |      i -> ARRAY_TO_STRING(toks[i:i+4], ' '))) AS gram
+        |  FROM d WHERE LEN(toks) >= 5),
+        | h AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM g
+        |       WHERE split = 'holdout'),
+        | t AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train'),
+        | hit AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams,
+        |    COUNT(DISTINCT h.eval_doc) AS n_eval_docs
+        |  FROM t JOIN h USING (gram) GROUP BY t.doc_id)
+        |SELECT d.doc_id, COALESCE(n_shared_grams, 0) AS n_shared_grams,
+        | COALESCE(n_eval_docs, 0) AS n_eval_docs,
+        | CAST(COALESCE(n_shared_grams, 0) > 0 AS BIGINT) AS contaminated
+        |FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id
+        |WHERE d.split = 'train' ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "curate_source_cap" ->
@@ -412,27 +450,12 @@ object Curate {
 
     // Same five decontamination stages; DuckDB list slices are 1-based
     // inclusive, so toks[i:i+4] is the 5-token shingle starting at i.
-    "pipeline_decontaminate" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
-        |         THEN 'train' ELSE 'holdout' END AS split,
-        |    STRING_SPLIT(text, ' ') AS toks
-        |  FROM documents),
-        | g AS (SELECT doc_id, split,
-        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 5 + 2),
-        |      i -> ARRAY_TO_STRING(toks[i:i+4], ' '))) AS gram
-        |  FROM d WHERE LEN(toks) >= 5),
-        | h AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM g
-        |       WHERE split = 'holdout'),
-        | t AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train'),
-        | hit AS (SELECT t.doc_id, COUNT(DISTINCT t.gram) AS n_shared_grams,
-        |    COUNT(DISTINCT h.eval_doc) AS n_eval_docs
-        |  FROM t JOIN h USING (gram) GROUP BY t.doc_id)
-        |SELECT d.doc_id, COALESCE(n_shared_grams, 0) AS n_shared_grams,
-        | COALESCE(n_eval_docs, 0) AS n_eval_docs,
-        | CAST(COALESCE(n_shared_grams, 0) > 0 AS BIGINT) AS contaminated
-        |FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id
-        |WHERE d.split = 'train' ORDER BY d.doc_id""".stripMargin,
+    // The bloom arm shares this oracle verbatim: its output is
+    // bit-identical to the exact arm by construction (no Bloom false
+    // negatives; false positives die in the verify join).
+    "pipeline_decontaminate" -> DecontOracleSql,
+    "pipeline_decont_bloom" -> DecontOracleSql,
+
 
     // The same four stages as one SQL pipeline: QUALIFY exact dedup →
     // Jaccard pair graph → recursive-CTE components → canonical keep →
