@@ -136,16 +136,18 @@ object Similarity {
    * (12 bits) to ≈ 0.81 (15 bits) — at the corpus sizes that trigger
    * widening, raise `HplBandsKey`-equivalent geometry via this conf or
    * accept the trade (documented in SURVEY §2d). The estimate is
-   * driver-side plan stats (catalog rowCount when ANALYZEd, else
-   * sizeInBytes/280) — no job runs to decide, same contract as
+   * driver-side plan stats via [[graft.plans.StatsEst]] (rowCount when
+   * the plan or its leaves carry one — ANALYZE, Range — else leaf bytes
+   * over ~280 B/row, the measured on-disk size of an incompressible
+   * 64-float row) — no job runs to decide, same contract as
    * maybeBroadcast and the simjoin rewrite.
    */
   private[graft] def bitsPerBandFor(emb: DataFrame): Int = {
     val conf = emb.sparkSession.conf
     conf.get(HplBitsKey, "auto") match {
       case "auto" =>
-        val st = emb.queryExecution.optimizedPlan.stats
-        val estRows = st.rowCount.getOrElse(st.sizeInBytes / 280)
+        val estRows = graft.plans.StatsEst.estimatedRows(
+          emb.queryExecution.optimizedPlan, 280)
         val bits = math.ceil(
           math.log(estRows.max(BigInt(1)).toDouble) / math.log(2)).toInt - 3
         math.min(HplMaxBitsPerBand, math.max(HplBitsPerBand, bits))

@@ -135,33 +135,13 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   private val EstRowBytesVec = 40
   private val EstRowBytesTok = 13
 
-  /** Estimated child row count for the auto decision. Preference order:
-    * (1) the child plan's own `rowCount` (CBO + ANALYZE propagates it);
-    * (2) the sum of LEAF rowCounts (ANALYZE without CBO: catalog stats
-    * sit on the leaf but size-only estimation won't propagate them);
-    * (3) leaf `sizeInBytes` / bytesPerRow. Leaves, not the child's own
-    * sizeInBytes: size-only propagation scales a Project's bytes by its
-    * column-width share, so `select(id, text)` over a wide table
-    * under-counts rows by that share (measured 50 k → 910 at sf0.1) —
-    * the full relation size is the honest base for a ROW estimate. */
-  private def estimatedRows(child: LogicalPlan, bytesPerRow: Int): BigInt =
-    child.stats.rowCount.getOrElse {
-      val leaves = child.collectLeaves()
-      val leafCounts = leaves.flatMap(_.stats.rowCount)
-      if (leaves.nonEmpty && leafCounts.size == leaves.size) leafCounts.sum
-      else {
-        val leafBytes = leaves.map(_.stats.sizeInBytes).sum
-        (if (leafBytes > 0) leafBytes else child.stats.sizeInBytes) / bytesPerRow
-      }
-    }
-
   /** Auto arm choice, shared by both modalities: LSH iff the corpus is
     * past the measured crossover AND the threshold sits in the regime
     * the banding geometry is calibrated for. */
   private def autoUsesLsh(child: LogicalPlan, threshold: Double,
       minThresholdKey: String, minThresholdDefault: String,
       bytesPerRow: Int): Boolean = {
-    estimatedRows(child, bytesPerRow) >
+    StatsEst.estimatedRows(child, bytesPerRow) >
       BigInt(conf.getConfString(ThresholdKey, "20000").toLong) &&
       threshold >= conf.getConfString(minThresholdKey, minThresholdDefault).toDouble
   }

@@ -137,6 +137,27 @@ class LlmSpec extends SparkSpec {
       s"banding admitted $nCands of $allPairs pairs — no pruning")
   }
 
+  test("hyperplane band width: auto sizes from row stats, clamps to [12, 24], conf pin overrides") {
+    val s = spark
+    import s.implicits._
+    // tiny corpus → the 12-bit floor (keeps r1–r4 signatures bit-for-bit)
+    val tiny = Seq((1L, Array(1.0f)), (2L, Array(2.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.bitsPerBandFor(tiny) === 12)
+    // spark.range carries an exact rowCount in its plan stats:
+    // ceil(log2(1e7)) − 3 = 21 — inside the clamp, so used as-is
+    val big = s.range(10000000L).select(col("id").as("vec_id"),
+      array(col("id").cast("float")).as("embedding"))
+    assert(Similarity.bitsPerBandFor(big) === 21)
+    // past the pool width → the 24-bit ceiling
+    val huge = s.range(1000000000000L).select(col("id").as("vec_id"),
+      array(col("id").cast("float")).as("embedding"))
+    assert(Similarity.bitsPerBandFor(huge) === 24)
+    // explicit pin wins over auto
+    s.conf.set(Similarity.HplBitsKey, "16")
+    try assert(Similarity.bitsPerBandFor(big) === 16)
+    finally s.conf.unset(Similarity.HplBitsKey)
+  }
+
   test("kmeans: Lloyd iterations decrease the mean squared distance objective (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     // mean over vectors of min_c ||x - c||^2
