@@ -115,6 +115,36 @@ object TextOps {
         .limit(20)
     }),
 
+    // Count-Min-sketch token frequencies (sketch row — rows-only gate,
+    // like simhash; the CMS one-sided error bound is property-tested in
+    // LlmSpec): the mergeable-state frequency sketch for when the exact
+    // groupBy's shuffle key space (the full vocabulary) is wider than a
+    // report needs. ONE pass builds the sketch via Spark's built-in
+    // count_min_sketch aggregate — per-partition sketches merge
+    // associatively, so at 100 TB the shuffle carries eps-sized sketch
+    // state (here w=2719×d=5 counters ≈ 109 KB), not 10⁸ token groups.
+    // The driver then probes the top-20 exact tokens (the wordcount
+    // query's own bounded output) against the sketch — est ≥ true
+    // always, est ≤ true + eps·N with prob ≥ 0.99 per probe.
+    "text_cms_topk" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val skBytes = toks
+        .agg(expr("count_min_sketch(token, cast(0.001 as double), " +
+          "cast(0.99 as double), 42)"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.toSeq
+        .map { case (t, n) => (t, n, cms.estimateCount(t)) }
+        .toDF("token", "n_exact", "n_est")
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     "text_quality" -> ((s, d) => {
       // Length / stopword / uniqueness signals; each ratio is one double
       // division with identical integer operands on both engines. The

@@ -137,6 +137,22 @@ class LlmSpec extends SparkSpec {
       s"banding admitted $nCands of $allPairs pairs — no pruning")
   }
 
+  test("text_cms_topk: CMS estimates are one-sided and within the eps bound on sf0.001") {
+    val out = llm.TextOps.queries("text_cms_topk")(spark, sf0001).collect()
+    assert(out.length === 20)
+    val totalTokens = Tables.documents(spark, sf0001)
+      .agg(sum(size(split(col("text"), " ")))).head.getLong(0)
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      // CMS never under-counts…
+      assert(est >= exact, s"CMS under-counted ${r.getString(0)}: $est < $exact")
+      // …and over-counts by at most eps·N per probe (prob ≥ 0.99 each;
+      // 2× slack makes the 20-probe test deterministic in practice)
+      assert(est - exact <= (2 * 0.001 * totalTokens).toLong + 1,
+        s"CMS over-count for ${r.getString(0)} beyond bound: $est vs $exact")
+    }
+  }
+
   test("hyperplane band width: auto sizes from row stats, clamps to [12, 24], conf pin overrides") {
     val s = spark
     import s.implicits._
