@@ -137,7 +137,6 @@ object Bench {
     // the TIME was the query's fault.
     val metricsListener = new RunMetricsListener
     spark.sparkContext.addSparkListener(metricsListener)
-
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
       body
@@ -154,6 +153,13 @@ object Bench {
         .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     }
 
+    // ANALYZE at load time, outside every per-query window (the
+    // one-scan-per-table cost a warehouse pays once per load, reported
+    // separately like bucket_setup_sec): the measured queries then plan
+    // on catalog rowCounts, so the artifact's recorded strategies are
+    // the stats-informed ones a production deployment would run
+    // (VERDICT r5 item 4).
+    val analyzeSec = time(sources.CatalogStats.registerAndAnalyze(spark, sfDir))
     val probeResults = probes(sfDir).map { case (name, base, run) =>
       (name, base, time(run(spark)))
     }
@@ -259,6 +265,7 @@ object Bench {
       s""""cpu_share":$cpuShares,"task_sec":$taskSecs,""" +
       s""""probe_end_filter":$probeEnd,""" +
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
+      s""""analyze_sec":$analyzeSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
       s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +
       (if (allMode) s""""mode":"all",""" else "") +

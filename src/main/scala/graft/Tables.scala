@@ -42,7 +42,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Catalog resolution (r6, VERDICT r5 item 4): when the runner has
+    // registered + ANALYZEd exactly this directory
+    // (sources.CatalogStats.registerAndAnalyze), read through the
+    // catalog so persisted rowCounts reach plan stats — the stats-driven
+    // arms then decide on truth instead of leaf-byte estimates, with no
+    // counting job at query time. Identical scan otherwise (same
+    // parquet relation, pushdown/pruning unchanged).
+    val viaCatalog = spark.conf
+      .getOption(sources.CatalogStats.CatalogDirKey).contains(dir)
+    val df =
+      if (viaCatalog) spark.table(sources.CatalogStats.tableName(name))
+      else spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
       // ns → µs with *integer* division: the long nanos (~1.7e18) exceed a
       // double's 53-bit mantissa, so `col/1000` (double divide) can be off

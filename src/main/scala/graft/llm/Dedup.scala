@@ -394,6 +394,15 @@ object Dedup {
    * have tiny diameters (dups cluster tightly), so rounds stay single
    * digits regardless of corpus size.
    */
+  /** Fixpoint rounds of the most recent [[connectedComponents]] run —
+    * read by StressBench to record iteration count per scale (VERDICT
+    * r5 item 2: total cost is rounds × one full join+agg shuffle, so if
+    * rounds grew with corpus size the algorithm would be super-linear;
+    * near-dup components have constant diameter by construction, so the
+    * recorded series must stay flat). The propagation loop is
+    * driver-eager, so the value is final when the function returns. */
+  @volatile var lastCcRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -402,6 +411,7 @@ object Dedup {
       .withColumn("lbl", col("doc"))
       .localCheckpoint(true)
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
       val next = edges.join(labels, col("dst") === col("doc"))
         .select(col("src").as("doc"), col("lbl"))
@@ -412,7 +422,9 @@ object Dedup {
         .join(labels.as("o"), col("n.doc") === col("o.doc"))
         .filter(col("n.lbl") < col("o.lbl")).count()
       labels = next
+      rounds += 1
     }
+    lastCcRounds = rounds
     edges.unpersist()
     val bySize = Window.partitionBy(col("lbl"))
     labels

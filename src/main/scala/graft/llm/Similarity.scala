@@ -140,18 +140,39 @@ object Similarity {
    * the plan or its leaves carry one — ANALYZE, Range — else leaf bytes
    * over ~280 B/row, the measured on-disk size of an incompressible
    * 64-float row) — no job runs to decide, same contract as
-   * maybeBroadcast and the simjoin rewrite.
+   * maybeBroadcast and the simjoin rewrite. The divisor is the SHARED
+   * per-modality compressed constant ([[graft.plans.StatsEst
+   * .EstRowBytesVec]] = 40, ADVICE r5): the first cut used 280 B here
+   * while the simjoin rewrite estimated the same modality at 40 B —
+   * under-counting rows ~7× on the compressible test corpora, sizing
+   * bands ~3 bits narrower than target and re-admitting ~8× bucket
+   * occupancy (partially the quadratic this fix exists to kill).
+   * Over-counting (real corpora compress less) errs WIDE, which only
+   * costs recall at the documented boundary regime — the safe side.
    */
   private[graft] def bitsPerBandFor(emb: DataFrame): Int = {
     val conf = emb.sparkSession.conf
     conf.get(HplBitsKey, "auto") match {
       case "auto" =>
         val estRows = graft.plans.StatsEst.estimatedRows(
-          emb.queryExecution.optimizedPlan, 280)
+          emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
         val bits = math.ceil(
           math.log(estRows.max(BigInt(1)).toDouble) / math.log(2)).toInt - 3
         math.min(HplMaxBitsPerBand, math.max(HplBitsPerBand, bits))
-      case pinned => pinned.toInt
+      case pinned =>
+        // Validate HERE, naming the conf key: an unvalidated over-pool
+        // width that happens to divide the plane pool (e.g. 32, since
+        // 24576 % 2048 == 0) would make hyperplanesFlat.take return the
+        // whole pool and the kernel silently re-derive 12 bands × 32
+        // bits — quietly lowering recall; non-numeric pins would fail
+        // later with an obscure kernel type-check error (ADVICE r5).
+        val b = try pinned.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$HplBitsKey must be 'auto' or an integer, got '$pinned'")
+        }
+        require(b >= 1 && b <= HplMaxBitsPerBand,
+          s"$HplBitsKey=$b out of range [1, $HplMaxBitsPerBand]")
+        b
     }
   }
 
@@ -264,27 +285,45 @@ object Similarity {
 
   /** Nearest-centroid (min L2) assignment of every corpus vector —
     * centroids (with precomputed squared norms) broadcast, one scan,
-    * window argmin per vector. ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; the ‖x‖²
+    * map-side argmin per vector. ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖²; the ‖x‖²
     * term is constant per vector, so `csq − 2x·c` orders identically
     * and saves a kernel pass. L2 (not max-dot) is the metric mean
     * updates actually descend on — max-dot assignment paired with a
     * mean update shrinks centroid norms and DIVERGES (measured: the
-    * objective test caught it). */
+    * objective test caught it).
+    *
+    * r6 (corpus-sized nlist made this the hot path): the argmin is a
+    * `min_by` HASH AGGREGATE, not a window — the n×nlist cross frame
+    * collapses map-side (the broadcast cross join emits each vector's
+    * nlist rows contiguously, so partial aggregation reduces them to
+    * one row per vector BEFORE the exchange; the former row_number
+    * window shuffled all n×nlist rows — 465 M at stress s30). The
+    * ordering struct (c_dist, cl) is unique per row, so ties are
+    * deterministic. Distances run on the codegen'd DotF32 kernel over
+    * float-cast centroids (the HOF double form is interpreted,
+    * per-element dispatch — measured too slow at n×√n call counts);
+    * assignment flips only on sub-1e-6 near-ties, which the sketch
+    * gates tolerate by construction. */
   private def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_dist").asc, col("cl"))
-    val cents = centroids.withColumn("csq", sumSq(col("centroid")))
-    emb.crossJoin(broadcast(cents))
+    val cents = broadcast(centroids
+      .select(col("cl"),
+        expr("transform(centroid, x -> cast(x as float))").as("centroid_f"))
+      .withColumn("csq", sumSq(col("centroid_f"))))
+    emb.crossJoin(cents)
       .select(col("vec_id"), col("embedding"), col("cl"),
-        (col("csq") - lit(2.0) * dot(col("embedding"), col("centroid")))
+        (col("csq") - lit(2.0) * dotFast(col("embedding"), col("centroid_f")))
           .as("c_dist"))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .drop("crn", "c_dist")
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cl"), col("embedding")),
+        struct(col("c_dist"), col("cl"))).as("s"))
+      .select(col("vec_id"), col("s.embedding").as("embedding"),
+        col("s.cl").as("cl"))
   }
 
   /**
    * Deterministic distributed k-means (Lloyd): init = the k lowest
-   * vec_ids (no sampling — reproducible across runs and engines), then
+   * ids in xxhash64 order (a deterministic spread — reproducible across
+   * runs and engines, never sample()), then
    * `iters` rounds of broadcast-centroids → min-L2 assign → per-cluster
    * mean. Each round is one corpus scan + one (cl, pos) hash agg; the
    * centroid frame stays k×64 doubles, always broadcastable. Empty
@@ -293,20 +332,25 @@ object Similarity {
    * is iters × (scan + tiny agg), never pairwise.
    */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    // Init = the k SMALLEST ids, selected explicitly (orderBy + limit),
-    // not `vec_id < k`: a filter on the id VALUE assumes ids are dense
-    // from 0 — on sparse or non-zero-based id spaces it yields fewer
-    // than k (possibly zero) seeds and silently degrades the result
-    // (ADVICE r2). The cluster index is the seed's rank, not its id —
-    // attached via a k-row driver collect + broadcast join rather than a
-    // rank window: a global `Window.orderBy` plans an unpartitioned
-    // WindowExec (a constant partition key gets constant-folded away),
-    // and k rows is exactly the bounded-collect shape the bucket-pruning
-    // reads already use. TakeOrderedAndProject returns the ids in seed
-    // order, so the array index IS the rank.
+    // Init = the k smallest ids in xxhash64 ORDER (r6) — a deterministic
+    // pseudo-random spread. The r1–r5 "k lowest vec_ids" seeding was fine
+    // at k=10, but corpus-sized nlist (≈√n, VERDICT r5 item 1) breaks
+    // it: with ids laid out cluster-contiguously the lowest √n ids all
+    // sit in the first few natural clusters, Lloyd's 3 rounds can't
+    // migrate centroids across the space, and most seeds collapse into
+    // empty clusters. Hashing the id decorrelates seed choice from id
+    // layout while staying a pure function of the data (reproducible
+    // across runs/engines — never sample()). Selection is explicit
+    // orderBy + limit, not an id-value filter (ADVICE r2: value filters
+    // assume dense ids). The cluster index is the seed's rank — attached
+    // via a k-row driver collect + broadcast join rather than a rank
+    // window: a global `Window.orderBy` plans an unpartitioned
+    // WindowExec, and k rows is exactly the bounded-collect shape the
+    // bucket-pruning reads already use. TakeOrderedAndProject returns
+    // the ids in seed order, so the array index IS the rank.
     val s = emb.sparkSession
     import s.implicits._
-    val seedIds = emb.orderBy(col("vec_id")).limit(k)
+    val seedIds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
     val seedRank = broadcast(
       seedIds.zipWithIndex.toSeq.toDF("vec_id", "cl"))
@@ -321,17 +365,66 @@ object Similarity {
     centroids
   }
 
-  /** IVF-style ANN: nlist=10 k-means buckets, nprobe=3 — probes only
-    * score vectors in their 3 nearest buckets. */
-  def annIvf(s: SparkSession, d: String, k: Int, nprobe: Int): DataFrame = {
+  /**
+   * IVF index geometry sized from the corpus (r6 — VERDICT r5 item 1,
+   * the last fixed-geometry sketch): nlist ≈ ⌈√n̂⌉ holds per-bucket
+   * occupancy to ≈ √n̂, and nprobe ≈ ⌈√nlist⌉ ≈ n̂^¼ makes the probed
+   * FRACTION nprobe/nlist ≈ n̂^(−¼) SHRINK as the corpus grows —
+   * candidates per probe ≈ n·nprobe/nlist ≈ n^¾, exponent < 1
+   * (measured in BENCH_stress.json's ann_ivf_candidates row). The r5
+   * fixed nlist=10/nprobe=3 scanned a constant 30 % of the corpus at
+   * ANY size — an O(n) scan dressed as ANN, the same bug class the
+   * hyperplane band fix proved real. n̂ is driver-side plan stats
+   * ([[graft.plans.StatsEst]], shared divisor EstRowBytesVec) — no job
+   * runs to decide, same contract as bitsPerBandFor. Clamps: nlist
+   * ≥ 10 keeps tiny corpora at the r1–r5 geometry; nlist ≤ 4096 bounds
+   * the centroid broadcast (4096 × 64 doubles ≈ 2 MB) — past ~16 M
+   * vectors the fraction keeps shrinking via nprobe staying ⌈√nlist⌉
+   * while occupancy grows, the standard IVF-flat degradation point
+   * where a real deployment re-trains with a coarser quantizer. */
+  private[graft] def ivfGeometry(emb: DataFrame, minNprobe: Int): (Int, Int) = {
+    val n = graft.plans.StatsEst.estimatedRows(
+        emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
+      .max(BigInt(1)).toDouble
+    val nlist = math.min(4096, math.max(10, math.ceil(math.sqrt(n)).toInt))
+    // 1.5·√nlist: the constant factor is a recall calibration (bare
+    // √nlist measured recall 0.68 at sf0.01, just under the 0.7 gate;
+    // 1.5× measures ≥ 0.8 there) — it scales the probed fraction by a
+    // constant, so the n^(−¼) shrink (the exponent claim) is unchanged.
+    val nprobe = math.min(nlist,
+      math.max(minNprobe, math.ceil(1.5 * math.sqrt(nlist.toDouble)).toInt))
+    (nlist, nprobe)
+  }
+
+  /** Index build + probe-side bucket choice, shared by [[annIvf]] and
+    * the candidate instrumentation. Returns (assigned corpus, probe
+    * buckets). K-means trains on a deterministic hash SAMPLE of
+    * ≈ nlist × 64 vectors (FAISS's recommended points-per-centroid
+    * band; training on the full corpus would make each Lloyd round
+    * n × nlist — the sample keeps training ∝ 64·nlist² ≈ 64·n̂ linear),
+    * then every corpus vector is assigned once against the final
+    * centroids: n × nlist kernel distances, the textbook IVF-flat
+    * build cost (n^1.5 at nlist=√n) — amortized across every query the
+    * index serves; the per-query win is the n^¾ candidate set. */
+  private def ivfParts(s: SparkSession, d: String, minNprobe: Int)
+      : (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
-    val centroids = kmeans(emb, 10, 3)
+    val (nlist, nprobe) = ivfGeometry(emb, minNprobe)
+    val nEst = graft.plans.StatsEst.estimatedRows(
+        emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
+      .max(BigInt(1)).toLong
+    val sampleMod = math.max(1L, nEst / (nlist.toLong * 64))
+    val train =
+      if (sampleMod <= 1) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    val centroids = kmeans(train, nlist, 3)
     val cb = broadcast(centroids)
     // Assign every corpus vector to its nearest centroid (one scan).
     val assigned = assignClusters(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("cl").as("bucket"))
     // Probes pick their nprobe nearest buckets (same L2 metric as the
-    // corpus assignment), then rerank exactly.
+    // corpus assignment), then the caller reranks exactly. The probe
+    // set is 10 × nlist rows — window argmin is fine at that size.
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("c_dist").asc, col("cl"))
     val probeBuckets = emb.filter(col("vec_id") < 10)
@@ -343,6 +436,24 @@ object Similarity {
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("cl").as("bucket"))
+    (assigned, probeBuckets)
+  }
+
+  /** The candidate frame an IVF probe scans (bucket join, BEFORE exact
+    * rerank) — the scale-instrumentation entry point (StressBench): its
+    * row count over the stress span is the sub-linear-fraction claim. */
+  def ivfCandidates(s: SparkSession, d: String): DataFrame = {
+    val (assigned, probeBuckets) = ivfParts(s, d, 3)
+    assigned.join(broadcast(probeBuckets), "bucket")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** IVF-style ANN: corpus-sized k-means buckets ([[ivfGeometry]]) —
+    * probes only score vectors in their nprobe nearest buckets.
+    * `minNprobe` floors the probe width (recall knob). */
+  def annIvf(s: SparkSession, d: String, k: Int, minNprobe: Int): DataFrame = {
+    val (assigned, probeBuckets) = ivfParts(s, d, minNprobe)
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     assigned.join(broadcast(probeBuckets), "bucket")

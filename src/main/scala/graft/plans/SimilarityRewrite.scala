@@ -119,21 +119,15 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
     * ~7% — same collapse, same rule. */
   val LshMinJaccardKey = "spark.graft.simjoin.lshMinJaccard"
 
-  /** COMPRESSED bytes per row for size-based row estimation, calibrated
-    * per modality against the on-disk test tables (r5): embeddings
-    * measure ~40 B/row (64 synthetic floats compress 6×; incompressible
-    * random vectors measure ~240 B), documents ~13 B/row (tiny-vocab
-    * text). Spark's `sizeInBytes` for a file relation IS the compressed
-    * on-disk size, so the divisor must match compressed reality — the
-    * first bench_all run proved the uncompressed-estimate 280 B
-    * mis-sized a 50 k-doc corpus as 910 rows and silently kept a 21 s
-    * exact arm where the 2 s LSH arm was the designed choice. Real
-    * corpora compress LESS than these synthetic tables, so small
-    * divisors over-estimate rows there — erring toward LSH, the plan
-    * that always finishes; `ANALYZE TABLE` (CatalogStats) replaces the
-    * estimate with truth. */
-  private val EstRowBytesVec = 40
-  private val EstRowBytesTok = 13
+  /** Per-modality compressed bytes-per-row constants live in
+    * [[StatsEst]] (ADVICE r5: band sizing used 280 B for the same
+    * modality this rule estimated at 40 B — one constant per modality,
+    * shared by every caller). The first bench_all run proved the
+    * uncompressed-estimate 280 B mis-sized a 50 k-doc corpus as 910
+    * rows and silently kept a 21 s exact arm where the 2 s LSH arm was
+    * the designed choice. */
+  private val EstRowBytesVec = StatsEst.EstRowBytesVec
+  private val EstRowBytesTok = StatsEst.EstRowBytesTok
 
   /** Auto arm choice, shared by both modalities: LSH iff the corpus is
     * past the measured crossover AND the threshold sits in the regime

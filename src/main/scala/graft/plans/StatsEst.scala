@@ -25,6 +25,22 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
  *     caller (more LSH, wider bands).
  */
 private[graft] object StatsEst {
+
+  /** COMPRESSED bytes per row, calibrated per modality against the
+    * on-disk test tables (r5; ADVICE r5 moved them here so every
+    * caller of the same modality shares one constant): embeddings
+    * measure ~40 B/row (64 synthetic floats compress 6×; incompressible
+    * random vectors measure ~240 B), documents ~13 B/row (tiny-vocab
+    * text). File-relation `sizeInBytes` IS compressed on-disk size, so
+    * the divisor must match compressed reality; real corpora compress
+    * LESS, so these divisors over-count rows there — erring toward the
+    * LSH/wider-band arm, the plan that always finishes. The r5 split
+    * (SimilarityRewrite at 40, band sizing at 280) under-counted
+    * embedding rows 7× in bitsPerBandFor, sizing bands ~3 bits narrow
+    * and re-admitting ~8× bucket occupancy. */
+  val EstRowBytesVec = 40
+  val EstRowBytesTok = 13
+
   def estimatedRows(plan: LogicalPlan, bytesPerRow: Int): BigInt =
     plan.stats.rowCount.getOrElse {
       val leaves = plan.collectLeaves()

@@ -27,6 +27,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object CatalogStats {
 
+  /** Conf holding the directory whose ten tables are currently
+    * registered + ANALYZEd in the session catalog. When
+    * [[graft.Tables.load]] is asked for exactly this directory it
+    * resolves through the catalog (`spark.table`), so the persisted
+    * rowCounts reach every stats-driven decision — the simjoin/tokjoin
+    * auto arms, hyperplane band widths, IVF geometry — with no
+    * counting job at query time. Any other directory keeps the plain
+    * path read (tests, ad-hoc corpora). */
+  val CatalogDirKey = "spark.graft.catalog.dir"
+
+  /** Catalog name for a testdata table (prefixed: the bucketed-join
+    * CTAS tables own the bare names' namespace). */
+  def tableName(table: String): String = s"graft_$table"
+
+  /** Register + ANALYZE all ten testdata tables of `dir` and point
+    * [[CatalogDirKey]] at it — the measured-path entry (VERDICT r5
+    * item 4): Verify/Bench/StressBench call this at setup so committed
+    * artifacts plan on true rowCounts, not leaf-byte estimates. One
+    * counting scan per table at LOAD time (the ANALYZE contract);
+    * re-registering an already-current dir is a no-op. Failure falls
+    * back to path reads (estimation) rather than sinking the run. */
+  def registerAndAnalyze(spark: SparkSession, dir: String): Unit =
+    if (!spark.conf.getOption(CatalogDirKey).contains(dir)) try {
+      graft.Tables.tune(spark)
+      enableCbo(spark)
+      graft.Tables.names.foreach { n =>
+        spark.sql(s"DROP TABLE IF EXISTS ${tableName(n)}")
+        register(spark, tableName(n), s"$dir/$n.parquet")
+        analyze(spark, tableName(n))
+      }
+      spark.conf.set(CatalogDirKey, dir)
+    } catch { case e: Throwable =>
+      spark.conf.unset(CatalogDirKey)
+      System.err.println(s"[catalog] register/analyze of $dir failed " +
+        s"(falling back to path reads + size estimation): $e")
+    }
+
   /** Session confs that let persisted catalog stats reach logical-plan
     * `Statistics` (rowCount propagation through Project/Filter/Join). */
   def enableCbo(spark: SparkSession): Unit = {

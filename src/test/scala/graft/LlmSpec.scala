@@ -174,6 +174,29 @@ class LlmSpec extends SparkSpec {
     finally s.conf.unset(Similarity.HplBitsKey)
   }
 
+  test("ivf geometry: nlist ≈ √n̂ and probed fraction shrinks with corpus size") {
+    val s = spark
+    import s.implicits._
+    // tiny corpus → the nlist=10 floor (the r1–r5 geometry)
+    val tiny = Seq((1L, Array(1.0f)), (2L, Array(2.0f))).toDF("vec_id", "embedding")
+    val (nlTiny, _) = Similarity.ivfGeometry(tiny, 3)
+    assert(nlTiny === 10)
+    // spark.range carries an exact rowCount: nlist = ⌈√n⌉, nprobe = ⌈1.5√nlist⌉
+    def geo(n: Long): (Int, Int) = Similarity.ivfGeometry(
+      s.range(n).select(col("id").as("vec_id"),
+        array(col("id").cast("float")).as("embedding")), 3)
+    assert(geo(1000000L) === ((1000, 48)))
+    // fraction nprobe/nlist must SHRINK as n grows (the r5 fixed
+    // geometry scanned a constant 30% at any size — the bug class)
+    val fracs = Seq(10000L, 1000000L, 100000000L).map { n =>
+      val (nl, np) = geo(n); np.toDouble / nl
+    }
+    assert(fracs === fracs.sorted.reverse && fracs.head > fracs.last,
+      s"probed fraction should decrease with n: $fracs")
+    // centroid-broadcast bound: nlist clamps at 4096 past ~16M vectors
+    assert(geo(1000000000000L)._1 === 4096)
+  }
+
   test("kmeans: Lloyd iterations decrease the mean squared distance objective (sf0.001)") {
     val emb = Tables.embeddings(spark, sf0001)
     // mean over vectors of min_c ||x - c||^2

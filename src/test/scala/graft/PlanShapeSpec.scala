@@ -370,6 +370,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("registerAndAnalyze: catalog rowCounts reach Tables.load plans with no job at query time") {
+    val s = spark
+    // The measured-path entry Verify/Bench/StressBench call at setup
+    // (VERDICT r5 item 4): after it, Tables.load on the SAME dir
+    // resolves through the catalog and every stats-driven decision
+    // plans on true rowCounts without running a single job.
+    graft.sources.CatalogStats.registerAndAnalyze(s, sf0001)
+    try {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      s.sparkContext.addSparkListener(l)
+      try {
+        val n = graft.sources.CatalogStats.planRowCount(
+          Tables.documents(s, sf0001))
+        // a stats consumer sizing itself at plan time (IVF geometry)
+        val (nlist, _) = graft.llm.Similarity.ivfGeometry(
+          Tables.embeddings(s, sf0001), 3)
+        org.apache.spark.graftbridge.ListenerDrain.drain(s.sparkContext)
+        assert(n.exists(_ > 0),
+          "catalog rowCount should reach the Tables.load plan")
+        assert(nlist >= 10, "geometry should size itself from plan stats")
+        assert(jobs.get() === 0,
+          "plan-time stats must not run a counting job")
+      } finally s.sparkContext.removeSparkListener(l)
+      // any OTHER dir keeps the plain path read (no persisted stats)
+      assert(graft.sources.CatalogStats.planRowCount(
+        Tables.documents(s, sf001)).isEmpty,
+        "non-catalog dirs should keep the bare path read")
+    } finally {
+      s.conf.unset(graft.sources.CatalogStats.CatalogDirKey)
+      s.conf.unset("spark.sql.cbo.enabled")
+      s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Tables.names.foreach(n =>
+        s.sql(s"DROP TABLE IF EXISTS ${graft.sources.CatalogStats.tableName(n)}"))
+    }
+  }
+
   test("tokjoin: auto expands to the prefix-filter exact arm under the cutoff, lsh to banded minhash") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf0001)
