@@ -100,7 +100,11 @@ object Bench {
     val tokens = Seq("BroadcastNestedLoopJoin", "CartesianProduct",
       "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     val found = tokens.filter(plan.contains)
-    if (found.isEmpty) "none" else found.mkString("+")
+    val base = if (found.isEmpty) "none" else found.mkString("+")
+    // AQE's OptimizeSkewedJoin tags split partitions `skew=true` in the
+    // final plan — surfaced here so artifacts record WHEN the automatic
+    // skew arm actually fired (the stress skew sweep's pass marker).
+    if (plan.contains("skew=true")) base + "+skew" else base
   }
 
   def main(args: Array[String]): Unit = {

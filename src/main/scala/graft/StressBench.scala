@@ -82,6 +82,30 @@ object StressBench {
     finally c.unset(graft.llm.Curate.DecontStrategyKey)
   }
 
+  /** Decontamination's exact arm PINNED (the registry default is auto,
+    * which flips past the crossover): its cost curve recorded beside
+    * the bloom rows at s1–s100 IS the measured bloom-vs-broadcast
+    * crossover VERDICT r5 item 5 asked for. */
+  def decontExact(spark: SparkSession, dir: String) = {
+    val c = spark.conf
+    c.set(graft.llm.Curate.DecontStrategyKey, "exact")
+    try graft.llm.Curate.decontaminate(Tables.documents(spark, dir))
+    finally c.unset(graft.llm.Curate.DecontStrategyKey)
+  }
+
+  /** The UNSALTED shuffle join over the skewed corpus — join_salted's
+    * exact output shape minus the salt, so the two rows read side by
+    * side: what the manual arm buys vs what AQE's automatic split
+    * recovers on its own. */
+  def plainShuffleJoin(spark: SparkSession, dir: String) =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        Q.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
   case class Entry(sec: Double, rows: Long, strategy: String,
       gcSec: Double, cpuShare: Double)
 
@@ -91,11 +115,19 @@ object StressBench {
     // s30 present → a 1.5-order-of-magnitude span; exponents are the
     // least-squares slope over ALL scale points (r5 late), not the
     // endpoint ratio — one noisy endpoint can no longer swing the fit.
-    val scales = Seq(("s1", 1.0), ("s3", 3.0), ("s10", 10.0), ("s30", 30.0))
-      .filter { case (s, _) =>
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$root/$s")) }
-    require(scales.nonEmpty,
+    def dirExists(p: String): Boolean =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))
+    val uniformScales = Seq(("s1", 1.0), ("s3", 3.0), ("s10", 10.0), ("s30", 30.0))
+      .filter { case (s, _) => dirExists(s"$root/$s") }
+    require(uniformScales.nonEmpty,
       s"no stress scale directories under '$root' — run graft.StressGen first")
+    // s100 (VERDICT r5 item 8): documents+embeddings ONLY — StressGen
+    // writes just the tables the banded LSH families read, so the full
+    // suite never runs there; the banded subset below does, and the
+    // exponent fits pick the extra half-order-of-magnitude up because
+    // s100 is part of `scales`.
+    val s100 = Seq(("s100", 100.0)).filter { case (s, _) => dirExists(s"$root/$s") }
+    val scales = uniformScales ++ s100
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stressbench")
@@ -156,6 +188,28 @@ object StressBench {
       Entry(if (rows >= 0) sec else -1.0, rows, strategy, gcSec, m.cpuShare)
     }
 
+    /** Times a driver-side action that is NOT a DataFrame collect (the
+      * Bloom build: count + bloom aggregate) under the same
+      * drain/GC/cpu-share discipline as measure(); `body` returns the
+      * row count to record (the filter's sized-for gram count). */
+    def measureRaw(body: () => Long, strategy: String): Entry = {
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      metricsListener.snapshotAndReset()
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      var rows = -1L
+      try rows = body()
+      catch { case e: Throwable => System.err.println(s"[stress] failed: $e") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      val m = metricsListener.snapshotAndReset()
+      spark.catalog.clearCache()
+      System.gc()
+      Entry(if (rows >= 0) sec else -1.0, rows,
+        if (rows >= 0) strategy else "err", gcSec, m.cpuShare)
+    }
+
     // name -> scale -> entry, insertion-ordered for stable JSON
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Entry]]
@@ -187,7 +241,7 @@ object StressBench {
     measure(() => llm.Dedup.connectedComponents(
       llm.Dedup.minhashLsh(Tables.documents(spark, warmDir), 0.95)))
 
-    for ((scale, _) <- scales) {
+    for ((scale, _) <- uniformScales) {
       val dir = s"$root/$scale"
       // Untimed per-scale ANALYZE: each scale's measurements plan on
       // that scale's TRUE rowCounts (the load-time contract); the
@@ -199,6 +253,15 @@ object StressBench {
         measure(() => simjoinAutoNearDup(spark, dir)))
       record("pipeline_decont_bloom", scale,
         measure(() => decontBloom(spark, dir)))
+      // The decont crossover (VERDICT r5 item 5): exact arm beside the
+      // bloom arm, plus the bloom BUILD alone (its load-time cost; probe
+      // ≈ the bloom row minus this) — three curves that locate where
+      // bloom starts paying.
+      record("pipeline_decont_exact", scale,
+        measure(() => decontExact(spark, dir)))
+      record("decont_bloom_build", scale, measureRaw(
+        () => llm.Curate.buildHoldoutBloom(Tables.documents(spark, dir))._2,
+        "bloom_build"))
       // LSH candidate-pair counts via the operators' own candidate stages
       record("minhash_lsh_candidates", scale,
         measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))
@@ -219,6 +282,90 @@ object StressBench {
         measure(() => llm.Dedup.connectedComponents(
           llm.Dedup.minhashLsh(Tables.documents(spark, dir), 0.95))))
       ccRounds(scale) = llm.Dedup.lastCcRounds
+    }
+
+    // ---- s100: banded families only (VERDICT r5 item 8) ----
+    // Half an order of magnitude more span for the queries whose scale
+    // story is the product's thesis: banded MinHash, hyperplane LSH,
+    // the auto arms' LSH side, and the Bloom decontamination arm. The
+    // corpus carries only documents (1 M) + embeddings (2 M); the
+    // relational families stop at s30.
+    for ((scale, _) <- s100) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      for (name <- Seq("minhash_lsh", "tokjoin_auto", "embed_lshpairs"))
+        record(name, scale, measure(() => SparkEntry.queries(name)(spark, dir)))
+      record("simjoin_auto_nd09", scale,
+        measure(() => simjoinAutoNearDup(spark, dir)))
+      record("pipeline_decont_bloom", scale,
+        measure(() => decontBloom(spark, dir)))
+      // s100 is where the auto gate's crossover lands (estimated holdout
+      // grams ≈ 17 M > the 8 M broadcast row budget): the exact arm here
+      // measures what auto is escaping FROM, the registry default
+      // (pipeline_decontaminate, auto) picks bloom on its own.
+      record("pipeline_decont_exact", scale,
+        measure(() => decontExact(spark, dir)))
+      record("pipeline_decontaminate", scale,
+        measure(() => SparkEntry.queries("pipeline_decontaminate")(spark, dir)))
+      record("decont_bloom_build", scale, measureRaw(
+        () => llm.Curate.buildHoldoutBloom(Tables.documents(spark, dir))._2,
+        "bloom_build"))
+      record("minhash_lsh_candidates", scale,
+        measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))
+      record("embed_lsh_candidates", scale,
+        measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, dir))))
+    }
+
+    // ---- Zipf-skew sweep (VERDICT r5 item 3) ----
+    // The uniform corpus's pass bar (per-key work invariant, e_time ≈ 1)
+    // deliberately cannot see hot keys; these dirs re-key events/orders/
+    // lineitem with a Zipf draw (hottest key ~5 % of ALL rows at every
+    // scale — StressGen.writeSkew). Measured arms:
+    //  - join_salted_skew: the MANUAL arm — salt spreads the hot join
+    //    key across reducers, so e_time ≤ ~1.1 is the pass bar;
+    //  - join_plain_skew: the UNSALTED shuffle join under AQE — the pass
+    //    marker is the `+skew` strategy suffix (OptimizeSkewedJoin split
+    //    the hot partition at stress scale, not just in PlanShapeSpec);
+    //  - event_sessionize_skew / topk_per_group_skew: per-key windows,
+    //    where the hot key's work is inherently serial (a session is a
+    //    time-ordered scan of ONE user) — recorded as the honest cost of
+    //    skew on window operators, with AQE unable to help.
+    // Broadcast is disabled for the two joins: at 100 TB neither side
+    // broadcasts, and a broadcast join has no skew problem to measure.
+    // AQE's skew gates shrink WITH the corpus (8 MB threshold, factor 2
+    // vs the hot partition's ~2.5× median here): at 100 TB the DEFAULT
+    // gates (256 MB, 5×) trip on the same code path — a 5 % hot key is
+    // a multi-TB partition.
+    val skewScales = uniformScales.filter { case (s, _) =>
+      dirExists(s"$root/$s/skew") }
+    if (skewScales.nonEmpty) {
+      val skewConfs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          (8L * 1024 * 1024).toString,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+          (4L * 1024 * 1024).toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val savedSkew = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val warmSkew = s"$root/${skewScales.head._1}/skew"
+        for (name <- Seq("event_sessionize", "topk_per_group", "join_salted"))
+          measure(() => SparkEntry.queries(name)(spark, warmSkew))
+        measure(() => plainShuffleJoin(spark, warmSkew))
+        for ((scale, _) <- skewScales) {
+          val dir = s"$root/$scale/skew"
+          for (name <- Seq("event_sessionize", "topk_per_group", "join_salted"))
+            record(s"${name}_skew", scale,
+              measure(() => SparkEntry.queries(name)(spark, dir)))
+          record("join_plain_skew", scale,
+            measure(() => plainShuffleJoin(spark, dir)))
+        }
+      } finally savedSkew.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     }
 
     def fmt(d: Double): String =
@@ -254,8 +401,14 @@ object StressBench {
         s""""sec_per_mrow":$secPerMrow}"""
     }.mkString("{", ",", "}")
     val sizes = scales.map { case (s, f) =>
-      s""""$s":{"docs":${10000 * f.toInt},"embeddings":${20000 * f.toInt},""" +
-        s""""lineitem":${600000L * f.toInt},"orders":${150000L * f.toInt}}"""
+      val present = Seq(
+        "docs" -> ("documents", 10000L * f.toInt),
+        "embeddings" -> ("embeddings", 20000L * f.toInt),
+        "lineitem" -> ("lineitem", 600000L * f.toInt),
+        "orders" -> ("orders", 150000L * f.toInt))
+        .collect { case (k, (t, n)) if dirExists(s"$root/$s/$t.parquet") =>
+          s""""$k":$n""" }
+      s""""$s":{${present.mkString(",")},"skew":${dirExists(s"$root/$s/skew")}}"""
     }.mkString("{", ",", "}")
     val ccJson = ccRounds.map { case (s, n) => s""""$s":$n""" }
       .mkString("{", ",", "}")

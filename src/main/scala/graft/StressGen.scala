@@ -133,6 +133,104 @@ object StressGen {
     (id, v, ((id / ClusterSize) % 10).toInt)
   }
 
+  // ---- Zipf-skewed key variant (VERDICT r5 item 3) ----
+
+  /** Rank support of the skewed key space. */
+  val SkewRanks = 10000
+  /** Zipf exponent (the verdict's example shape for a 100 TB event
+    * log); the Mandelbrot offset below calibrates the HEAD to the
+    * stated target instead of the untruncated s=1.2 head of ~21 %. */
+  val SkewS = 1.2
+  /** Target share of the hottest key (~5 % of all rows). */
+  val SkewHotShare = 0.05
+
+  /** Zipf–Mandelbrot CDF over ranks 1..SkewRanks: P(r) ∝ (r+q)^-s with
+    * q bisected so P(1) ≈ SkewHotShare — "Zipf-keyed, hottest key ~5 %
+    * of rows" exactly as specified. Computed once, driver-side, pure
+    * math: the corpus stays bit-reproducible. */
+  lazy val skewCdf: Array[Double] = {
+    def headShare(q: Double): Double = {
+      var h = 0.0
+      var r = 1
+      while (r <= SkewRanks) { h += math.pow(r + q, -SkewS); r += 1 }
+      math.pow(1 + q, -SkewS) / h
+    }
+    var lo = 0.0
+    var hi = 1000.0
+    var i = 0
+    while (i < 60) {
+      val mid = (lo + hi) / 2
+      if (headShare(mid) > SkewHotShare) lo = mid else hi = mid
+      i += 1
+    }
+    val q = (lo + hi) / 2
+    val w = Array.tabulate(SkewRanks)(r => math.pow(r + 1 + q, -SkewS))
+    val total = w.sum
+    val cdf = new Array[Double](SkewRanks)
+    var acc = 0.0
+    var j = 0
+    while (j < SkewRanks) { acc += w(j) / total; cdf(j) = acc; j += 1 }
+    cdf(SkewRanks - 1) = 1.0 // guard fp drift at the tail
+    cdf
+  }
+
+  /** Rank (1-based) for a uniform draw u ∈ [0, 1). */
+  def skewRank(u: Double): Int = {
+    val i = java.util.Arrays.binarySearch(skewCdf, u)
+    (if (i >= 0) i else -i - 1) + 1
+  }
+
+  /**
+   * Skewed twins of the three stress tables, written to `$outDir/skew/`
+   * — SAME row counts, timelines and payloads as the uniform corpus,
+   * only the KEY distribution changes (uniform → Zipf): the uniform
+   * sweep's per-key-work-invariant pass bar (e_time ≈ 1) deliberately
+   * can't see hot keys, so AQE skew-split and the salted join had no
+   * stress-scale evidence (VERDICT r5 item 1 of "What's missing").
+   *
+   *  - events.user_id   ← rank(xxhash(event_id)): the hot USER owns ~5 %
+   *    of all events at every scale — sessionize/window pain;
+   *  - orders.o_custkey ← rank(xxhash(o_orderkey)): the hot CUSTOMER for
+   *    topk_per_group's per-group window;
+   *  - lineitem.l_orderkey ← rank-1 (ranks 1..10⁴ are all valid
+   *    orderkeys in replica 0 — the shipped keys are dense 0..149 999):
+   *    the hot JOIN key for salted-vs-plain shuffle joins. Inner-join
+   *    matches survive by construction; the probe side's hot partition
+   *    is what the skew machinery must absorb.
+   *
+   * The draw is keyed on xxhash64 of the row's stable id — deterministic,
+   * scale-consistent (a row keeps its key across factors; the hot key's
+   * row count grows exactly ×factor).
+   */
+  def writeSkew(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val rankOf = udf((u: Double) => skewRank(u).toLong)
+    def u(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (shiftrightunsigned(xxhash64(c), 11).cast("double")
+        / lit((1L << 53).toDouble))
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    // replicate() shape inline: shift the unique event_id per copy, then
+    // overwrite the KEY column with its Zipf rank.
+    (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+      .withColumn("user_id", rankOf(u(col("event_id"))))
+      .write.mode("overwrite").parquet(s"$outDir/skew/events.parquet")
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until factor).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+      .withColumn("o_custkey", rankOf(u(col("o_orderkey"))))
+      .write.mode("overwrite").parquet(s"$outDir/skew/orders.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ unionByName _)
+      .withColumn("l_orderkey",
+        rankOf(u(concat_ws("_", col("l_orderkey"), col("l_linenumber")))) - 1)
+      .write.mode("overwrite").parquet(s"$outDir/skew/lineitem.parquet")
+  }
+
   // ---- relational replication ----
 
   /** k disjoint key-shifted copies: distributions, date windows and
@@ -149,8 +247,10 @@ object StressGen {
     out.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
   }
 
-  def writeScale(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+  /** documents + embeddings at `factor` — split out so the s100 point
+    * (banded families only, VERDICT r5 item 8) can generate JUST the
+    * two tables the LSH sweep reads without 60 M lineitem rows. */
+  def writeDocsEmb(spark: SparkSession, outDir: String, factor: Int): Unit = {
     import spark.implicits._
     val docN = 10000L * factor
     val embN = 20000L * factor
@@ -160,6 +260,11 @@ object StressGen {
     spark.range(0, embN, 1, 32).map((id: java.lang.Long) => embRow(id))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def writeScale(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    writeDocsEmb(spark, outDir, factor)
     replicate(spark, srcDir, outDir, "lineitem", Seq("l_orderkey"), factor)
     replicate(spark, srcDir, outDir, "orders", Seq("o_orderkey"), factor)
     // events: key-shift user_id AND event_id — each copy is a disjoint
@@ -182,10 +287,30 @@ object StressGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.tune(spark)
+    def missing(path: String): Boolean =
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path))
+    // Generation is deterministic, so existing directories are already
+    // bit-identical to what a rewrite would produce — skip them (the
+    // uniform corpus is minutes of work at s30; delete a dir to force).
     for ((name, factor) <- Seq(("s1", 1), ("s3", 3), ("s10", 10), ("s30", 30))) {
-      writeScale(spark, srcDir, s"$outRoot/$name", factor)
-      println(s"[stressgen] wrote $outRoot/$name (factor $factor)")
+      val dir = s"$outRoot/$name"
+      if (missing(s"$dir/documents.parquet")) {
+        writeScale(spark, srcDir, dir, factor)
+        println(s"[stressgen] wrote $dir (factor $factor)")
+      } else println(s"[stressgen] $dir exists, skipping")
+      if (missing(s"$dir/skew/events.parquet")) {
+        writeSkew(spark, srcDir, dir, factor)
+        println(s"[stressgen] wrote $dir/skew (factor $factor)")
+      } else println(s"[stressgen] $dir/skew exists, skipping")
     }
+    // s100: documents + embeddings only — the half-order-of-magnitude
+    // extension for the banded LSH families (VERDICT r5 item 8); the
+    // relational tables would be 60 M rows of replication the banded
+    // sweep never reads.
+    if (missing(s"$outRoot/s100/documents.parquet")) {
+      writeDocsEmb(spark, s"$outRoot/s100", 100)
+      println(s"[stressgen] wrote $outRoot/s100 (factor 100, docs+embeddings)")
+    } else println(s"[stressgen] $outRoot/s100 exists, skipping")
     spark.stop()
   }
 }

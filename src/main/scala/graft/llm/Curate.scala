@@ -186,24 +186,81 @@ object Curate {
    * exchange width — kept as the exact string here so the oracle
    * comparison is collision-free by construction.
    */
-  /** Conf: `exact` (default) joins every train gram against the holdout
-    * index; `bloom` pre-filters train grams through a Bloom filter of
-    * the holdout grams first. Output is identical either way. */
+  /** Conf: `exact` joins every train gram against the holdout index;
+    * `bloom` pre-filters train grams through a Bloom filter of the
+    * holdout grams first; `auto` (default, r6 — VERDICT r5 item 5)
+    * picks bloom exactly when the estimated holdout gram index
+    * outgrows the broadcast row budget, i.e. the regime where the
+    * exact arm's probe join stops broadcasting and degrades to a full
+    * shuffle of the (enormous) train gram stream. Output is identical
+    * on every arm. */
   val DecontStrategyKey = "spark.graft.decontaminate.strategy"
 
-  def decontaminate(docs: DataFrame): DataFrame = {
-    val n = 5
-    val splitCol =
-      when(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2) < "e6",
-        "train").otherwise("holdout")
-    val base = docs.select(col("doc_id"), splitCol.as("split"),
-      split(col("text"), " ").as("toks"))
-    // sequence(0, size-n) is ascending only when size >= n — guard first
-    // (Spark's sequence() steps DOWNWARD when start > stop).
-    val grams = base.filter(size(col("toks")) >= n)
+  /** Word-shingle width (production uses 8–13; 5 fits the corpus). */
+  private val GramN = 5
+
+  /** Estimated DISTINCT grams per holdout doc for the auto gate: the
+    * stress corpus draws 100–250 tokens/doc (mean ≈ 175 → ≈ 170 grams);
+    * the shipped sf tables run shorter (10–99 tokens, ≈ 50 grams), so
+    * this constant OVER-estimates there — erring toward bloom, the arm
+    * that always finishes (same safe-direction rule as StatsEst). */
+  private val EstGramsPerHoldoutDoc = 170L
+
+  /** Holdout share of the salted-md5 split (md5 prefix < "e6" is train:
+    * 230/256 ≈ 0.9 train, 0.1 holdout). */
+  private val HoldoutShare = 0.1
+
+  private def splitExpr =
+    when(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2) < "e6",
+      "train").otherwise("holdout")
+
+  /** (doc_id, split, gram) — every GramN-token shingle of every doc.
+    * sequence(0, size-n) is ascending only when size >= n — guard first
+    * (Spark's sequence() steps DOWNWARD when start > stop). */
+  private def docGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), splitExpr.as("split"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= GramN)
       .select(col("doc_id"), col("split"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
+        s"transform(sequence(0, size(toks) - $GramN), " +
+          s"i -> array_join(slice(toks, i + 1, $GramN), ' '))"))
         .as("gram"))
+
+  /** The bloom arm's LOAD-TIME cost, isolated so the stress sweep can
+    * time BUILD separately from probe: one count + one bloom aggregate
+    * over the SMALL (holdout) side only — the same cost class as
+    * ANALYZE, paid once per load and amortized over every probe.
+    * Returns the filter and the distinct-gram count it was sized for
+    * (~1.2 B/gram at 1 % fpp). */
+  def buildHoldoutBloom(docs: DataFrame)
+      : (org.apache.spark.util.sketch.BloomFilter, Long) = {
+    val holdGrams = docGrams(docs).filter(col("split") === "holdout")
+      .select(col("gram")).distinct()
+    val nGrams = math.max(holdGrams.count(), 1L)
+    (holdGrams.stat.bloomFilter("gram", nGrams, 0.01), nGrams)
+  }
+
+  /** The auto gate (true = bloom), split out for the arm test: bloom
+    * once the ESTIMATED holdout gram index (driver-side plan stats —
+    * StatsEst leaf rows × holdout share × grams/doc, no job runs)
+    * exceeds the broadcast row budget the exact arm's probe join is
+    * gated on ([[graft.Q.maybeBroadcast]]'s threshold): past it the
+    * exact arm shuffles EVERY train gram, while the bloom bits still
+    * broadcast at ~1.2 B/gram and the verify join only sees the
+    * contaminated sliver. The crossover is measured in
+    * BENCH_stress.json (decont arms at s1–s100) rather than guessed. */
+  private[graft] def decontWantsBloom(docs: DataFrame): Boolean = {
+    val nDocs = graft.plans.StatsEst.estimatedRows(
+      docs.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesTok)
+    val estHoldoutGrams =
+      (BigDecimal(nDocs) * HoldoutShare * EstGramsPerHoldoutDoc).toBigInt
+    val rowBudget = docs.sparkSession.conf
+      .get(Q.BroadcastSideThresholdKey, "8000000").toLong
+    estHoldoutGrams > rowBudget
+  }
+
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = docGrams(docs)
     val holdIdx = grams.filter(col("split") === "holdout")
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
     val trainGramsAll = grams.filter(col("split") === "train")
@@ -222,13 +279,17 @@ object Curate {
     // only (two jobs at load time: count + build), same cost class as
     // ANALYZE; the train side is never collected.
     val bloomArm = docs.sparkSession.conf
-      .getOption(DecontStrategyKey).contains("bloom")
+      .getOption(DecontStrategyKey).getOrElse("auto") match {
+        case "bloom" => true
+        case "exact" => false
+        case "auto" => decontWantsBloom(docs)
+        case other => throw new IllegalArgumentException(
+          s"$DecontStrategyKey must be exact|bloom|auto, got '$other'")
+      }
     val trainGrams =
       if (!bloomArm) trainGramsAll
       else {
-        val holdGrams = holdIdx.select(col("gram")).distinct()
-        val nGrams = math.max(holdGrams.count(), 1L)
-        val bloom = holdGrams.stat.bloomFilter("gram", nGrams, 0.01)
+        val (bloom, _) = buildHoldoutBloom(docs)
         val bf = docs.sparkSession.sparkContext.broadcast(bloom)
         val mightContain = udf((g: String) => bf.value.mightContainString(g))
         trainGramsAll.filter(mightContain(col("gram")))
@@ -237,7 +298,11 @@ object Curate {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"),
         countDistinct(col("eval_doc")).as("n_eval_docs"))
-    base.filter(col("split") === "train").select(col("doc_id"))
+    // EVERY train doc appears in the report (zero rows included), so the
+    // base is the unsharded doc list — docGrams' size-≥-n filter must
+    // not drop short docs here.
+    docs.select(col("doc_id"), splitExpr.as("split"))
+      .filter(col("split") === "train").select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),

@@ -423,6 +423,24 @@ class LlmSpec extends SparkSpec {
     } finally s.conf.unset(llm.Curate.DecontStrategyKey)
   }
 
+  test("decontaminate auto arm flips to bloom exactly when the estimated holdout index outgrows the broadcast budget") {
+    val s = spark
+    // spark.range carries an EXACT rowCount in plan stats, so the gate
+    // decides on truth here; gate math: bloom iff n × 0.1 holdout share
+    // × 170 grams/doc > the 8 M broadcast row budget ⇒ n > ~470 k.
+    def docsOf(n: Long) = s.range(n)
+      .select(col("id").as("doc_id"), lit("a b c d e f").as("text"))
+    assert(!llm.Curate.decontWantsBloom(docsOf(100000L)),
+      "a 100 k corpus must keep the exact (broadcast-probe) arm")
+    assert(llm.Curate.decontWantsBloom(docsOf(1000000L)),
+      "a 1 M corpus must flip to the bloom pre-filter arm")
+    // and the budget conf moves the crossover with it
+    s.conf.set(Q.BroadcastSideThresholdKey, "1000000")
+    try assert(llm.Curate.decontWantsBloom(docsOf(100000L)),
+      "shrinking the broadcast budget must pull the crossover down")
+    finally s.conf.unset(Q.BroadcastSideThresholdKey)
+  }
+
   test("pipeline_datamix: per-lang kept tokens fit the budget and admission is a doc_id prefix (sf0.001)") {
     val out = llm.Curate.queries("pipeline_datamix")(spark, sf0001)
     val totalToks = Tables.documents(spark, sf0001)
