@@ -183,6 +183,16 @@ object Bench {
         .asScala.map(_.getCollectionTime).filter(_ > 0).sum
     }
 
+    // Probes FIRST, ANALYZE second (ADVICE r6): the probe anchors were
+    // measured with probe_filter absorbing the session's first parquet
+    // read; r6 ran registerAndAnalyze ahead of them, which pre-warmed
+    // that read and biased host_factor low (inflating total_normalized
+    // vs the r1–r5 artifacts it must stay comparable with). The probes
+    // therefore run on plain path reads — CatalogDirKey is still unset —
+    // under exactly the anchor conditions.
+    val probeResults = probes(sfDir).map { case (name, base, run) =>
+      (name, base, time(run(spark)))
+    }
     // ANALYZE at load time, outside every per-query window (the
     // one-scan-per-table cost a warehouse pays once per load, reported
     // separately like bucket_setup_sec): the measured queries then plan
@@ -190,9 +200,6 @@ object Bench {
     // the stats-informed ones a production deployment would run
     // (VERDICT r5 item 4).
     val analyzeSec = time(sources.CatalogStats.registerAndAnalyze(spark, sfDir))
-    val probeResults = probes(sfDir).map { case (name, base, run) =>
-      (name, base, time(run(spark)))
-    }
     // One-time warehouse CTAS work (bucketed join tables, date-partitioned
     // events) is write-amortized setup cost, not steady-state query cost —
     // create ahead of the timed loop so join_bucketed measures the

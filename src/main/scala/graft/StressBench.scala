@@ -278,10 +278,15 @@ object StressBench {
       // cost model is fixpoint rounds × one full join+agg shuffle, so
       // BOTH seconds and rounds are recorded (cc_rounds below): constant
       // near-dup diameters must keep rounds flat as the corpus grows.
-      record("dedup_components_lsh", scale,
-        measure(() => llm.Dedup.connectedComponents(
-          llm.Dedup.minhashLsh(Tables.documents(spark, dir), 0.95))))
-      ccRounds(scale) = llm.Dedup.lastCcRounds
+      // Reset the rounds probe BEFORE the run and record it only on
+      // success (ADVICE r6): measure() swallows exceptions, so a failed
+      // scale would otherwise re-record the previous scale's count and
+      // fabricate the flat-rounds evidence this row exists to provide.
+      llm.Dedup.lastCcRounds = -1
+      val ccEntry = measure(() => llm.Dedup.connectedComponents(
+        llm.Dedup.minhashLsh(Tables.documents(spark, dir), 0.95)))
+      record("dedup_components_lsh", scale, ccEntry)
+      if (ccEntry.rows >= 0) ccRounds(scale) = llm.Dedup.lastCcRounds
     }
 
     // ---- s100: banded families only (VERDICT r5 item 8) ----

@@ -48,9 +48,12 @@ object Tables {
     // catalog so persisted rowCounts reach plan stats — the stats-driven
     // arms then decide on truth instead of leaf-byte estimates, with no
     // counting job at query time. Identical scan otherwise (same
-    // parquet relation, pushdown/pruning unchanged).
+    // parquet relation, pushdown/pruning unchanged). Registration is
+    // per-table since r7 (stress dirs carry a subset of the ten names),
+    // so a name missing from the catalog keeps its path read.
     val viaCatalog = spark.conf
-      .getOption(sources.CatalogStats.CatalogDirKey).contains(dir)
+      .getOption(sources.CatalogStats.CatalogDirKey).contains(dir) &&
+      spark.catalog.tableExists(sources.CatalogStats.tableName(name))
     val df =
       if (viaCatalog) spark.table(sources.CatalogStats.tableName(name))
       else spark.read.parquet(s"$dir/$name.parquet")

@@ -32,6 +32,17 @@ import org.apache.spark.sql.expressions.Window
  * quality gate is a free per-row filter; the sample bounds what leaves
  * the pipeline. Every stage shuffles by doc or language key only — no
  * stage collects.
+ *
+ * r6→r7 regression bisect (VERDICT r6 #2): BENCH_r06's heavy tier read
+ * this entry at 48.1 s (vs 26.5 s in r5) with CBO newly on, so CBO
+ * join-reorder was the prime suspect. Bisected with [[graft.TimeOne]]
+ * (clean JVM, sf0.1, idle host, 2 reps each): ANALYZE+CBO 26.4/24.0 s,
+ * ANALYZE with CBO off 26.2/25.3 s, no ANALYZE (r5 conditions)
+ * 25.5/24.6 s — identical SMJ+BHJ strategies in all three. CBO is
+ * exonerated; the 48.1 s reading (cpu_share 0.733 — ~27 % of task
+ * time descheduled) was host contention during the r6 driver run, the
+ * same anomaly class as r5's one-off 34 s s10 reading. No code change
+ * was warranted; the r7 bench artifact is the re-measurement.
  */
 object Curate {
 
@@ -241,22 +252,32 @@ object Curate {
   }
 
   /** The auto gate (true = bloom), split out for the arm test: bloom
-    * once the ESTIMATED holdout gram index (driver-side plan stats —
-    * StatsEst leaf rows × holdout share × grams/doc, no job runs)
-    * exceeds the broadcast row budget the exact arm's probe join is
-    * gated on ([[graft.Q.maybeBroadcast]]'s threshold): past it the
-    * exact arm shuffles EVERY train gram, while the bloom bits still
-    * broadcast at ~1.2 B/gram and the verify join only sees the
-    * contaminated sliver. The crossover is measured in
-    * BENCH_stress.json (decont arms at s1–s100) rather than guessed. */
+    * once the ESTIMATED holdout index (driver-side plan stats — StatsEst
+    * leaf rows × holdout share × grams/doc, no job runs) exceeds the
+    * broadcast row budget the exact arm's probe join is gated on
+    * ([[graft.Q.maybeBroadcast]]'s threshold): past it the exact arm
+    * shuffles EVERY train gram, while the bloom bits still broadcast at
+    * ~1.2 B/gram and the verify join only sees the contaminated sliver.
+    *
+    * What the estimate counts (ADVICE r6): the exact arm broadcasts
+    * holdIdx = distinct (eval_doc, gram) PAIRS, not distinct grams —
+    * and docs × share × grams/doc sums each doc's own distinct grams
+    * SEPARATELY, so it estimates exactly that pair count (the global
+    * distinct-gram count is ≤ it by whatever cross-doc overlap exists).
+    * The gate therefore compares the broadcast's true row count; its
+    * only optimistic error is the grams/doc constant, which
+    * over-estimates on the shipped sf corpora (≈ 50 actual vs 170) —
+    * erring toward bloom, the arm that always finishes. The crossover
+    * is measured in BENCH_stress.json (decont arms at s1–s100) rather
+    * than guessed. */
   private[graft] def decontWantsBloom(docs: DataFrame): Boolean = {
     val nDocs = graft.plans.StatsEst.estimatedRows(
       docs.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesTok)
-    val estHoldoutGrams =
+    val estHoldoutPairs =
       (BigDecimal(nDocs) * HoldoutShare * EstGramsPerHoldoutDoc).toBigInt
     val rowBudget = docs.sparkSession.conf
       .get(Q.BroadcastSideThresholdKey, "8000000").toLong
-    estHoldoutGrams > rowBudget
+    estHoldoutPairs > rowBudget
   }
 
   def decontaminate(docs: DataFrame): DataFrame = {

