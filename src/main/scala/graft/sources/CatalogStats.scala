@@ -98,10 +98,15 @@ object CatalogStats {
 
   /** Idempotently register a parquet directory as an external catalog
     * table — the prerequisite for persisting statistics (a path-based
-    * read has no metastore entry to hold them). */
+    * read has no metastore entry to hold them). The LOCATION is
+    * absolutized first: Spark resolves a relative catalog location
+    * against the warehouse dir, not the process cwd, so a relative
+    * `stressdata/s1/...` registered an empty location and every stress
+    * ANALYZE failed with UNABLE_TO_INFER_SCHEMA (the r6 no-op, take 2 —
+    * the driver's absolute `/root/testdata/...` paths masked it). */
   def register(spark: SparkSession, table: String, path: String): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
-      s"LOCATION '$path'")
+      s"LOCATION '${new java.io.File(path).getAbsolutePath}'")
 
   /** `ANALYZE TABLE` — table-level row count + per-column NDV/min/max
     * for `columns` (equi-height histograms are a further conf away).
