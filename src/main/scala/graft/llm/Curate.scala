@@ -267,9 +267,18 @@ object Curate {
     * The gate therefore compares the broadcast's true row count; its
     * only optimistic error is the grams/doc constant, which
     * over-estimates on the shipped sf corpora (≈ 50 actual vs 170) —
-    * erring toward bloom, the arm that always finishes. The crossover
-    * is measured in BENCH_stress.json (decont arms at s1–s100) rather
-    * than guessed. */
+    * erring toward bloom, the arm that always finishes. The r7 sweep
+    * (BENCH_stress.json `pipeline_decont_exact` / `_bloom` /
+    * `decont_bloom_build`, s1–s100) measures WHERE that matters: on
+    * wall-clock alone exact still edges bloom even at s100 (79.7 s vs
+    * 86.8 s, 17.2 M grams, build 12.3 s of the gap) — the gate's win
+    * is not speed at these scales but the broadcast bound itself: at
+    * s100 the exact arm ships a 17 M-row index (~0.5 GB hashed
+    * relation, already past [[graft.Q.BroadcastSideThresholdKey]]'s
+    * 8 M-row budget) where bloom ships ~21 MB of bits, the difference
+    * between an executor-OOM cliff and a flat curve at the next decade.
+    * Wall-clock parity + bounded memory is exactly the trade a 100 TB
+    * decontamination pass wants. */
   private[graft] def decontWantsBloom(docs: DataFrame): Boolean = {
     val nDocs = graft.plans.StatsEst.estimatedRows(
       docs.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesTok)

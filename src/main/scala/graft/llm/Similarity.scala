@@ -371,7 +371,9 @@ object Similarity {
    * occupancy to ≈ √n̂, and nprobe ≈ ⌈√nlist⌉ ≈ n̂^¼ makes the probed
    * FRACTION nprobe/nlist ≈ n̂^(−¼) SHRINK as the corpus grows —
    * candidates per probe ≈ n·nprobe/nlist ≈ n^¾, exponent < 1
-   * (measured in BENCH_stress.json's ann_ivf_candidates row). The r5
+   * (measured: BENCH_stress.json `ann_ivf_candidates` e_rows 0.747
+   * over s1–s30, 25 459 → 327 740 candidate rows for 30× the corpus —
+   * the r7 sweep with every scale ANALYZEd). The r5
    * fixed nlist=10/nprobe=3 scanned a constant 30 % of the corpus at
    * ANY size — an O(n) scan dressed as ANN, the same bug class the
    * hyperplane band fix proved real. n̂ is driver-side plan stats
