@@ -292,32 +292,53 @@ object Similarity {
     * mean update shrinks centroid norms and DIVERGES (measured: the
     * objective test caught it).
     *
-    * r6 (corpus-sized nlist made this the hot path): the argmin is a
-    * `min_by` HASH AGGREGATE, not a window — the n×nlist cross frame
-    * collapses map-side (the broadcast cross join emits each vector's
-    * nlist rows contiguously, so partial aggregation reduces them to
-    * one row per vector BEFORE the exchange; the former row_number
-    * window shuffled all n×nlist rows — 465 M at stress s30). The
-    * ordering struct (c_dist, cl) is unique per row, so ties are
-    * deterministic. Distances run on the codegen'd DotF32 kernel over
-    * float-cast centroids (the HOF double form is interpreted,
-    * per-element dispatch — measured too slow at n×√n call counts);
-    * assignment flips only on sub-1e-6 near-ties, which the sketch
-    * gates tolerate by construction. */
+    * r7 (the stress sweep priced the r6 shape): assignment is now ONE
+    * codegen'd projection — [[graft.plans.NearestCentroidF32]] carries
+    * the packed centroid matrix into whole-stage codegen as a plan
+    * constant and emits the argmin cluster id per row. No cross join,
+    * no aggregate, no shuffle: scan shape at any corpus size. The r6
+    * crossJoin + `min_by(struct(cl, embedding), struct(c_dist, cl))`
+    * spelling assumed the n×nlist frame would collapse in a map-side
+    * HASH aggregate; in fact min_by over an array-bearing struct is
+    * not hash-aggregable and Spark planned a SortAggregate — sorting
+    * the exploded stream (each row carrying the full embedding,
+    * ~27 GB at stress s10) twice. Measured: the r7 sweep's ann_ivf
+    * build spent 124 s of 135 s there at s10; the kernel does the same
+    * 89.6 M distance evaluations inside codegen in ~2 s.
+    *
+    * The centroid collect is a bounded driver fetch (≤ 4096 × 64
+    * floats ≈ 1 MB off an eagerly-checkpointed k-row frame) — the same
+    * accepted class as the k-seed fetch above. Metric and tie parity
+    * with the r6 frame is bit-exact (float-cast centroids, double
+    * accumulation, ties → lowest cl; see the kernel's Scaladoc). */
   private def assignClusters(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("cl"),
-        expr("transform(centroid, x -> cast(x as float))").as("centroid_f"))
-      .withColumn("csq", sumSq(col("centroid_f"))))
-    emb.crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("cl"),
-        (col("csq") - lit(2.0) * dotFast(col("embedding"), col("centroid_f")))
-          .as("c_dist"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cl"), col("embedding")),
-        struct(col("c_dist"), col("cl"))).as("s"))
-      .select(col("vec_id"), col("s.embedding").as("embedding"),
-        col("s.cl").as("cl"))
+    val (flat, ids, dim) = collectCentroidsF32(centroids)
+    emb.select(col("vec_id"), col("embedding"),
+      graft.plans.VectorExprs.nearestCentroid(col("embedding"), flat, ids, dim)
+        .as("cl"))
+  }
+
+  /** Pack the (cl, centroid) frame into a row-major float matrix + id
+    * map for [[graft.plans.NearestCentroidF32]], ascending cl (the
+    * kernel's tie order). Bounded: k ≤ 4096 rows × dim floats. */
+  private def collectCentroidsF32(centroids: DataFrame)
+      : (Array[Float], Array[Int], Int) = {
+    val rows = centroids
+      .select(col("cl").cast("int"),
+        expr("transform(centroid, x -> cast(x as float))").as("cf"))
+      .orderBy(col("cl")).collect()
+    require(rows.nonEmpty, "no centroids to pack")
+    val dim = rows(0).getSeq[Float](1).length
+    val ids = rows.map(_.getInt(0))
+    val flat = new Array[Float](rows.length * dim)
+    var c = 0
+    while (c < rows.length) {
+      val v = rows(c).getSeq[Float](1)
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = v(j); j += 1 }
+      c += 1
+    }
+    (flat, ids, dim)
   }
 
   /**

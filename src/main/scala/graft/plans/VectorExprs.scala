@@ -414,6 +414,101 @@ case class HyperplaneBands(child: Expression, planes: Array[Float],
     copy(child = newChild)
 }
 
+/**
+ * Nearest-centroid id of a float vector against a plan-constant packed
+ * centroid matrix — the IVF bucket assignment as ONE codegen'd
+ * projection (round 7). The declarative spelling (crossJoin against a
+ * broadcast centroid frame + `min_by(struct(cl, embedding),
+ * struct(c_dist, cl))` per vec_id) explodes n×nlist rows EACH CARRYING
+ * THE FULL EMBEDDING, and min_by over an array-bearing struct is not
+ * hash-aggregable — Spark plans a SortAggregate, i.e. it sorts the
+ * whole exploded stream twice (partial + final, ~27 GB at s10 in the
+ * r7 stress sweep: 124 s of the 135 s ann_ivf build). Here the matrix
+ * rides into codegen as a reference object (≤ 4096 × 64 floats ≈ 1 MB)
+ * and assignment is n tight argmin loops inside whole-stage codegen —
+ * no join, no aggregate, no shuffle, scan shape at any corpus size.
+ *
+ * Metric parity with the frame it replaced: dist = Σc² − 2·v·c with
+ * centroids cast to FLOAT first and both the csq and dot accumulated
+ * in double left-to-right (bit-identical to `sumSq(centroid_f) − 2 ·
+ * DotF32(emb, centroid_f)`); ties keep the LOWEST cl (strict `<`, ids
+ * scanned in ascending-cl pack order — `min_by`'s struct(c_dist, cl)
+ * ordering). `clIds` maps pack position back to the cluster id so
+ * sparse id sets (empty k-means clusters) resolve exactly like the
+ * join resolved them: absent centroids simply cannot win.
+ */
+case class NearestCentroidF32(child: Expression, centroids: Array[Float],
+    clIds: Array[Int], dim: Int) extends UnaryExpression {
+
+  private def m: Int = clIds.length
+
+  // Σc² per packed centroid, double-accumulated over the float values —
+  // a plan constant derived once on the driver.
+  private lazy val csq: Array[Double] = Array.tabulate(m) { c =>
+    var s = 0.0
+    var j = 0
+    while (j < dim) { s += centroids(c * dim + j).toDouble * centroids(c * dim + j).toDouble; j += 1 }
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if dim > 0 && clIds.nonEmpty && centroids.length == clIds.length * dim =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid expects array<float>, non-empty centroids × dim pack, got $other")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    var best = 0
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < m) {
+      var dot = 0.0
+      val base = c * dim
+      var j = 0
+      while (j < n) { dot += v.getFloat(j).toDouble * centroids(base + j).toDouble; j += 1 }
+      val dist = csq(c) - 2.0 * dot
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    clIds(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centRef = ctx.addReferenceObj("ncCentroids", centroids, "float[]")
+      val csqRef = ctx.addReferenceObj("ncCsq", csq, "double[]")
+      val idsRef = ctx.addReferenceObj("ncClIds", clIds, "int[]")
+      val n = ctx.freshName("n"); val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist"); val c = ctx.freshName("c")
+      val dot = ctx.freshName("dot"); val base = ctx.freshName("base")
+      val j = ctx.freshName("j"); val dist = ctx.freshName("dist")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |int $best = 0;
+         |double $bestDist = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $m; $c++) {
+         |  double $dot = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += ((double) $a.getFloat($j)) * ((double) $centRef[$base + $j]);
+         |  }
+         |  double $dist = $csqRef[$c] - 2.0 * $dot;
+         |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+         |}
+         |${ev.value} = $idsRef[$best];
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over float arrays, accumulated in double. */
   def dotF32(a: Column, b: Column): Column =
@@ -440,4 +535,11 @@ object VectorExprs {
       bitsPerBand: Int, dim: Int): Column =
     GraftShims.exprColumn(
       HyperplaneBands(GraftShims.expr(emb), planes, bitsPerBand, dim))
+
+  /** Nearest-centroid cluster id (centroids flattened row-major,
+    * clIds mapping pack position → cluster id). */
+  def nearestCentroid(emb: Column, centroids: Array[Float],
+      clIds: Array[Int], dim: Int): Column =
+    GraftShims.exprColumn(
+      NearestCentroidF32(GraftShims.expr(emb), centroids, clIds, dim))
 }

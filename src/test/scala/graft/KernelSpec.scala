@@ -117,6 +117,50 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroidF32 == crossJoin + min_by(struct(c_dist, cl)) argmin") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf0001).limit(300)
+    // Sparse, unordered cluster ids exercise the pack-position → cl map
+    // (empty k-means clusters leave holes exactly like this).
+    val cents = emb.filter($"vec_id".isin(3, 11, 42, 77, 104))
+      .select(($"vec_id" * 7).cast("int").as("cl"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+    // Reference: the r6 declarative spelling this kernel replaced.
+    val cf = cents.select($"cl",
+      expr("transform(centroid, x -> cast(x as float))").as("centroid_f"))
+    val hofDot = aggregate(zip_with($"embedding", $"centroid_f",
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+    val hofCsq = aggregate(transform($"centroid_f",
+        x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)
+    val ref = emb.crossJoin(broadcast(cf))
+      .select($"vec_id", $"cl", (hofCsq - lit(2.0) * hofDot).as("c_dist"))
+      .groupBy($"vec_id")
+      .agg(min_by($"cl", struct($"c_dist", $"cl")).as("cl_ref"))
+    // Kernel path: pack the same centroids the way ivfParts does.
+    val rows = cents.select($"cl",
+        expr("transform(centroid, x -> cast(x as float))").as("cf"))
+      .orderBy($"cl").collect()
+    val dim = rows(0).getSeq[Float](1).length
+    val ids = rows.map(_.getInt(0))
+    val flat = rows.flatMap(_.getSeq[Float](1)).toArray
+    val fast = emb.select($"vec_id",
+      VectorExprs.nearestCentroid($"embedding", flat, ids, dim).as("cl_fast"))
+    val diff = fast.join(ref, "vec_id")
+      .filter($"cl_fast" =!= $"cl_ref").count()
+    assert(diff === 0)
+    // Exact-tie determinism: a point equidistant to two duplicate
+    // centroids must take the LOWER cl — strict < keeps the first in
+    // pack order, and collectCentroidsF32 packs ascending cl.
+    val v = Array.fill(4)(0.5f)
+    val dup = Array(v, v).flatten
+    val tie = Seq((1L, v.toSeq)).toDF("vec_id", "embedding")
+      .select(VectorExprs.nearestCentroid(
+        $"embedding".cast("array<float>"), dup, Array(4, 9), 4).as("cl"))
+      .collect()(0).getInt(0)
+    assert(tie === 4, "tie must resolve to the lowest cl in ascending pack order")
+  }
+
   test("kernels stay inside whole-stage codegen") {
     val s = spark
     import s.implicits._
