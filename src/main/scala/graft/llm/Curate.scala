@@ -269,14 +269,16 @@ object Curate {
     * over-estimates on the shipped sf corpora (≈ 50 actual vs 170) —
     * erring toward bloom, the arm that always finishes. The r7 sweep
     * (BENCH_stress.json `pipeline_decont_exact` / `_bloom` /
-    * `decont_bloom_build`, s1–s100) measures WHERE that matters: on
-    * wall-clock alone exact still edges bloom even at s100 (79.7 s vs
-    * 86.8 s, 17.2 M grams, build 12.3 s of the gap) — the gate's win
-    * is not speed at these scales but the broadcast bound itself: at
-    * s100 the exact arm ships a 17 M-row index (~0.5 GB hashed
-    * relation, already past [[graft.Q.BroadcastSideThresholdKey]]'s
-    * 8 M-row budget) where bloom ships ~21 MB of bits, the difference
-    * between an executor-OOM cliff and a flat curve at the next decade.
+    * `decont_bloom_build`, s1–s100) measures WHERE that matters: the
+    * two arms are at wall-clock PARITY across the span (s10 bloom
+    * 12.0 s vs exact 15.1 s, s30 exact 25.0 s vs bloom 26.7 s, s100
+    * bloom 86.7 s vs exact 88.8 s; build 12.5 s of bloom's s100 cost)
+    * — so the gate's win is not speed at these scales but the
+    * broadcast bound itself: at s100 the exact arm ships a 17 M-row
+    * index (~0.5 GB hashed relation, already past
+    * [[graft.Q.BroadcastSideThresholdKey]]'s 8 M-row budget) where
+    * bloom ships ~21 MB of bits, the difference between an
+    * executor-OOM cliff and a flat curve at the next decade.
     * Wall-clock parity + bounded memory is exactly the trade a 100 TB
     * decontamination pass wants. */
   private[graft] def decontWantsBloom(docs: DataFrame): Boolean = {
