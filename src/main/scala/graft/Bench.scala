@@ -221,6 +221,21 @@ object Bench {
     val suite =
       if (allMode) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
+    // Per-query failure MESSAGE, not just the -1 sentinel (ADVICE r7):
+    // the r7 contended-host artifact recorded 8 events-family queries as
+    // `err` with zero task seconds — plan-time failures — and nothing
+    // else; root-causing required stderr that no round artifact keeps.
+    // The exception rides in the artifact so a failed run explains
+    // itself.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def jsonEsc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' | '\r' => " "
+        case c if c < ' ' => ""
+        case c => c.toString
+      }
     def runSuite(names: Seq[String]) = names.map { name =>
       val fn = SparkEntry.queries(name)
       var exec: Option[org.apache.spark.sql.DataFrame] = None
@@ -251,7 +266,9 @@ object Bench {
           true
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); false
+            System.err.println(s"[bench] $name failed: $e")
+            errors(name) = jsonEsc(e.toString.take(300))
+            false
         }
       val t = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis() - gc0) / 1e3
@@ -302,11 +319,23 @@ object Bench {
     val probeTotal = probeResults.map(_._3).sum
     val probeBaseline = probeResults.map(_._2).sum
     val hostFactor = probeTotal / probeBaseline
+    // Comparability contract (ADVICE r7): `value` sums only the queries
+    // that ran, so a run with failures is NOT comparable to a clean one
+    // — the r7 contended artifact read as a 40% "speedup" because 8
+    // sentinel entries silently shrank the summed set. n_queries/n_ok
+    // make the summed set explicit and `complete` is the machine gate:
+    // artifact consumers (tools/artifact_check.py) must reject
+    // complete=false as a canonical artifact.
+    val nOk = results.count(_._2 >= 0)
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""strategies":$strategies,"gc_sec":$gcs,""" +
       s""""cpu_share":$cpuShares,"task_sec":$taskSecs,""" +
       s""""probe_end_filter":$probeEnd,""" +
+      s""""n_queries":${results.length},"n_ok":$nOk,""" +
+      s""""errors":$errJson,""" +
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""analyze_sec":$analyzeSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
@@ -327,6 +356,8 @@ object Bench {
           s""""heavy_failed":$hFailed,"heavy_total":$hTotal,""" +
           s""""heavy_budget_sec":$HeavyBudgetSec,"""
       }) +
+      s""""complete":${results.forall(_._2 >= 0) &&
+        heavyResults.forall(_._2 >= 0)},""" +
       s""""sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -29,10 +29,13 @@ object Tables {
 
   /** Idempotent session tuning every loader applies.
     *
-    * `nanosAsLong`: events.ts is parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4.1.2 refuses by default ([PARQUET_TYPE_ILLEGAL], verified —
-    * FIXTURES.md gotcha #1). With the flag the column reads as LongType
-    * nanos and stays on the vectorized reader path.
+    * `nanosAsLong`: through round 7 events.ts was parquet INT64
+    * TIMESTAMP(NANOS), which Spark 4.1.2 refuses by default
+    * ([PARQUET_TYPE_ILLEGAL], FIXTURES.md gotcha #1); the flag read it
+    * as LongType nanos on the vectorized path. The round-8 testdata
+    * regeneration switched ts to TIMESTAMP(MICROS) (see [[load]]) — the
+    * flag is now a no-op on the driver corpora but kept so a nanos
+    * corpus remains readable.
     */
   def tune(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -58,12 +61,29 @@ object Tables {
       if (viaCatalog) spark.table(sources.CatalogStats.tableName(name))
       else spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      // ns → µs with *integer* division: the long nanos (~1.7e18) exceed a
-      // double's 53-bit mantissa, so `col/1000` (double divide) can be off
-      // by 1 µs after truncation. `DIV` stays in long arithmetic — exact.
-      // DuckDB reads the same column as TIMESTAMP (µs, truncated) so the
-      // values agree; oracle SQL still casts explicitly for clarity.
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // ts arrives in one of three encodings depending on corpus vintage,
+      // so normalization dispatches on the ACTUAL read type (the round-7
+      // driver bench failed all 8 events-family headline queries with
+      // DATATYPE_MISMATCH because the testdata regeneration silently
+      // switched nanos → micros mid-round and the conversion was pinned
+      // to the nanos shape):
+      //  - LongType: legacy INT64 TIMESTAMP(NANOS) read via nanosAsLong.
+      //    ns → µs with *integer* division — the long nanos (~1.7e18)
+      //    exceed a double's 53-bit mantissa, so `col/1000` (double
+      //    divide) can be off by 1 µs; `DIV` stays in long arithmetic.
+      //  - TimestampNTZType: current driver corpora, TIMESTAMP(MICROS)
+      //    isAdjustedToUTC=false. Cast to TimestampType under the pinned
+      //    UTC session zone — same wall-clock instant, and downstream
+      //    window/watermark ops expect the instant-semantics type.
+      //  - TimestampType: our own stress corpora (written with
+      //    outputTimestampType=TIMESTAMP_MICROS, adjusted-to-UTC) — no-op.
+      // DuckDB reads all three as TIMESTAMP µs, so oracles agree.
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else df
   }
 

@@ -412,8 +412,60 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** Fixed training-sequence length for [[pack]] — small enough that the
+    * test corpora produce multi-doc sequences AND multi-sequence docs. */
+  val PackSeqLen = 256L
+
+  /**
+   * GPT-style sequence packing (round 8): concatenate the curated corpus
+   * in deterministic doc_id order and cut it into fixed [[PackSeqLen]]-
+   * token training sequences — documents span sequence boundaries (the
+   * standard pretraining layout; boundaries carry EOD markers downstream,
+   * not padding). Emits per-doc placement: absolute token offset, first/
+   * last sequence id, sequences spanned — the manifest a trainer's data
+   * loader consumes.
+   *
+   * The global running offset is a DISTRIBUTED two-phase prefix sum, not
+   * a single-partition window: range-partition by doc_id (partition i
+   * holds a contiguous id range; Spark's RangePartitioner assigns
+   * partition ids in ascending range order), running-sum WITHIN each
+   * partition, then shift each partition by the exclusive prefix of
+   * per-partition totals. Phase 2's window runs over P summary rows
+   * (P = shuffle partitions, metadata scale), so no data-sized
+   * single-partition pass exists anywhere in the plan — at 100 TB the
+   * big window is ~#docs/P rows per task and the coordination cost is
+   * O(P). Prefix-sum associativity makes the output independent of
+   * where the partition cuts land, so the DuckDB oracle can be the
+   * plain sequential `SUM() OVER (ORDER BY doc_id)`.
+   */
+  def pack(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = t.withColumn("local_cum", sum(col("n_toks")).over(wLocal))
+    val wOffset = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n_toks")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(wOffset), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("cum") - col("n_toks")).as("tok_start"),
+        expr(s"(cum - n_toks) DIV $PackSeqLen").as("seq_first"),
+        expr(s"(cum - 1) DIV $PackSeqLen").as("seq_last"),
+        expr(s"(cum - 1) DIV $PackSeqLen - (cum - n_toks) DIV $PackSeqLen + 1")
+          .as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
+    "pipeline_pack" -> ((s, d) => pack(Tables.documents(s, d))),
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
@@ -459,6 +511,20 @@ object Curate {
         |WHERE d.split = 'train' ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle is the sequential formulation — prefix-sum associativity
+    // makes the distributed two-phase Spark plan value-identical.
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        | c AS (SELECT doc_id, n_toks,
+        |    CAST(SUM(n_toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT doc_id, n_toks, cum - n_toks AS tok_start,
+        | (cum - n_toks) // 256 AS seq_first,
+        | (cum - 1) // 256 AS seq_last,
+        | (cum - 1) // 256 - (cum - n_toks) // 256 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "curate_source_cap" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,

@@ -115,6 +115,29 @@ object TextOps {
         .limit(20)
     }),
 
+    "text_boilerplate" -> ((s, d) => {
+      // Per-source template detection (round 8): the top-3 most frequent
+      // 8-token document PREFIXES per source — the crawl-cleaning signal
+      // for boilerplate headers/templates shared across a domain's pages
+      // (the per-host companion to dedup_ngram_cover's within-doc
+      // repetition). Shape: one per-row prefix projection, a hash agg on
+      // (source, prefix), then the bounded top-k window per source —
+      // shuffle volume is #distinct (source, prefix) pairs, never corpus
+      // size, and the window partitions by source (thousands of hosts at
+      // 100 TB → well-spread).
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_docs").desc, col("prefix"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("prefix"))
+        .groupBy(col("source"), col("prefix"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("source"), col("rn"), col("prefix"), col("n_docs"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
     // Count-Min-sketch token frequencies (sketch row — rows-only gate,
     // like simhash; the CMS one-sided error bound is property-tested in
     // LlmSpec): the mergeable-state frequency sketch for when the exact
@@ -480,6 +503,20 @@ object TextOps {
       """SELECT token, COUNT(*) AS n FROM (
         | SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH p AS (SELECT source,
+        |    ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 8), ' ')
+        |      AS prefix
+        |  FROM documents),
+        | c AS (SELECT source, prefix, COUNT(*) AS n_docs
+        |        FROM p GROUP BY 1, 2),
+        | r AS (SELECT source, prefix, n_docs,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_docs DESC, prefix) AS rn
+        |  FROM c)
+        |SELECT source, rn, prefix, n_docs FROM r
+        |WHERE rn <= 3 ORDER BY source, rn""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS toks

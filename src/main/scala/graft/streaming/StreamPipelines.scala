@@ -46,18 +46,31 @@ object StreamPipelines {
   /** Production entry: incremental file-stream over an events directory
     * (new parquet files picked up per micro-batch). `maxFilesPerTrigger`
     * bounds epoch size — at scale it's the backpressure knob that keeps a
-    * backlog catch-up from producing one giant micro-batch. */
+    * backlog catch-up from producing one giant micro-batch.
+    *
+    * A stream source needs an explicit schema, so the ts encoding can't
+    * be dispatched per-batch the way [[graft.Tables.load]] does — it is
+    * probed ONCE from the directory's current footers via a batch read
+    * (cheap: footer-only) and the matching normalization is applied.
+    * Files appended later must keep the probed encoding, which is the
+    * standard contract for a schema-pinned file stream. */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.Tables.tune(spark)
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     val reader = spark.readStream
       .schema(StructType(eventSchema.map {
-        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f if f.name == "ts" => f.copy(dataType = tsType)
         case f => f
       }))
-    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = maxFilesPerTrigger.fold(reader)(n =>
+      reader.option("maxFilesPerTrigger", n)).parquet(dir)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /**

@@ -471,4 +471,63 @@ class LlmSpec extends SparkSpec {
     assert(joined.filter(col("n_bigrams") =!= col("want_bigrams")).count() === 0)
     assert(out.filter(col("avg_logprob") >= 0).count() === 0)
   }
+
+  test("pipeline_pack: distributed prefix sum equals the sequential fold and covers every token once") {
+    val s = spark
+    import s.implicits._
+    // Awkward sizes on purpose: docs bigger than a sequence, exact-fit
+    // boundaries, and 1-token docs — with shuffle.partitions=4 in tests
+    // the range partitioner puts cuts INSIDE the running sum, which is
+    // exactly what the phase-2 offset shift must survive.
+    val sizes = Seq(100L, 300L, 56L, 256L, 1L, 1L, 510L, 40L, 257L, 7L)
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n.toInt)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Curate.pack(docs).collect()
+    var cum = 0L
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val r = out(i)
+      assert(r.getAs[Long]("doc_id") === i.toLong)
+      assert(r.getAs[Long]("tok_start") === cum, s"doc $i offset")
+      assert(r.getAs[Long]("seq_first") === cum / Curate.PackSeqLen)
+      assert(r.getAs[Long]("seq_last") === (cum + n - 1) / Curate.PackSeqLen)
+      assert(r.getAs[Long]("n_seqs") ===
+        (cum + n - 1) / Curate.PackSeqLen - cum / Curate.PackSeqLen + 1)
+      cum += n
+    }
+    // placement is gapless: offsets tile [0, total) exactly
+    assert(out.map(_.getAs[Long]("n_toks")).sum === cum)
+  }
+
+  test("text_boilerplate: planted shared prefix dominates its source, rank ties break lexicographically") {
+    val s = spark
+    import s.implicits._
+    val tpl = "breaking news today from the city desk room"
+    val docs = (0L to 5L).map(i => (i, tpl + s" story $i", "hostA")) ++
+      Seq((6L, "alpha beta gamma delta epsilon zeta eta theta", "hostB"),
+          (7L, "alpha beta gamma delta epsilon zeta eta theta tail", "hostB"),
+          (8L, "one two three four five six seven eight nine", "hostB"))
+    val registry = llm.TextOps.queries("text_boilerplate")(spark, sf0001)
+    assert(registry.columns.toSeq === Seq("source", "rn", "prefix", "n_docs"))
+    // same shape as the registry op, over the literal frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_docs").desc, col("prefix"))
+    val res = docs.toDF("doc_id", "text", "source")
+      .select(col("source"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("prefix"))
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("source"), col("rn"))
+      .collect()
+    val hostA = res.filter(_.getString(0) == "hostA")
+    assert(hostA.head.getAs[String]("prefix") === tpl.split(" ").take(8).mkString(" "))
+    assert(hostA.head.getAs[Long]("n_docs") === 6L)
+    // hostB: two docs share the 8-token prefix "alpha..theta" (count 2),
+    // the third is unique (count 1) — ranks 1 then 2
+    val hostB = res.filter(_.getString(0) == "hostB")
+    assert(hostB.map(r => (r.getAs[Long]("rn"), r.getAs[Long]("n_docs"))).toSeq
+      === Seq((1L, 2L), (2L, 1L)))
+  }
 }

@@ -70,6 +70,18 @@ if stress is not None:
 # --- bench.json: headline + heavy tier -------------------------------
 bench = load("bench.json")
 if bench is not None:
+    # ADVICE r7: the round-7 driver snapshot committed a contended-host
+    # run (host_factor 2.18, 8 plan-time failures) as the canonical
+    # artifact. A canonical bench.json must be complete AND from a
+    # near-idle host — value sums only non-failed queries, so either
+    # condition makes totals incomparable across rounds.
+    if bench.get("complete") is False:
+        failures.append("bench.json: complete=false (run had failures)")
+    hf = bench.get("host_factor")
+    if hf is not None and hf > 1.5:
+        failures.append(
+            f"bench.json: host_factor {hf:.2f} > 1.5 — contended-host run, "
+            f"not canonical; re-run idle (ADVICE r7)")
     if bench.get("failed"):
         failures.append(f"bench.json: failed queries {bench['failed']}")
     if bench.get("heavy_failed"):
