@@ -526,11 +526,81 @@ object Similarity {
           / size(col("embedding")) * lit(1e6), 4).as("mse_ppm"))
       .orderBy(col("vec_id"))
 
+  /**
+   * Product quantization (round 8) — the FAISS-PQ compression step that
+   * completes this package's ANN family (SQ8 [[quantizeInt8]] stores
+   * 8 bits/dim; PQ stores 4 bits per 8-dim SUBSPACE = 32 bits/vector,
+   * a 64× compression over float32): split each 64-dim vector into
+   * m = 8 subvectors, train a 16-centroid codebook per subspace on a
+   * deterministic hash-sample (≈ 16×64 vectors, FAISS's
+   * points-per-centroid band — training cost is bounded regardless of
+   * corpus size), then encode every vector as 8 nibbles packed into one
+   * BIGINT. Emits the per-vector reconstruction MSE (ppm) the recall
+   * budget is planned against, like the SQ8 twin.
+   *
+   * Scale shape: training touches only the bounded sample (8 small
+   * k-means runs, centroid frames ≤ 16×8 doubles); corpus encoding is
+   * ONE scan — per subspace a codegen'd [[graft.plans.NearestCentroidF32]]
+   * argmin over a 16×8 matrix carried as a plan constant, zero shuffle,
+   * zero joins. At 100 TB the encode is a projection inside the
+   * index-build scan, exactly like SQ8. Codes are DENSE positions into
+   * each codebook (the kernel's id array is positional), so the packed
+   * code decodes by nibble regardless of empty-cluster drops.
+   *
+   * Non-oracle (sketch row): k-means codebooks aren't SQL-expressible;
+   * property-gated in LlmSpec instead — identical vectors encode
+   * identically, and mean reconstruction error beats the 1-centroid
+   * (global-mean-per-subspace) baseline by a wide margin.
+   */
+  def productQuantize(emb: DataFrame): DataFrame = {
+    val (m, subDim, kCode) = (8, 8, 16)
+    val nEst = graft.plans.StatsEst.estimatedRows(
+        emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
+      .max(BigInt(1)).toLong
+    val sampleMod = math.max(1L, nEst / (kCode.toLong * 64))
+    val train =
+      if (sampleMod <= 1) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    // per-subspace codebooks; dense positional ids so the packed nibble
+    // is an index into the codebook literal below
+    val books: Seq[(Array[Float], Int)] = (0 until m).map { j =>
+      val sub = train.select(col("vec_id"),
+        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)").as("embedding"))
+      val (flat, _, dim) = collectCentroidsF32(kmeans(sub, kCode, 2))
+      (flat, dim)
+    }
+    val cbSeq: Seq[Seq[Seq[Float]]] = books.map { case (flat, dim) =>
+      flat.grouped(dim).map(_.toSeq).toSeq
+    }
+    val coded = (0 until m).foldLeft(emb) { (df, j) =>
+      val (flat, dim) = books(j)
+      df.withColumn(s"c$j", graft.plans.VectorExprs.nearestCentroid(
+        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)"),
+        flat, Array.tabulate(flat.length / dim)(identity), dim))
+    }
+    val packed = (0 until m).map(j => s"CAST(c$j AS BIGINT) * ${1L << (4 * j)}L")
+      .mkString(" + ")
+    val mseTerms = (0 until m).map { j =>
+      s"""aggregate(zip_with(slice(embedding, ${j * subDim + 1}, $subDim),
+         |  element_at(element_at(cb, ${j + 1}), c$j + 1),
+         |  (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+         |          * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
+         |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin
+    }.mkString("(", " + ", s") / ${m * subDim}")
+    coded
+      .withColumn("cb", typedlit(cbSeq))
+      .select(col("vec_id"),
+        expr(packed).as("pq_code"),
+        round(expr(mseTerms) * lit(1e6), 4).as("mse_ppm"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteTopK(s, d, 5)
         .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rn"))
         .orderBy(col("probe_id"), col("rn"))),
+    "embed_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
 
     "knn_label" -> ((s, d) => {
       // Majority label among the 5 nearest neighbors; ties break to the

@@ -25,7 +25,9 @@ object Profiling {
       Tables.lineitem(s, d)
         .filter(pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(10)) === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over all outputs — (orderkey, linenumber) is not a
+        // key in this corpus (see scan_project's note in Relational)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
     "profile_orders" -> ((s, d) => {
@@ -81,7 +83,7 @@ object Profiling {
     "sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE (l_orderkey * 31 + l_linenumber) % 10 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "profile_orders" -> Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
       s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

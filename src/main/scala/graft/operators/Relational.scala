@@ -115,7 +115,13 @@ object Relational {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("net_price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // ALL output columns in the sort: the regenerated corpus has up
+        // to 6 lineitem rows per (orderkey, linenumber), so the pair is
+        // not a total key — §7d rule 1 was latently violated for seven
+        // rounds, masked by Spark and DuckDB sharing the single-file row
+        // order (exposed when layout repair re-ordered the managed copy).
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("net_price"))
     }),
 
     "filter_pred" -> ((s, d) => {
@@ -126,7 +132,9 @@ object Relational {
           (col("l_returnflag") === "A" || col("l_discount").between(0.05, 0.07)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col("l_quantity"), col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over all outputs — see scan_project's note
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("l_discount"))
     }),
 
     "filter_null_case" -> ((s, d) => {
@@ -153,7 +161,9 @@ object Relational {
         .filter(col("o_totalprice") > 400000)
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("o_orderstatus"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over all outputs — see scan_project's note
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("o_orderstatus"), col("l_extendedprice"))
     }),
 
     "join_broadcast" -> ((s, d) => {
@@ -446,7 +456,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         | l_extendedprice * (1 - l_discount) AS net_price
         |FROM lineitem WHERE l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, net_price""".stripMargin,
 
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_discount
@@ -454,7 +464,8 @@ object Relational {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_quantity IN (10, 20, 30, 40)
         |  AND (l_returnflag = 'A' OR l_discount BETWEEN 0.05 AND 0.07)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  l_discount""".stripMargin,
 
     "filter_null_case" ->
       """SELECT c_custkey, COALESCE(o_orderkey, -1) AS okey,
@@ -469,7 +480,8 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_extendedprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_totalprice > 400000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, o_custkey, o_orderstatus,
+        |  l_extendedprice""".stripMargin,
 
     "join_broadcast" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,

@@ -103,10 +103,40 @@ object CatalogStats {
     * against the warehouse dir, not the process cwd, so a relative
     * `stressdata/s1/...` registered an empty location and every stress
     * ANALYZE failed with UNABLE_TO_INFER_SCHEMA (the r6 no-op, take 2 —
-    * the driver's absolute `/root/testdata/...` paths masked it). */
-  def register(spark: SparkSession, table: String, path: String): Unit =
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
-      s"LOCATION '${new java.io.File(path).getAbsolutePath}'")
+    * the driver's absolute `/root/testdata/...` paths masked it).
+    *
+    * Layout repair (round 8): the 2026-08-13 testdata regeneration also
+    * collapsed every table to ONE parquet file with ONE row group — and
+    * a row group is the unit of parquet read parallelism, so every leaf
+    * scan became a single task and all the per-row work Catalyst fuses
+    * into the scan stage (tokenize/minhash/quality in the curate chain)
+    * serialized onto one core: a uniform ~1.8× tide across the whole
+    * suite, pipeline_curate 25 → 74 s. When the source is a single
+    * file, registration therefore CTASes a REPARTITIONED managed copy
+    * (byte-sized partition count, capped at defaultParallelism) instead
+    * of pointing LOCATION at the pathological layout — the standard
+    * warehouse-ingest fix (a production loader targets ~128 MB files at
+    * 100 TB; same mechanism, different constant). One-time cost per
+    * load, reported inside analyze_sec, never in a per-query window.
+    * Multi-file sources (our stress corpora) keep zero-copy external
+    * registration. */
+  def register(spark: SparkSession, table: String, path: String): Unit = {
+    val f = new java.io.File(path).getAbsoluteFile
+    if (f.isFile) {
+      val p = math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        f.length / (16 * 1024))).toInt
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val warehousePath = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      warehousePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(warehousePath, true)
+      spark.read.parquet(f.getPath).repartition(p)
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+    } else
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING parquet " +
+        s"LOCATION '${f.getPath}'")
+  }
 
   /** `ANALYZE TABLE` — table-level row count + per-column NDV/min/max
     * for `columns` (equi-height histograms are a further conf away).
