@@ -463,8 +463,93 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Target-distribution language for [[dsirSelect]]'s oracle arm (the
+    * majority class, so both models are well-populated at every sf);
+    * production passes an actual target corpus frame instead. */
+  val DsirTargetLang = "en"
+
+  /**
+   * DSIR-style data selection (importance resampling over hashed n-gram
+   * features; Xie et al. 2023, "Data Selection for Language Models via
+   * Importance Resampling", arXiv:2302.03169 — public): score every raw
+   * document by how much more likely its bag of token bigrams is under
+   * a TARGET distribution's feature model than under the raw corpus's
+   * own, then keep the top `frac` by that log-likelihood ratio. Here
+   * the target is the [[DsirTargetLang]] slice standing in for "quality
+   * corpus" (the paper's Wikipedia+books target); both models are
+   * add-one-smoothed multinomials over the shared bigram space.
+   *
+   * Shape: ONE corpus explode feeds both models and the scoring join
+   * (persisted, same discipline as text_ngram_lm); the model table is
+   * |bigram types| rows → conf-gated broadcast; per-doc scores are one
+   * hash agg; the global top-`frac` cut is the SAME distributed
+   * two-phase rank as [[pack]] (range-partition by (llr desc, doc_id) →
+   * in-partition row_number → exclusive shift by per-partition counts),
+   * so no data-sized single-partition window exists — at 100 TB the
+   * paper's hashed features bound the model table (2^k buckets) and the
+   * rank is O(P) coordination. The raw grams stay unhashed here so the
+   * DuckDB oracle is collision-free by construction.
+   *
+   * Determinism (§7d): the ratio is summed per doc then ROUNDED to 4 dp
+   * in both engines before any ranking — ties break on doc_id; the
+   * rank is the sequential `ROW_NUMBER() OVER (ORDER BY llr DESC,
+   * doc_id)` in the oracle, value-identical to the two-phase plan by
+   * prefix-count associativity.
+   */
+  def dsirSelect(docs: DataFrame, targetLang: String, frac: Double): DataFrame = {
+    val bi = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i + 1]))"))
+        .as("gram"))
+      .persist()
+    val raw = bi.groupBy(col("gram")).agg(count(lit(1)).as("c_raw"))
+    val tgt = bi.filter(col("lang") === targetLang)
+      .groupBy(col("gram")).agg(count(lit(1)).as("c_tgt"))
+    // 1-row totals frame: raw/target gram occurrences + shared vocab size
+    // (broadcast — the same bounded-scalar pattern as text_ngram_lm's V).
+    val tot = bi.agg(
+      count(lit(1)).as("t_raw"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_tgt"),
+      countDistinct(col("gram")).as("v"))
+    val model = raw.join(tgt, Seq("gram"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(tot))
+      .select(col("gram"),
+        (log((col("c_tgt") + lit(1.0)) / (col("t_tgt") + col("v"))) -
+          log((col("c_raw") + lit(1.0)) / (col("t_raw") + col("v")))).as("llr_g"))
+    val wdoc = bi.join(Q.maybeBroadcast(model), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("llr_g")), 4).as("llr"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(wdoc, Seq("doc_id"), "left")
+      .withColumn("llr", coalesce(col("llr"), lit(0.0)))
+    // Distributed global rank — pack's two-phase machinery over the
+    // selection order instead of doc_id.
+    val ranked = scored
+      .repartitionByRange(col("llr").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid"))
+      .orderBy(col("llr").desc, col("doc_id"))
+    val wOffset = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .withColumn("off", coalesce(sum(col("pn")).over(wOffset), lit(0L)))
+      .select(col("pid"), col("off"))
+    val nTotal = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    ranked.join(broadcast(offsets), "pid")
+      .withColumn("sel_rank", row_number().over(wLocal).cast("long") + col("off"))
+      .crossJoin(nTotal)
+      .filter(col("sel_rank") <= ceil(col("n_total") * lit(frac)))
+      .select(col("doc_id"), col("lang"), col("source"), col("llr"),
+        col("sel_rank"))
+      .orderBy(col("sel_rank"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
+    "curate_dsir" -> ((s, d) => dsirSelect(Tables.documents(s, d), DsirTargetLang, 0.25)),
     "pipeline_pack" -> ((s, d) => pack(Tables.documents(s, d))),
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
@@ -511,6 +596,35 @@ object Curate {
         |WHERE d.split = 'train' ORDER BY d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Sequential formulation of the same models + the same rounded
+    // ranking key; the two-phase distributed rank is value-identical.
+    "curate_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks
+        |  FROM documents),
+        | bi AS (SELECT doc_id, lang,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |      i -> toks[i] || '_' || toks[i + 1])) AS gram
+        |  FROM t WHERE LEN(toks) >= 2),
+        | raw AS (SELECT gram, COUNT(*) AS c_raw FROM bi GROUP BY gram),
+        | tgt AS (SELECT gram, COUNT(*) AS c_tgt FROM bi
+        |         WHERE lang = 'en' GROUP BY gram),
+        | tot AS (SELECT (SELECT COUNT(*) FROM bi) AS t_raw,
+        |    (SELECT COUNT(*) FROM bi WHERE lang = 'en') AS t_tgt,
+        |    (SELECT COUNT(DISTINCT gram) FROM bi) AS v),
+        | model AS (SELECT gram,
+        |    LN((COALESCE(c_tgt, 0) + 1.0) / (t_tgt + v))
+        |      - LN((c_raw + 1.0) / (t_raw + v)) AS llr_g
+        |  FROM raw LEFT JOIN tgt USING (gram) CROSS JOIN tot),
+        | wdoc AS (SELECT doc_id, ROUND(SUM(llr_g), 4) AS llr
+        |  FROM bi JOIN model USING (gram) GROUP BY doc_id),
+        | scored AS (SELECT d.doc_id, d.lang, d.source,
+        |    COALESCE(w.llr, 0.0) AS llr
+        |  FROM documents d LEFT JOIN wdoc w ON d.doc_id = w.doc_id),
+        | ranked AS (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY llr DESC, doc_id) AS sel_rank,
+        |    COUNT(*) OVER () AS n_total FROM scored)
+        |SELECT doc_id, lang, source, llr, sel_rank FROM ranked
+        |WHERE sel_rank <= CEIL(n_total * 0.25) ORDER BY sel_rank""".stripMargin,
     // The oracle is the sequential formulation — prefix-sum associativity
     // makes the distributed two-phase Spark plan value-identical.
     "pipeline_pack" ->

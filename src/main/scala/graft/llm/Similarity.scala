@@ -429,10 +429,11 @@ object Similarity {
     * centroids: n × nlist kernel distances, the textbook IVF-flat
     * build cost (n^1.5 at nlist=√n) — amortized across every query the
     * index serves; the per-query win is the n^¾ candidate set. */
-  private def ivfParts(s: SparkSession, d: String, minNprobe: Int)
-      : (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(s, d)
-    val (nlist, nprobe) = ivfGeometry(emb, minNprobe)
+  /** Train k-means on the bounded hash sample (≈ 64 pts/centroid, the
+    * FAISS band) and assign every corpus vector once — the shared build
+    * step of the IVF index and [[semanticDedup]]'s cluster blocking.
+    * Returns (centroids, assigned (vec_id, embedding, cl)). */
+  private def trainAssign(emb: DataFrame, nlist: Int): (DataFrame, DataFrame) = {
     val nEst = graft.plans.StatsEst.estimatedRows(
         emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
       .max(BigInt(1)).toLong
@@ -441,9 +442,16 @@ object Similarity {
       if (sampleMod <= 1) emb
       else emb.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
     val centroids = kmeans(train, nlist, 3)
+    (centroids, assignClusters(emb, centroids))
+  }
+
+  private def ivfParts(s: SparkSession, d: String, minNprobe: Int)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val (nlist, nprobe) = ivfGeometry(emb, minNprobe)
+    val (centroids, assignedRaw) = trainAssign(emb, nlist)
     val cb = broadcast(centroids)
-    // Assign every corpus vector to its nearest centroid (one scan).
-    val assigned = assignClusters(emb, centroids)
+    val assigned = assignedRaw
       .select(col("vec_id"), col("embedding"), col("cl").as("bucket"))
     // Probes pick their nprobe nearest buckets (same L2 metric as the
     // corpus assignment), then the caller reranks exactly. The probe
@@ -460,6 +468,73 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("cl").as("bucket"))
     (assigned, probeBuckets)
+  }
+
+  /**
+   * SemDeDup-style semantic dedup parts (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication", arXiv:2303.09540 — public): cluster the embedding
+   * space with the SAME bounded-sample k-means the IVF index trains
+   * (k ≈ ⌈√n⌉ from plan stats), then search for near-duplicate pairs
+   * ONLY within a cluster. All-pairs cost drops from n² to Σ|cluster|²
+   * ≈ n²/k (n^1.5 at k=√n), and each cluster is an independent join
+   * group — the shuffle key is the cluster id, so the pair stage
+   * partitions perfectly at any corpus size. Every candidate is
+   * verified with the exact rounded cosine, so PRECISION is 1.0 by
+   * construction (every emitted pair is a true pair of [[exactPairs]]);
+   * what clustering trades is RECALL — pairs straddling a cluster
+   * boundary are never compared. Recall vs the exact all-pairs arm is
+   * property-gated in LlmSpec (the paper's finding: dup pairs
+   * concentrate inside clusters, so the loss is small).
+   *
+   * Returns (assigned (vec_id, embedding, cl), verified within-cluster
+   * pairs (cl, vec_a, vec_b, cos_sim)).
+   */
+  private def semanticParts(emb: DataFrame, thresh: Double)
+      : (DataFrame, DataFrame) = {
+    val (nlist, _) = ivfGeometry(emb, 1)
+    val (_, assigned) = trainAssign(emb, nlist)
+    val e = assigned.select(col("cl"), col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val a = e.select(col("cl"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("sq").as("sqa"))
+    val b = e.select(col("cl"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("sq").as("sqb"))
+    val cos = cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+    val pairs = a.join(b, Seq("cl"))
+      .filter(col("vec_a") < col("vec_b") && cos >= thresh)
+      .select(col("cl"), col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+    (assigned, pairs)
+  }
+
+  /** [[semanticParts]]' verified pair frame — LlmSpec's recall-gate
+    * entry point (compared against [[exactPairs]] at the same
+    * threshold). */
+  def semanticPairs(emb: DataFrame, thresh: Double): DataFrame =
+    semanticParts(emb, thresh)._2
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /**
+   * The per-vector SemDeDup verdict table: within-cluster dup pairs →
+   * connected components → keep only each component's canonical
+   * (minimum-id) member. Output (vec_id, cl, component_id, keep) for
+   * EVERY corpus vector (singletons keep themselves) — the frame a
+   * curation pipeline anti-joins its corpus against.
+   */
+  def semanticDedup(emb: DataFrame, thresh: Double): DataFrame = {
+    val (assigned, pairs) = semanticParts(emb, thresh)
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    assigned.select(col("vec_id"), col("cl").cast("long").as("cl"))
+      .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
+        Seq("vec_id"), "left")
+      .withColumn("component_id",
+        coalesce(col("component_id"), col("vec_id")))
+      .withColumn("keep",
+        (col("component_id") === col("vec_id")).cast("long"))
+      .select(col("vec_id"), col("cl"), col("component_id"), col("keep"))
+      .orderBy(col("vec_id"))
   }
 
   /** The candidate frame an IVF probe scans (bucket join, BEFORE exact
@@ -770,6 +845,12 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
+
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup verdicts at embed_neardup's calibrated threshold —
+      // sketch row (cluster assignment isn't SQL-expressible); precision
+      // 1.0 by construction, recall property-gated in LlmSpec.
+      semanticDedup(Tables.embeddings(s, d), 0.35)),
 
     "embed_lshpairs" -> ((s, d) => {
       // Strongest verified near-dup candidates surfaced by the

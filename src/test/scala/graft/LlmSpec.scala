@@ -137,6 +137,85 @@ class LlmSpec extends SparkSpec {
       s"banding admitted $nCands of $allPairs pairs — no pruning")
   }
 
+  test("dedup_semantic: recovers planted semantic dups (recall >= 0.9), never flags a non-dup (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    // Plant 50 noisy copies at cos ≈ 0.97 — SemDeDup's target regime:
+    // genuinely-near-identical vectors land in the same k-means cell, so
+    // within-cluster blocking must surface (nearly) every planted pair.
+    val base = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rng = new scala.util.Random(11)
+    val planted = base.take(50).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + 0.03f * rng.nextGaussian().toFloat))
+    }
+    val aug = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val a = aug.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("sqa"))
+    val b = aug.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      Similarity.dotFast(col("embedding"), col("embedding")).as("sqb"))
+    val cos = Similarity.cos4Pre(
+      Similarity.dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b") && cos >= 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"expected >=50 planted pairs, got ${exact.size}")
+    val sem = Similarity.semanticPairs(aug, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & sem).size.toDouble / exact.size
+    assert(recall >= 0.9, s"semantic recall $recall < 0.9 " +
+      s"(|exact|=${exact.size}, |sem|=${sem.size})")
+    // exact-cosine verification ⇒ precision 1.0 (no pair below threshold)
+    assert((sem -- exact).isEmpty, "semantic pairs below the cosine threshold")
+    // the verdict table is total and single-keeper-per-component
+    val verdicts = Similarity.semanticDedup(aug, 0.9).collect()
+    assert(verdicts.length === base.length + 50)
+    val byComp = verdicts.groupBy(_.getAs[Long]("component_id"))
+    byComp.foreach { case (cid, members) =>
+      assert(members.count(_.getAs[Long]("keep") == 1L) === 1,
+        s"component $cid has != 1 keeper")
+      assert(members.map(_.getAs[Long]("vec_id")).min === cid,
+        s"component $cid keeper is not the min id")
+    }
+  }
+
+  test("dedup_semantic: natural-corpus verdicts are deterministic and exact-subset (sf0.01)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val v1 = Similarity.semanticDedup(emb, 0.35).collect()
+    val v2 = Similarity.semanticDedup(emb, 0.35).collect()
+    assert(v1.map(_.toString).toSeq === v2.map(_.toString).toSeq,
+      "semanticDedup is not deterministic across runs")
+    // every flagged dup really does have an exact cos >= 0.35 partner
+    val flagged = v1.filter(_.getAs[Long]("keep") == 0L)
+      .map(_.getAs[Long]("vec_id")).toSet
+    val exactVecs = Similarity.exactPairs(emb, 0.35)
+      .select("vec_a", "vec_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(flagged.subsetOf(exactVecs),
+      s"${(flagged -- exactVecs).size} flagged dups have no exact partner")
+  }
+
+  test("curate_dsir: selects ceil(25%) globally, ranked by llr then doc_id (sf0.001)") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = Curate.dsirSelect(docs, Curate.DsirTargetLang, 0.25).collect()
+    val n = docs.count()
+    assert(out.length === math.ceil(n * 0.25).toInt,
+      s"selected ${out.length} of $n")
+    // ranks are 1..k and the (llr desc, doc_id) order is strictly kept
+    assert(out.map(_.getAs[Long]("sel_rank")).toSeq === (1L to out.length).toSeq)
+    val keys = out.map(r => (-r.getAs[Double]("llr"), r.getAs[Long]("doc_id")))
+    assert(keys.toSeq === keys.sortBy(identity).toSeq, "selection order broken")
+    // the target-language slice must be over-represented among the
+    // selected docs vs its corpus share (the whole point of DSIR)
+    val selEn = out.count(_.getAs[String]("lang") == Curate.DsirTargetLang)
+    val corpusEnShare = docs.filter(col("lang") === Curate.DsirTargetLang)
+      .count().toDouble / n
+    assert(selEn.toDouble / out.length > corpusEnShare,
+      s"target share not lifted: ${selEn.toDouble / out.length} <= $corpusEnShare")
+  }
+
   test("text_cms_topk: CMS estimates are one-sided and within the eps bound on sf0.001") {
     val out = llm.TextOps.queries("text_cms_topk")(spark, sf0001).collect()
     assert(out.length === 20)
