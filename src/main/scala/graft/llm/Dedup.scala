@@ -55,7 +55,16 @@ object Dedup {
    * cardinalities are hash-invariant, so values match the string-set
    * form bit-for-bit (same property minhash_lsh's verify relies on).
    */
-  private[llm] def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame = {
+  private[llm] def jaccardPairs(toks0: DataFrame, thresh: Double): DataFrame = {
+    // The (doc_id, tok) explode feeds THREE consumers (df counts, the
+    // prefix stack, tokArrays) and the prefix frame feeds its own
+    // self-join twice — persist both or every reference re-reads and
+    // re-windows the corpus (measured r8: the un-persisted plan spent
+    // ~6× the stage work on recomputation; 19.6 → 5.8 s at sf0.1).
+    // MEMORY_AND_DISK default: at 100 TB these are the (doc, tok) and
+    // prefix-token frames — O(corpus tokens), spill-safe, same
+    // discipline as text_ngram_lm's persisted explode.
+    val toks = toks0.persist()
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
     val prefix = toks
@@ -64,14 +73,21 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <= col("n") - ceil(col("n") * lit(thresh)) + 1)
       .select(col("doc_id"), col("tok"))
+      .persist()
+    // Candidates are NOT deduped here: a pair surfaces once per shared
+    // prefix token (≤ prefix length, ~2 on this corpus), so running the
+    // cheap merge-scan verify on the slightly-inflated stream and
+    // deduping AFTER the ≥ thresh filter shrinks the distinct's shuffle
+    // from the full candidate volume (13.4 M rows at sf0.1) to the
+    // surviving pairs (~0.4 M) — the verify is map-side either way.
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
     val tokArrays = toks
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(xxhash64(col("tok")))).as("toks"))
+      .persist()
     // Per-doc side tables: broadcast only below the conf-gated row
     // threshold (graft.Q.maybeBroadcast); above it the planner shuffles
     // on doc id — hard-coding the hint would OOM at 10⁸ docs.
@@ -81,6 +97,7 @@ object Dedup {
       .withColumn("jaccard", graft.plans.VectorExprs.jaccardSorted(col("ta"), col("tb")))
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
