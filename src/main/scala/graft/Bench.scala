@@ -82,8 +82,12 @@ object Bench {
     "pipeline_decont_bloom", "simhash_pairs", "ann_ivf", "tokjoin_auto",
     "agg_percentiles")
 
-  /** Idle-host cumulative budget for the [[heavy]] tier at sf0.1. */
-  val HeavyBudgetSec = 150.0
+  /** Idle-host cumulative budget for the [[heavy]] tier at sf0.1.
+    * Re-based r8: the jaccardPairs persist fix cut the tier's measured
+    * total from 145.8 s to ~55 s, so the r6 150 s budget no longer
+    * gates anything — 90 s keeps ~1.6× headroom for host noise while a
+    * real arm regression (any big entry doubling) still breaches. */
+  val HeavyBudgetSec = 90.0
 
   /** Load-normalizer probes + idle-host anchor seconds (sf0.1,
     * local[32], measured 2026-08-12). probe_filter runs first so it

@@ -57,7 +57,15 @@ object StressBench {
     // 10-partition per-probe top-(16k) window sort behind it; e_time
     // near 1 says the code-stream scan, not the float corpus, is what
     // scales.
-    "embed_pq", "ann_pq")
+    "embed_pq", "ann_pq",
+    // r8: semantic dedup + DSIR selection. dedup_semantic's cost model
+    // is the k-means build (same class as ann_ivf) plus the
+    // within-cluster pair scan — candidate volume Σ|cluster|² ≈ n²/k ≈
+    // n^1.5 at k=√n, measured directly by the semantic_candidates row
+    // (e_rows ≈ 1.5 is the DESIGN, not a failure; the point is it's
+    // n^1.5, not the exact arm's n²). curate_dsir is two hash aggs +
+    // one model join + the two-phase rank — e_time ≈ 1 is the pass bar.
+    "dedup_semantic", "curate_dsir")
 
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
@@ -245,6 +253,8 @@ object StressBench {
     measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, warmDir)))
     measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, warmDir)))
     measure(() => llm.Similarity.ivfCandidates(spark, warmDir))
+    measure(() => llm.Similarity.semanticCandidates(
+      Tables.embeddings(spark, warmDir)))
     measure(() => llm.Dedup.connectedComponents(
       llm.Dedup.minhashLsh(Tables.documents(spark, warmDir), 0.95)))
 
@@ -278,6 +288,12 @@ object StressBench {
       // rows ≈ 10 probes × n × nprobe/nlist ≈ n^¾ ⇒ e_rows ≈ 0.75.
       record("ann_ivf_candidates", scale,
         measure(() => llm.Similarity.ivfCandidates(spark, dir)))
+      // SemDeDup's blocked pair volume BEFORE the cosine filter — the
+      // Σ|cluster|² ≈ n^1.5 claim measured directly (vs the exact arm's
+      // n²): e_rows ≈ 1.5 by design, and the gap to 2.0 is the win.
+      record("semantic_candidates", scale,
+        measure(() => llm.Similarity.semanticCandidates(
+          Tables.embeddings(spark, dir))))
       // Iterative-shuffle evidence (VERDICT r5 item 2): components over
       // the LSH pair graph — the 100 TB composition (the registry
       // entry's exact-jaccard pair source is the small-corpus oracle

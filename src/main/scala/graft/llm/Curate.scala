@@ -527,9 +527,12 @@ object Curate {
       .withColumn("llr", coalesce(col("llr"), lit(0.0)))
     // Distributed global rank — pack's two-phase machinery over the
     // selection order instead of doc_id.
+    // ranked feeds both the per-partition counts and the final join —
+    // persist so the range shuffle and scoring join run once.
     val ranked = scored
       .repartitionByRange(col("llr").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
+      .persist()
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("llr").desc, col("doc_id"))
     val wOffset = Window.orderBy(col("pid"))

@@ -493,7 +493,10 @@ object Similarity {
   private def semanticParts(emb: DataFrame, thresh: Double)
       : (DataFrame, DataFrame) = {
     val (nlist, _) = ivfGeometry(emb, 1)
-    val (_, assigned) = trainAssign(emb, nlist)
+    // assigned feeds both pair sides and the verdict join — persist, or
+    // each reference re-runs the centroid-argmin scan over the corpus.
+    val (_, assigned0) = trainAssign(emb, nlist)
+    val assigned = assigned0.persist()
     val e = assigned.select(col("cl"), col("vec_id"), col("embedding"),
       dotFast(col("embedding"), col("embedding")).as("sq"))
     val a = e.select(col("cl"), col("vec_id").as("vec_a"),
@@ -501,10 +504,27 @@ object Similarity {
     val b = e.select(col("cl"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("sq").as("sqb"))
     val cos = cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+    // pairs feed connectedComponents' symmetric edge union (2 refs) —
+    // persist so the within-cluster join runs once.
     val pairs = a.join(b, Seq("cl"))
       .filter(col("vec_a") < col("vec_b") && cos >= thresh)
       .select(col("cl"), col("vec_a"), col("vec_b"), cos.as("cos_sim"))
+      .persist()
     (assigned, pairs)
+  }
+
+  /** The UNFILTERED within-cluster pair frame — [[semanticParts]]'
+    * candidate stage before the cosine verify, exposed for the stress
+    * sweep: its row count is the Σ|cluster|² ≈ n^1.5 blocking claim
+    * (the exact arm scans n²). */
+  def semanticCandidates(emb: DataFrame): DataFrame = {
+    val (nlist, _) = ivfGeometry(emb, 1)
+    val (_, assigned0) = trainAssign(emb, nlist)
+    val assigned = assigned0.persist()
+    val a = assigned.select(col("cl"), col("vec_id").as("vec_a"))
+    val b = assigned.select(col("cl"), col("vec_id").as("vec_b"))
+    a.join(b, Seq("cl")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
   }
 
   /** [[semanticParts]]' verified pair frame — LlmSpec's recall-gate
