@@ -59,7 +59,7 @@ object Curate {
       .getOption("spark.graft.curate.pairStrategy").contains("lsh")
     val pairs =
       if (lshArm) Dedup.minhashLsh(exactKept, 0.95)
-      else Dedup.jaccardPairs(Dedup.distinctTokens(exactKept), 0.95)
+      else Dedup.jaccardPairsRaw(Dedup.distinctTokens(exactKept), 0.95)
     val comps = Dedup.connectedComponents(pairs)
     val nearKept = exactKept.join(
       comps.filter(col("doc_id") =!= col("component_id")).select("doc_id"),

@@ -55,7 +55,7 @@ object Dedup {
    * cardinalities are hash-invariant, so values match the string-set
    * form bit-for-bit (same property minhash_lsh's verify relies on).
    */
-  private[llm] def jaccardPairs(toks0: DataFrame, thresh: Double): DataFrame = {
+  private[llm] def jaccardPairsRaw(toks0: DataFrame, thresh: Double): DataFrame = {
     // The (doc_id, tok) explode feeds THREE consumers (df counts, the
     // prefix stack, tokArrays) and the prefix frame feeds its own
     // self-join twice — persist both or every reference re-reads and
@@ -98,8 +98,13 @@ object Dedup {
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** [[jaccardPairsRaw]] + the oracle's total order — registry surface.
+    * Internal consumers (components, curate) take the raw frame: their
+    * first op is a shuffle, so a global sort here would be pure waste. */
+  private[llm] def jaccardPairs(toks: DataFrame, thresh: Double): DataFrame =
+    jaccardPairsRaw(toks, thresh).orderBy(col("doc_a"), col("doc_b"))
 
   /** Public exact arm for the optimizer's TokenSelfJoin rewrite
     * (plans/SimilarityRewrite.scala): prefix-filtered exact Jaccard over
@@ -420,7 +425,11 @@ object Dedup {
     * driver-eager, so the value is final when the function returns. */
   @volatile var lastCcRounds: Int = -1
 
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
+    // The symmetric edge union reads the pair frame twice — persist it
+    // or the caller's whole pair pipeline (candidate join + verify)
+    // executes once per union branch.
+    val pairs = pairs0.persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -443,6 +452,7 @@ object Dedup {
     }
     lastCcRounds = rounds
     edges.unpersist()
+    pairs.unpersist()
     val bySize = Window.partitionBy(col("lbl"))
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("component_id"),
@@ -540,7 +550,7 @@ object Dedup {
 
     "dedup_components" -> ((s, d) =>
       connectedComponents(
-        jaccardPairs(distinctTokens(Tables.documents(s, d)), 0.95))),
+        jaccardPairsRaw(distinctTokens(Tables.documents(s, d)), 0.95))),
 
     "tokjoin_auto" -> ((s, d) =>
       // Declared token-similarity join (TokenSelfJoin node): the optimizer

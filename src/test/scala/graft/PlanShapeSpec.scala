@@ -196,6 +196,13 @@ class PlanShapeSpec extends SparkSpec {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // The jaccard/LSH operators persist their shared subtrees (r8); a
+    // prior broadcast-mode test leaves those cached with the BHJ frozen
+    // inside the InMemoryRelation's child plan, which this test's string
+    // assertions would see even though every LIVE join correctly flips
+    // to SMJ. Plan from a clean cache — the runner owns cache lifecycle
+    // (same discipline as Bench's per-query clearCache).
+    spark.catalog.clearCache()
     try {
       for (q <- Seq("minhash_lsh", "dedup_near")) {
         val p = plan(q)
