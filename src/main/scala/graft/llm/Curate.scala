@@ -241,14 +241,40 @@ object Curate {
     * time BUILD separately from probe: one count + one bloom aggregate
     * over the SMALL (holdout) side only — the same cost class as
     * ANALYZE, paid once per load and amortized over every probe.
-    * Returns the filter and the distinct-gram count it was sized for
-    * (~1.2 B/gram at 1 % fpp). */
-  def buildHoldoutBloom(docs: DataFrame)
-      : (org.apache.spark.util.sketch.BloomFilter, Long) = {
+    * Returns the SERIALIZED filter bytes and the distinct-gram count it
+    * was sized for (~1.2 B/gram at 1 % fpp).
+    *
+    * Built with Spark's native `BloomFilterAggregate` over
+    * `xxhash64(gram)` (the same expression pair runtime-filter
+    * injection plants, so the probe side can be the codegen'd
+    * `BloomFilterMightContain` instead of a Scala UDF — VERDICT r8
+    * item 2). Sizing is clamped to the runtime-filter conf caps the
+    * aggregate type-checks against; past the item cap the fpp degrades
+    * gracefully (more verify-join rows, identical output). */
+  def buildHoldoutBloom(docs: DataFrame): (Array[Byte], Long) = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val holdGrams = docGrams(docs).filter(col("split") === "holdout")
       .select(col("gram")).distinct()
     val nGrams = math.max(holdGrams.count(), 1L)
-    (holdGrams.stat.bloomFilter("gram", nGrams, 0.01), nGrams)
+    val conf = docs.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    val n = math.min(nGrams, maxItems)
+    // optimal m = -n·ln(p)/ln²2 ≈ 9.585·n at p = 0.01 (~1.2 B/gram)
+    val bits = math.min(math.max((n * 9.585d).toLong, 64L), maxBits)
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftShims.expr(col("gram")))),
+      Literal(n), Literal(bits))
+      .toAggregateExpression()
+    val bytes = holdGrams.select(GraftShims.exprColumn(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    (bytes, nGrams)
   }
 
   /** The auto gate (true = bloom), split out for the arm test: bloom
@@ -321,10 +347,21 @@ object Curate {
     val trainGrams =
       if (!bloomArm) trainGramsAll
       else {
-        val (bloom, _) = buildHoldoutBloom(docs)
-        val bf = docs.sparkSession.sparkContext.broadcast(bloom)
-        val mightContain = udf((g: String) => bf.value.mightContainString(g))
-        trainGramsAll.filter(mightContain(col("gram")))
+        // Native probe (VERDICT r8 item 2): `BloomFilterMightContain`
+        // over xxhash64(gram) — the codegen'd expression runtime-filter
+        // injection uses, so the train-gram scan (the 100 TB-side hot
+        // path) stays inside whole-stage codegen instead of breaking at
+        // a Scala UDF. The serialized bits ride the plan as a binary
+        // literal; Spark broadcasts the task binary once per stage, so
+        // this ships exactly like the old explicit broadcast.
+        import org.apache.spark.sql.GraftShims
+        import org.apache.spark.sql.catalyst.expressions.{
+          BloomFilterMightContain, Literal, XxHash64}
+        import org.apache.spark.sql.types.BinaryType
+        val (bloomBytes, _) = buildHoldoutBloom(docs)
+        trainGramsAll.filter(GraftShims.exprColumn(BloomFilterMightContain(
+          Literal(bloomBytes, BinaryType),
+          new XxHash64(Seq(GraftShims.expr(col("gram")))))))
       }
     val hits = trainGrams.join(Q.maybeBroadcast(holdIdx), "gram")
       .groupBy(col("doc_id"))
@@ -446,7 +483,15 @@ object Curate {
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = t.withColumn("local_cum", sum(col("n_toks")).over(wLocal))
-    val wOffset = Window.orderBy(col("pid"))
+    // Constant partition key (VERDICT r8 item 3): this window runs over
+    // exactly P summary rows (P = shuffle partitions, metadata scale) —
+    // the constant key plans the identical single-partition exchange but
+    // keeps the `WindowExec: No Partition Defined` warning stream clean,
+    // so a REAL data-sized unpartitioned window stays loudly visible.
+    // `pid - pid` (not `lit(0)`) because EliminateWindowPartitions
+    // strips foldable keys and would resurrect the warning.
+    val wOffset = Window.partitionBy(col("pid") - col("pid"))
+      .orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy(col("pid"))
       .agg(sum(col("n_toks")).as("ptotal"))
@@ -535,7 +580,10 @@ object Curate {
       .persist()
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("llr").desc, col("doc_id"))
-    val wOffset = Window.orderBy(col("pid"))
+    // P-row offset window — constant-keyed for warning hygiene, same
+    // rationale (and same non-foldable-key trick) as [[pack]]'s wOffset.
+    val wOffset = Window.partitionBy(col("pid") - col("pid"))
+      .orderBy(col("pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = ranked.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
       .withColumn("off", coalesce(sum(col("pn")).over(wOffset), lit(0L)))

@@ -408,13 +408,16 @@ object Dedup {
    * (component id = min doc_id; keep one doc per component). Distributed
    * min-label propagation: every doc starts labeled with itself; each
    * round pulls the minimum label across its neighbors; fixpoint after
-   * O(component diameter) rounds. Each round is one join + one hash agg
-   * (both shuffle by doc key), and `localCheckpoint` truncates the plan
-   * lineage per round — the standard Spark formulation for iterative
-   * graph algorithms (what GraphX does under the hood), so 100 TB of
-   * pairs just means wider shuffles, not deeper plans. Near-dup graphs
-   * have tiny diameters (dups cluster tightly), so rounds stay single
-   * digits regardless of corpus size.
+   * O(component diameter) rounds. Each round is ONE join + ONE hash agg
+   * (both shuffle by doc key) driven by a single action — the standard
+   * Spark formulation for iterative graph algorithms (what GraphX does
+   * under the hood), so 100 TB of pairs just means wider shuffles, not
+   * deeper plans. Near-dup graphs have tiny diameters (dups cluster
+   * tightly), so rounds stay single digits regardless of corpus size.
+   * Per-round label frames are persisted and the previous round's cache
+   * dropped as soon as its successor materializes, so live cache is one
+   * label set + edges no matter how many rounds run; plan depth grows
+   * one fixed layer per round, bounded by the same tiny diameter.
    */
   /** Fixpoint rounds of the most recent [[connectedComponents]] run —
     * read by StressBench to record iteration count per scale (VERDICT
@@ -425,34 +428,59 @@ object Dedup {
     * driver-eager, so the value is final when the function returns. */
   @volatile var lastCcRounds: Int = -1
 
-  def connectedComponents(pairs0: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame,
+      inputPersisted: Boolean = false): DataFrame = {
     // The symmetric edge union reads the pair frame twice — persist it
     // or the caller's whole pair pipeline (candidate join + verify)
-    // executes once per union branch.
-    val pairs = pairs0.persist()
+    // executes once per union branch. Callers that already hold the
+    // pair frame (or a projection of it) in cache pass
+    // `inputPersisted = true` so we don't materialize a SECOND copy of
+    // the pair set for the fixpoint loop's duration (ADVICE r8).
+    val pairs = if (inputPersisted) pairs0 else pairs0.persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc")).distinct()
+    var cached = edges.select(col("src").as("doc")).distinct()
       .withColumn("lbl", col("doc"))
-      .localCheckpoint(true)
+      .persist()
+    var labels = cached
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
+      // ONE job per round (VERDICT r8 item 4): the old label rides the
+      // union as a tagged third column (incoming neighbor labels carry
+      // null), so the round's own hash agg yields BOTH the new min
+      // label and the label it replaced — the changed-count no longer
+      // needs a second join+count action over the full label set. The
+      // round's single agg action materializes `next`'s cache as it
+      // scans it (and, in round 1, the initial label cache and edges
+      // too), so each round costs exactly one job: one join+agg
+      // shuffle plus a metadata-sized 1-row summary agg.
       val next = edges.join(labels, col("dst") === col("doc"))
-        .select(col("src").as("doc"), col("lbl"))
-        .union(labels)
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
-      labels = next
+        .select(col("src").as("doc"), col("lbl"),
+          lit(null).cast("long").as("old"))
+        .union(labels.select(col("doc"), col("lbl"),
+          col("lbl").as("old")))
+        .groupBy(col("doc"))
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+        .withColumn("chg", (col("lbl") < col("old")).cast("long"))
+        .persist()
+      val chgRow = next.agg(sum(col("chg"))).first()
+      changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
+      // next is materialized — the previous round's label cache is dead.
+      cached.unpersist()
+      cached = next
+      // Re-root on the cached data as a flat leaf: the next round
+      // references labels twice (join + union), so carrying the full
+      // plan would DOUBLE the logical tree every round — exponential
+      // analysis cost over a large upstream pair pipeline.
+      labels = org.apache.spark.sql.GraftShims.flattenToLeaf(next)
+        .select(col("doc"), col("lbl"))
       rounds += 1
     }
     lastCcRounds = rounds
     edges.unpersist()
-    pairs.unpersist()
+    if (!inputPersisted) pairs.unpersist()
     val bySize = Window.partitionBy(col("lbl"))
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("component_id"),

@@ -544,8 +544,11 @@ object Similarity {
    */
   def semanticDedup(emb: DataFrame, thresh: Double): DataFrame = {
     val (assigned, pairs) = semanticParts(emb, thresh)
+    // pairs is already persisted by semanticParts — the projection hits
+    // that cache, so CC must not materialize a second copy (ADVICE r8).
     val comps = Dedup.connectedComponents(
-      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      inputPersisted = true)
     assigned.select(col("vec_id"), col("cl").cast("long").as("cl"))
       .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
         Seq("vec_id"), "left")

@@ -13,4 +13,25 @@ object GraftShims {
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Block until every queued listener event is delivered — lets tests
+    * count jobs/stages deterministically (the bus is async; a plain
+    * listener read races the events it is counting). */
+  def waitListenerBusEmpty(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Re-root a (typically persisted) frame as a flat `LogicalRDD` leaf —
+    * the lineage-truncation half of `Dataset.localCheckpoint` without
+    * its extra materialization job: iterative algorithms that reference
+    * the previous round's output TWICE per round (join + union) would
+    * otherwise double their logical plan every round. The physical RDD
+    * is captured AFTER planning, so a persisted input reads its cache;
+    * rows are defensively copied exactly as `checkpoint` does (columnar
+    * cache scans emit reused row buffers). */
+  def flattenToLeaf(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val leaf = execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd.map(_.copy()), ds, isStreaming = false)
+    classic.Dataset.ofRows(ds.sparkSession, leaf)
+  }
 }

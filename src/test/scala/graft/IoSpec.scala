@@ -186,4 +186,47 @@ class IoSpec extends SparkSpec {
     assert(clicks.count() ===
       src.filter(col("event_type") === "click").count())
   }
+
+  test("events ts normalization is vintage-proof: nanos-long, NTZ-micros and UTC-micros read identically (VERDICT r8)") {
+    // The r7 driver bench lost all 8 events-family queries because the
+    // testdata regenerated with a new ts encoding while the conversion
+    // was pinned to the old one. Tables.load now dispatches on the
+    // arriving type (Tables.scala); this writes the same instants in
+    // all three vintages and pins that the next encoding flip fails
+    // HERE, in-suite, not in the driver's bench.
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft_vintage").toString
+    val micros = Seq( // instants with sub-second parts, around DST edges
+      1705312245123456L, 1719792000000001L, 1672531199999999L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    // vintage 1: TIMESTAMP(MICROS) adjusted-to-UTC -> TimestampType (no-op branch)
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"))
+      .write.parquet(s"$base/v_tz/events.parquet")
+    // vintage 2: TIMESTAMP(MICROS) isAdjustedToUTC=false -> TimestampNTZType (cast branch)
+    rows.toDF("event_id", "us")
+      .select(col("event_id"),
+        expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$base/v_ntz/events.parquet")
+    // vintage 3: INT64 nanos read as LongType (the nanosAsLong legacy
+    // branch -- a plain BIGINT column arrives as the same LongType the
+    // TIMESTAMP(NANOS) flag produced, exercising the same dispatch arm)
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.parquet(s"$base/v_nanos/events.parquet")
+    def norm(dir: String) = Tables.events(s, dir)
+      .select(col("event_id"), col("ts").cast("string").as("ts"))
+      .orderBy(col("event_id")).collect().toSeq
+    val tz = norm(s"$base/v_tz")
+    assert(tz.map(_.getString(1)) === Seq(
+      "2024-01-15 09:50:45.123456", "2024-07-01 00:00:00.000001",
+      "2022-12-31 23:59:59.999999"), "UTC-micros vintage read wrong instants")
+    assert(norm(s"$base/v_ntz") === tz, "NTZ vintage diverged from UTC-micros")
+    assert(norm(s"$base/v_nanos") === tz, "nanos vintage diverged from UTC-micros")
+    for (v <- Seq("v_tz", "v_ntz", "v_nanos"))
+      assert(Tables.events(s, s"$base/$v").schema("ts").dataType
+        === org.apache.spark.sql.types.TimestampType,
+        s"$v did not normalize to TimestampType")
+  }
 }

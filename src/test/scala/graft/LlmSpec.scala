@@ -651,4 +651,52 @@ class LlmSpec extends SparkSpec {
     assert(hostB.map(r => (r.getAs[Long]("rn"), r.getAs[Long]("n_docs"))).toSeq
       === Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("connectedComponents runs exactly one job per propagation round (VERDICT r8)") {
+    val s = spark
+    import s.implicits._
+    // AQE splits one action into per-stage jobs, which would make the
+    // count test AQE-config-dependent rather than algorithmic — pin it
+    // off so one action == one job and the assertion reads the design.
+    // AQE splits one action into per-stage jobs and a broadcast join
+    // runs its build as a separate future job -- both would make the
+    // count config/scale-dependent rather than algorithmic; pin them
+    // off so one action == one scheduler job (at cluster scale the
+    // label side never broadcasts anyway).
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(j.jobId + ": " + Option(j.properties.getProperty("spark.job.description")).getOrElse("") + " | callsite=" + Option(j.properties.getProperty("callSite.short")).getOrElse("") + " stages=" + j.stageInfos.map(_.name).mkString(";"))
+        ()
+      }
+    }
+    org.apache.spark.sql.GraftShims.waitListenerBusEmpty(s)
+    s.sparkContext.addSparkListener(listener)
+    try {
+      // chain 1-2-3 (diameter 2 -> a multi-round fixpoint) + island 10-11
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      Dedup.connectedComponents(pairs)
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(s)
+      val rounds = Dedup.lastCcRounds
+      assert(rounds >= 2, s"fixture should need >= 2 rounds, got $rounds")
+      // Each round is ONE action: the changed-count agg whose scan
+      // materializes the round's persisted label frame (round 1 also
+      // fills the initial-label and edge caches inside its job) -- the
+      // old second join+count per round would make this 2x rounds.
+      assert(jobs.get() === rounds,
+        s"expected $rounds jobs (one per round), got ${jobs.get()}:\n" +
+          descs.toArray.mkString("\n"))
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }

@@ -216,9 +216,15 @@ class PlanShapeSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!hp.contains("BroadcastHashJoin"),
         "hyperplanePairs still broadcasts with threshold 0")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      // Drop the SMJ-frozen InMemoryRelations cached while the
+      // thresholds were zeroed, or a later plan-shape test would read
+      // stale shuffle-join plans out of the cache (ADVICE r8).
+      spark.catalog.clearCache()
     }
   }
 
@@ -228,6 +234,31 @@ class PlanShapeSpec extends SparkSpec {
       "decontamination degenerated to an all-pairs shape")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), "no equi join found in the probe")
+  }
+
+  test("pipeline_decont_bloom: probe is native might_contain inside codegen, no Scala UDF (VERDICT r8)") {
+    val p = plan("pipeline_decont_bloom")
+    assert(p.contains("might_contain"),
+      "native BloomFilterMightContain missing from the bloom probe plan")
+    assert(!p.contains("UDF("),
+      "Scala UDF found in the decontamination plan — the train-gram " +
+        "probe must stay inside whole-stage codegen")
+  }
+
+  test("pack/dsir offset windows keep a partition key after optimization (zero unpartitioned WindowExec, VERDICT r8)") {
+    // The two-phase prefix-sum ops run their P-row offset window under a
+    // constant key purely for warning hygiene; EliminateWindowPartitions
+    // strips FOLDABLE keys, so this pins that the key survives the
+    // optimizer — a regression here floods the sweep with
+    // `WindowExec: No Partition Defined` noise again.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("pipeline_pack", "curate_dsir")) {
+      val bad = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(bad.isEmpty, s"$q plans ${bad.size} unpartitioned window(s)")
+    }
   }
 
   test("text_ngram_lm: model-table join is hash-based; corpus count broadcast only") {
