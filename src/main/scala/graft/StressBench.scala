@@ -312,6 +312,24 @@ object StressBench {
       if (ccEntry.rows >= 0) ccRounds(scale) = llm.Dedup.lastCcRounds
     }
 
+    // ---- ann_pq recall-vs-rerank-width curve (VERDICT r8 item 5) ----
+    // Ground truth is the exact bruteTopK per width; recall is recorded
+    // in BASIS POINTS in the rows field (10000 = 1.00) so the curve
+    // sits in the artifact next to the PQ timing rows. Measured at the
+    // smallest and (when present) a mid uniform scale — recall is a
+    // per-probe neighborhood property, so the two points pin that it
+    // does not collapse as the corpus grows.
+    for ((scale, _) <- uniformScales.headOption.toSeq ++
+        uniformScales.find(_._1 == "s10").toSeq) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      for (w <- Seq(16, 32, 64, 128))
+        record(s"ann_pq_recall_w$w", scale, measureRaw(() => {
+          val r = PqCurve.recallCurve(spark, dir, 5, Seq(w)).head._2
+          math.round(r * 10000)
+        }, "pq_recall"))
+    }
+
     // ---- s100: banded families only (VERDICT r5 item 8) ----
     // Half an order of magnitude more span for the queries whose scale
     // story is the product's thesis: banded MinHash, hyperplane LSH,

@@ -564,9 +564,23 @@ object Curate {
       .select(col("gram"),
         (log((col("c_tgt") + lit(1.0)) / (col("t_tgt") + col("v"))) -
           log((col("c_raw") + lit(1.0)) / (col("t_raw") + col("v")))).as("llr_g"))
+    // Canonical-order summation (ADVICE r8): a doc's llr is a float sum
+    // whose 4-dp rounding feeds a GLOBAL rank — one addend landing on
+    // the other side of a rounding boundary would shift every sel_rank
+    // below it. Distributed partial-agg order is nondeterministic, so
+    // instead each doc's (gram, llr_g) terms are gathered, sorted by
+    // gram, and folded sequentially — the oracle sums with the same
+    // `ORDER BY gram`, making both engines run the identical IEEE
+    // addition sequence (ties are the same bigram, hence the same
+    // llr_g — order-free). The gather is per-doc bounded (a doc's own
+    // bigrams), so the agg still partial-aggregates by doc key.
     val wdoc = bi.join(Q.maybeBroadcast(model), Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("llr_g")), 4).as("llr"))
+      .agg(round(
+        aggregate(
+          array_sort(collect_list(struct(col("gram"), col("llr_g")))),
+          lit(0.0), (acc, x) => acc + x.getField("llr_g")),
+        4).as("llr"))
     val scored = docs.select(col("doc_id"), col("lang"), col("source"))
       .join(wdoc, Seq("doc_id"), "left")
       .withColumn("llr", coalesce(col("llr"), lit(0.0)))
@@ -666,7 +680,7 @@ object Curate {
         |    LN((COALESCE(c_tgt, 0) + 1.0) / (t_tgt + v))
         |      - LN((c_raw + 1.0) / (t_raw + v)) AS llr_g
         |  FROM raw LEFT JOIN tgt USING (gram) CROSS JOIN tot),
-        | wdoc AS (SELECT doc_id, ROUND(SUM(llr_g), 4) AS llr
+        | wdoc AS (SELECT doc_id, ROUND(SUM(llr_g ORDER BY gram), 4) AS llr
         |  FROM bi JOIN model USING (gram) GROUP BY doc_id),
         | scored AS (SELECT d.doc_id, d.lang, d.source,
         |    COALESCE(w.llr, 0.0) AS llr

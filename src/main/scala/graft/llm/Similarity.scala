@@ -560,6 +560,35 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /**
+   * The ORACLE arm of [[semanticDedup]] (VERDICT r8 item 6): identical
+   * components-and-keep verdict, but over the EXACT cosine pair frame
+   * instead of the k-means-blocked one — every stage (rounded cosine
+   * threshold join → connected components → canonical-member keep) is
+   * deterministic and SQL-expressible, so the full verdict path gets a
+   * hash-matched DuckDB oracle (recursive-CTE reachability, the
+   * dedup_components shape) while the clustered arm keeps its
+   * recall/precision property gate. Test-sf arm only by construction —
+   * the all-pairs stage is the n² plan the clustered arm exists to
+   * avoid; at scale the verdict path is exercised through
+   * [[semanticDedup]] with the identical downstream code.
+   */
+  def semanticVerdictExact(emb: DataFrame, thresh: Double): DataFrame = {
+    val pairs = exactPairs(emb, thresh).persist()
+    val comps = Dedup.connectedComponents(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      inputPersisted = true)
+    emb.select(col("vec_id"))
+      .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
+        Seq("vec_id"), "left")
+      .withColumn("component_id",
+        coalesce(col("component_id"), col("vec_id")))
+      .withColumn("keep",
+        (col("component_id") === col("vec_id")).cast("long"))
+      .select(col("vec_id"), col("component_id"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The candidate frame an IVF probe scans (bucket join, BEFORE exact
     * rerank) — the scale-instrumentation entry point (StressBench): its
     * row count over the stress span is the sub-linear-fraction claim. */
@@ -652,6 +681,16 @@ object Similarity {
    */
   /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 centroids
     * per subspace (one nibble per subspace, 32 bits per vector). */
+  /** Default ADC rerank width multiplier (FAISS's efSearch analog):
+    * top-(factor·k) ADC candidates get the exact-cosine rerank.
+    * Calibrated on the fixture corpus (r9, VERDICT r8 item 5) — the
+    * measured curve at sf0.01/k=5: 16×→0.72, 32×→0.84, 64×→0.96,
+    * 128×→1.00 (recorded as `ann_pq_recall_w*` rows in
+    * BENCH_stress.json, recall in basis points). 64× clears the ≥ 0.8
+    * LlmSpec gate with margin where r8's 16× measured 0.72; still
+    * O(k) per probe — vanishing against corpus size. */
+  val PqRerankFactor = 64
+
   private val PqM = 8
   private val PqSubDim = 8
   private val PqK = 16
@@ -786,7 +825,8 @@ object Similarity {
    * ever touch float data again. Non-oracle (k-means codebooks);
    * recall vs the exact [[bruteTopK]] oracle is gated in LlmSpec.
    */
-  def annPq(s: SparkSession, d: String, k: Int): DataFrame = {
+  def annPq(s: SparkSession, d: String, k: Int,
+      rerankFactor: Int = PqRerankFactor): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val books = pqTrain(emb)
     val cbSeq = pqBookSeq(books)
@@ -815,7 +855,7 @@ object Similarity {
     val cands = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("adc", expr(adcScore))
       .withColumn("crn", row_number().over(wAdc))
-      .filter(col("crn") <= 16 * k)
+      .filter(col("crn") <= rerankFactor * k)
       .select(col("probe_id"), col("p_emb"), col("vec_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -874,6 +914,12 @@ object Similarity {
       // sketch row (cluster assignment isn't SQL-expressible); precision
       // 1.0 by construction, recall property-gated in LlmSpec.
       semanticDedup(Tables.embeddings(s, d), 0.35)),
+
+    "dedup_semantic_verdict" -> ((s, d) =>
+      // Oracle arm of dedup_semantic: the same components-and-keep
+      // verdict over the exact pair frame (deterministic, recursive-CTE
+      // expressible) — hash-matched in DuckDB.
+      semanticVerdictExact(Tables.embeddings(s, d), 0.35)),
 
     "embed_lshpairs" -> ((s, d) => {
       // Strongest verified near-dup candidates surfaced by the
@@ -958,6 +1004,34 @@ object Similarity {
         |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
         |   4) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // The exact-arm SemDeDup verdict: embed_neardup's pair predicate
+    // feeding dedup_components' recursive-CTE reachability, then the
+    // canonical-member keep flag over EVERY corpus vector.
+    "dedup_semantic_verdict" ->
+      """WITH RECURSIVE
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |       FROM embeddings),
+        | pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |   FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |   WHERE ROUND(
+        |     LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |     / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
+        |      * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
+        |     4) >= 0.35),
+        | ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        | r(a, b) AS (SELECT a, b FROM ed
+        |             UNION
+        |             SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),
+        | lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component_id
+        |         FROM r GROUP BY a)
+        |SELECT v.vec_id,
+        | COALESCE(lab.component_id, v.vec_id) AS component_id,
+        | CAST(COALESCE(lab.component_id, v.vec_id) = v.vec_id AS BIGINT)
+        |   AS keep
+        |FROM e v LEFT JOIN lab ON v.vec_id = lab.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     // simjoin_auto expands to the exact plan at verify scale (stats-based
     // auto), so its oracle is the same exact-cosine SQL.

@@ -578,7 +578,7 @@ class LlmSpec extends SparkSpec {
       s"PQ mse_ppm $meanMse not < 0.7x mean-baseline $baseline")
   }
 
-  test("ann_pq: ADC candidates + exact rerank recover most exact top-5 neighbors (sf0.01)") {
+  test("ann_pq: ADC candidates + exact rerank recover exact top-5 neighbors (recall >= 0.8, sf0.01)") {
     val exact = Similarity.queries("sim_topk")(spark, sf001)
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -587,8 +587,11 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.6,
-      s"PQ-ADC recall $recall < 0.6 (|exact|=${exact.size}, |approx|=${approx.size})")
+    // r9 gate raise (VERDICT r8 item 5): default rerank width 64x
+    // measures 0.96 here; the full width curve (16x 0.72 / 32x 0.84 /
+    // 64x 0.96 / 128x 1.00) is committed via StressBench.
+    assert(recall >= 0.8,
+      s"PQ-ADC recall $recall < 0.8 (|exact|=${exact.size}, |approx|=${approx.size})")
     // exact rerank: every emitted cos_sim must equal the true cosine —
     // spot-checked implicitly by the overlap sharing sim_topk's scoring
   }
