@@ -66,6 +66,20 @@ if stress is not None:
             failures.append(
                 f"BENCH_stress.json: '{fam}' lacks the s100 point the "
                 f"banded-family fit cites")
+    # r9 (VERDICT r8 items 1/5): the two newest ops' scale rows, the
+    # n^1.5 blocking claim, and the PQ recall-vs-rerank-width curve.
+    rows("dedup_semantic")              # SemDeDup e_time series
+    rows("curate_dsir")                 # DSIR e_time series
+    rows("semantic_candidates")         # sigma cluster^2 ~ n^1.5 claim
+    for w in (16, 32, 64, 128):
+        pts = rows(f"ann_pq_recall_w{w}", min_scales=1)
+        if w == 64:
+            low = {k: v["rows"] for k, v in pts.items()
+                   if v.get("rows", -1) >= 0 and v["rows"] < 8000}
+            if low:
+                failures.append(
+                    f"BENCH_stress.json: ann_pq_recall_w64 below the 0.8 "
+                    f"gate (basis points): {low}")
 
 # --- bench.json: headline + heavy tier -------------------------------
 bench = load("bench.json")
@@ -94,6 +108,24 @@ if bench is not None:
         failures.append(
             f"bench.json: heavy_total {total:.1f}s breaches its "
             f"{budget:.0f}s budget — an arm regressed (Bench.scala contract)")
+
+# --- bench_all.json: full-registry coverage --------------------------
+# VERDICT r8 item 1's second half: the committed full sweep must cover
+# the registry INCLUDING the newest rows, with zero failures — a stale
+# bench_all silently under-reports coverage.
+ball = load("bench_all.json")
+if ball is not None:
+    if ball.get("failed"):
+        failures.append(f"bench_all.json: failed queries {ball['failed']}")
+    if ball.get("complete") is False:
+        failures.append("bench_all.json: complete=false")
+    qs = ball.get("queries", {})
+    for newest in ("dedup_semantic", "curate_dsir", "dedup_semantic_verdict",
+                   "pipeline_pack", "embed_pq", "ann_pq"):
+        if newest not in qs:
+            failures.append(
+                f"bench_all.json: registry row '{newest}' absent — sweep "
+                f"predates the op (re-run Bench --all at HEAD)")
 
 if failures:
     print("ARTIFACT CHECK FAILED:")
