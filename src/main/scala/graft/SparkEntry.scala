@@ -25,6 +25,7 @@ object SparkEntry {
     (operators.Reshape.queries, operators.Reshape.oracleSql),
     (operators.Profiling.queries, operators.Profiling.oracleSql),
     (operators.Sql.queries, operators.Sql.oracleSql),
+    (operators.Layout.queries, operators.Layout.oracleSql),
     (functions.ScalarFns.queries, functions.ScalarFns.oracleSql),
     (streaming.EventOps.queries, streaming.EventOps.oracleSql),
     (sources.SourceOps.queries, sources.SourceOps.oracleSql),

@@ -58,6 +58,11 @@ object StressBench {
     // near 1 says the code-stream scan, not the float corpus, is what
     // scales.
     "embed_pq", "ann_pq",
+    // r9: the composed IVF-PQ index (FAISS's IndexIVFPQ shape). Its
+    // e_time is still the k-means build + assignment (n^1.5 kernel,
+    // shared with ann_ivf); the query side multiplies ann_ivf's n^¾
+    // candidate pruning with ann_pq's 32-bit ADC payload.
+    "ann_ivfpq",
     // r8: semantic dedup + DSIR selection. dedup_semantic's cost model
     // is the k-means build (same class as ann_ivf) plus the
     // within-cluster pair scan — candidate volume Σ|cluster|² ≈ n²/k ≈

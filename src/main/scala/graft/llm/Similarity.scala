@@ -825,13 +825,14 @@ object Similarity {
    * ever touch float data again. Non-oracle (k-means codebooks);
    * recall vs the exact [[bruteTopK]] oracle is gated in LlmSpec.
    */
-  def annPq(s: SparkSession, d: String, k: Int,
-      rerankFactor: Int = PqRerankFactor): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val books = pqTrain(emb)
-    val cbSeq = pqBookSeq(books)
-    // per-subspace LUT offsets (codebooks may be ragged after empty-
-    // cluster drops): lut index = off(j) + code_j
+  /** Probe-side ADC plumbing shared by [[annPq]] and [[annIvfPq]]:
+    * the LUT-builder SQL (dot of each probe subvector against every
+    * codebook centroid — ≤ 8×16 doubles, computed once per probe row),
+    * the ADC score SQL over code columns c0..c7 (8 array lookups, never
+    * a float dot), and the per-subspace centroid counts. Offsets handle
+    * ragged codebooks (empty k-means clusters drop). */
+  private def pqAdcParts(books: Seq[(Array[Float], Int)])
+      : (String, String, Seq[Int]) = {
     val sizes = books.map { case (flat, dim) => flat.length / dim }
     val offs = sizes.scanLeft(0)(_ + _)
     val lutExpr = "flatten(transform(sequence(0, " + (PqM - 1) + "), j -> " +
@@ -840,6 +841,17 @@ object Similarity {
       "), element_at(element_at(cb, j + 1), c + 1), " +
       "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0.0 AS DOUBLE), (a, v) -> a + v))))"
+    val adcScore = (0 until PqM)
+      .map(j => s"element_at(lut, ${offs(j)} + c$j + 1)").mkString(" + ")
+    (lutExpr, adcScore, sizes)
+  }
+
+  def annPq(s: SparkSession, d: String, k: Int,
+      rerankFactor: Int = PqRerankFactor): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val books = pqTrain(emb)
+    val cbSeq = pqBookSeq(books)
+    val (lutExpr, adcScore, sizes) = pqAdcParts(books)
     val probes = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .withColumn("cb", typedlit(cbSeq))
@@ -848,11 +860,70 @@ object Similarity {
       .select(col("probe_id"), col("p_emb"), col("lut"))
     val codes = pqEncode(emb, books)
       .select(col("vec_id") +: (0 until PqM).map(j => col(s"c$j")): _*)
-    val adcScore = (0 until PqM)
-      .map(j => s"element_at(lut, ${offs(j)} + c$j + 1)").mkString(" + ")
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val cands = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", expr(adcScore))
+      .withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= rerankFactor * k)
+      .select(col("probe_id"), col("p_emb"), col("vec_id"))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cands.join(emb, "vec_id")
+      .select(col("probe_id"), col("vec_id"),
+        cos4(col("p_emb"), col("embedding")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /**
+   * IVF-PQ (round 9) — the composed index that completes the ANN
+   * ladder, and the configuration FAISS actually runs at billion scale
+   * (IndexIVFPQ): the IVF coarse quantizer prunes the SEARCH SPACE
+   * (probes score only their nprobe nearest of nlist k-means buckets —
+   * the measured n^¾ candidate fraction of [[annIvf]]), and PQ
+   * compresses the PAYLOAD those candidates carry (32-bit nibble codes,
+   * ADC-scored via the per-probe LUT — the measured linear code-stream
+   * scan of [[annPq]]). Codes quantize the raw vectors against the
+   * corpus-trained codebooks (FAISS's `by_residual=false` mode; the
+   * residual variant needs residual-trained codebooks for no change in
+   * the plan shape). The two stages multiply: the ADC scan touches
+   * n^¾ · 4 bytes instead of n · 256 bytes, and only the top
+   * rerankFactor·k reranked candidates per probe ever read float data.
+   *
+   * Plan shape at 100 TB: ONE encode scan over the bucket-assigned
+   * corpus (coarse argmin + 8 codegen'd subspace argmins fused into the
+   * same projection, zero shuffle), a broadcast of the ≤ 10×nprobe
+   * probe rows (each with its ≤ 128-double LUT), the bucket equi-join
+   * that prunes the scan, and the bounded per-probe top-k windows. The
+   * index build (k-means + assignment) amortizes across every query it
+   * serves, exactly as in [[annIvf]].
+   *
+   * Non-oracle (k-means both in the coarse and product quantizers);
+   * recall vs exact [[bruteTopK]] is gated in LlmSpec — the composed
+   * recall is the product of the stages' (bucket-miss × code-blur), so
+   * the gate sits below either component's own.
+   */
+  def annIvfPq(s: SparkSession, d: String, k: Int,
+      rerankFactor: Int = PqRerankFactor): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (assigned, probeBuckets) = ivfParts(s, d, 3)
+    val books = pqTrain(emb)
+    val cbSeq = pqBookSeq(books)
+    val (lutExpr, adcScore, sizes) = pqAdcParts(books)
+    val codes = pqEncode(assigned, books)
+      .select(col("vec_id") +: col("bucket") +:
+        (0 until PqM).map(j => col(s"c$j")): _*)
+    val probes = probeBuckets
+      .withColumn("cb", typedlit(cbSeq))
+      .withColumn("cbl", typedlit(sizes.map(_ - 1)))
+      .withColumn("lut", expr(lutExpr))
+      .select(col("probe_id"), col("p_emb"), col("bucket"), col("lut"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val cands = codes.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", expr(adcScore))
       .withColumn("crn", row_number().over(wAdc))
       .filter(col("crn") <= rerankFactor * k)
@@ -908,6 +979,8 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
+
+    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d, 5)),
 
     "dedup_semantic" -> ((s, d) =>
       // SemDeDup verdicts at embed_neardup's calibrated threshold —

@@ -20,6 +20,58 @@ import org.apache.spark.sql.expressions.Window
  */
 object TextOps {
 
+  /**
+   * Gopher repetition rules (Rae et al. 2021, "Scaling Language Models:
+   * Methods, Analysis & Insights from Training Gopher",
+   * arXiv:2112.11446 Table A1 — public), token-based variant: the
+   * filter that kills looping/boilerplate docs by (a) the fraction of
+   * tokens covered by the MOST FREQUENT 2-/3-gram and (b) the fraction
+   * of distinct 5-grams that are duplicated. All ratios are exact
+   * integer basis points (`div`), so both engines agree bit-for-bit;
+   * thresholds are the paper's (0.20 / 0.18 / 0.15).
+   *
+   * Scale shape: the n-gram counting is PER-ROW higher-order functions
+   * over the token array (docs are model-input sized, so distinct×n ≈ a
+   * few thousand comparisons per row) — zero shuffle, pure scan
+   * projection; at 100 TB this fuses into the quality-gate scan like
+   * text_quality, where the grouped-explode alternative would shuffle
+   * ~n_grams rows per doc.
+   */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def grams(ng: Int) = {
+      val parts = (0 until ng).map(o => s"element_at(toks, i + $o)")
+        .mkString(", ")
+      s"CASE WHEN size(toks) >= $ng THEN " +
+        s"transform(sequence(1, size(toks) - ${ng - 1}), " +
+        s"i -> concat_ws(' ', $parts)) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    }
+    def topCnt(g: String) =
+      s"CASE WHEN size($g) = 0 THEN 0L ELSE CAST(array_max(" +
+        s"transform(array_distinct($g), g -> size(filter($g, x -> x = g))))" +
+        " AS BIGINT) END"
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .withColumn("g5", expr(grams(5)))
+      .withColumn("top2_bp", expr(
+        s"CASE WHEN n_tokens >= 2 THEN ${topCnt("g2")} * 2 * 10000 div n_tokens ELSE 0L END"))
+      .withColumn("top3_bp", expr(
+        s"CASE WHEN n_tokens >= 3 THEN ${topCnt("g3")} * 3 * 10000 div n_tokens ELSE 0L END"))
+      .withColumn("dup5_bp", expr(
+        "CASE WHEN size(g5) = 0 THEN 0L ELSE " +
+          "CAST(size(filter(transform(array_distinct(g5), " +
+          "g -> size(filter(g5, x -> x = g))), c -> c > 1)) AS BIGINT)" +
+          " * 10000 div CAST(size(array_distinct(g5)) AS BIGINT) END"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("top2_bp"), col("top3_bp"), col("dup5_bp"),
+        (col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
+          col("dup5_bp") <= 1500).cast("int").as("keep"))
+  }
+
   /** 31-based rolling hash over per-token values, mod 2^31-1. Token value
     * = ascii(first char)*131 + length — chosen because both Spark and
     * DuckDB compute it identically (no engine-specific hash function).
@@ -200,6 +252,9 @@ object TextOps {
             .as("quality_bp"))
         .orderBy(col("doc_id"))
     }),
+
+    "text_repetition" -> ((s, d) =>
+      repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "text_tokens" -> ((s, d) => {
       // Whitespace tokens vs a BPE-ish regex segmentation (letter runs /
@@ -445,6 +500,53 @@ object TextOps {
         | ARRAY_TO_STRING(LIST_SLICE(toks, i * 24 + 1, i * 24 + 32), ' ')
         |   AS chunk_text
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Grouped-unnest counting computes the same integers as the Spark
+    // side's per-row HOFs; `//` matches `div` on non-negative operands.
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | g2 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |     i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |   FROM d WHERE LEN(toks) >= 2),
+        | g3 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |   FROM d WHERE LEN(toks) >= 3),
+        | g5 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3),
+        |     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+        |       || toks[i + 3] || ' ' || toks[i + 4])) AS gram
+        |   FROM d WHERE LEN(toks) >= 5),
+        | m2 AS (SELECT doc_id, MAX(cnt) AS top2 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | m3 AS (SELECT doc_id, MAX(cnt) AS top3 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | m5 AS (SELECT doc_id,
+        |     CAST(COUNT(*) FILTER (cnt > 1) AS BIGINT) AS dup5,
+        |     CAST(COUNT(*) AS BIGINT) AS dist5 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | r AS (SELECT d.doc_id, d.n_tokens,
+        |    CASE WHEN d.n_tokens >= 2
+        |      THEN COALESCE(m2.top2, 0) * 2 * 10000 // d.n_tokens
+        |      ELSE 0 END AS top2_bp,
+        |    CASE WHEN d.n_tokens >= 3
+        |      THEN COALESCE(m3.top3, 0) * 3 * 10000 // d.n_tokens
+        |      ELSE 0 END AS top3_bp,
+        |    CASE WHEN COALESCE(m5.dist5, 0) > 0
+        |      THEN COALESCE(m5.dup5, 0) * 10000 // m5.dist5
+        |      ELSE 0 END AS dup5_bp
+        |   FROM d LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        |     LEFT JOIN m5 USING (doc_id))
+        |SELECT doc_id, n_tokens,
+        |  CAST(top2_bp AS BIGINT) AS top2_bp,
+        |  CAST(top3_bp AS BIGINT) AS top3_bp,
+        |  CAST(dup5_bp AS BIGINT) AS dup5_bp,
+        |  CAST(top2_bp <= 2000 AND top3_bp <= 1800 AND dup5_bp <= 1500
+        |    AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok

@@ -328,6 +328,28 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall < 0.7 at sf0.01 (|ann|=${ann.size})")
   }
 
+  test("ann_ivfpq: composed recall >= 0.65 at the verify sf, structure sound (sf0.01)") {
+    // The composed index's recall ceiling is the IVF stage's bucket
+    // recall (gated >= 0.7 above); the PQ stage's w64 ADC blur costs a
+    // few points below that (measured 0.74 at sf0.01, 0.76 at sf0.001
+    // vs ann_ivf's 0.78) — the gate sits at 0.65 with margin. Wider
+    // rerank cannot recover a bucket miss, so raising this gate means
+    // raising nprobe, not rerankFactor.
+    val exact = Similarity.queries("sim_topk")(spark, sf001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.queries("ann_ivfpq")(spark, sf001).collect()
+    val byProbe = ann.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rows) =>
+      val rns = rows.map(_.getLong(3)).sorted.toSeq
+      assert(rns === (1L to rns.size).toSeq, s"probe $p ranks $rns")
+      assert(rows.length <= 5)
+    }
+    val annPairs = ann.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & annPairs).size.toDouble / exact.size
+    assert(recall >= 0.65, s"IVF-PQ recall $recall < 0.65 (|ann|=${annPairs.size})")
+  }
+
   test("multimodal decodeFeatures: mapPartitions batch path matches expression path (sf0.001)") {
     val s = spark
     import s.implicits._
@@ -365,6 +387,31 @@ class LlmSpec extends SparkSpec {
         assert(sorted(sorted.length - 2).getLong(3) + 32 - 1 < n,
           s"doc $doc: redundant final chunk")
     }
+  }
+
+  test("text_repetition: looping doc rejected, diverse doc kept, short docs total (literal frames)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // pure loop: every 2-gram is "spam spam" → top2_bp ≈ 10000, killed
+      (1L, Seq.fill(20)("spam").mkString(" ")),
+      // period-2 loop: caught by the 2-gram rule even with 2 tokens
+      (2L, Seq.fill(10)("foo bar").mkString(" ")),
+      // diverse: all n-grams unique → every bp score low, kept
+      (3L, (1 to 20).map(i => s"tok$i").mkString(" ")),
+      // shorter than every n-gram window: total, scores 0, kept
+      (4L, "one"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextOps.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out(1L)._4 === 0, s"looping doc kept: ${out(1L)}")
+    assert(out(1L)._1 > 9000, s"top2_bp should be ~10000: ${out(1L)}")
+    assert(out(2L)._4 === 0, s"period-2 loop kept: ${out(2L)}")
+    assert(out(3L) === ((1000L, 1500L, 0L, 1)), s"diverse doc: ${out(3L)}")
+    assert(out(4L) === ((0L, 0L, 0L, 1)))
+    assert(out(5L) === ((0L, 0L, 0L, 1)))
   }
 
   test("dedup_editdist: identical texts at distance 0; rearranged text at known distance (literal frames)") {

@@ -71,6 +71,7 @@ if stress is not None:
     rows("dedup_semantic")              # SemDeDup e_time series
     rows("curate_dsir")                 # DSIR e_time series
     rows("semantic_candidates")         # sigma cluster^2 ~ n^1.5 claim
+    rows("ann_ivfpq")                   # composed IVF-PQ build+query series
     for w in (16, 32, 64, 128):
         pts = rows(f"ann_pq_recall_w{w}", min_scales=1)
         if w == 64:
@@ -121,7 +122,8 @@ if ball is not None:
         failures.append("bench_all.json: complete=false")
     qs = ball.get("queries", {})
     for newest in ("dedup_semantic", "curate_dsir", "dedup_semantic_verdict",
-                   "pipeline_pack", "embed_pq", "ann_pq"):
+                   "pipeline_pack", "embed_pq", "ann_pq",
+                   "ann_ivfpq", "text_repetition", "layout_zorder"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
