@@ -419,6 +419,49 @@ object Curate {
   }
 
   /**
+   * Temperature-scaled source mixing (round 9) — the multilingual-
+   * pretraining sampling rule of mC4 / XLM-R (Conneau et al. 2020,
+   * arXiv:1911.02116 §3.1 — public): raw source shares p_s are smoothed
+   * to p_s^α before sampling, boosting small sources without flattening
+   * the mix. α = 0.5 here so the smoothing is SQRT — IEEE-correctly-
+   * rounded in every engine, unlike a general pow — and each source's
+   * weight rounds to 10 dp and sums as DECIMAL (the text_entropy
+   * discipline: order-independent, bit-identical). The doc budget is
+   * 10 % of the corpus, split ∝ √n_s; each source admits its target
+   * count in deterministic LCG-hash order (decorrelated from doc_id
+   * order and from sample_weighted's stream by a different increment).
+   *
+   * Plan shape: one 5-row aggregate (partial+final), broadcast back,
+   * one per-source window for the admission rank — the same
+   * one-shuffle-by-source shape as curate_source_cap; at 100 TB the
+   * hot-source window is exactly the mass the temperature exists to
+   * rebalance, and the 5-row target frame broadcasts at any scale.
+   */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", expr(
+        "CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 10) AS DECIMAL(18,12))"))
+    val tot = bySrc.agg(sum(col("w")).as("w_tot"),
+      sum(col("n_docs")).as("n_total"))
+    val targets = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share", expr("CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)"))
+      .withColumn("target_docs", expr(
+        "CAST(floor((n_total div 10) * share + 0.5) AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("target_docs"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("u"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("u", expr("(doc_id * 1103515245 + 54321) % 2147483648"))
+      .join(broadcast(targets), "source")
+      .withColumn("sel_rank", row_number().over(wSrc).cast("long"))
+      .filter(col("sel_rank") <= col("target_docs"))
+      .select(col("doc_id"), col("source"), col("n_docs"),
+        col("target_docs"), col("sel_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * Per-source document cap — the C4/RefinedWeb anti-domination rule: no
    * single source (domain, in a web corpus) may contribute more than
    * `cap` documents, admitted in deterministic doc_id order, and the
@@ -636,6 +679,9 @@ object Curate {
       }
     }),
     "pipeline_datamix" -> ((s, d) => datamix(Tables.documents(s, d))),
+
+    "curate_temperature_mix" -> ((s, d) =>
+      temperatureMix(Tables.documents(s, d))),
     "curate_source_cap" -> ((s, d) => sourceCap(Tables.documents(s, d), 20)))
 
   private lazy val DecontOracleSql: String =
@@ -789,6 +835,29 @@ object Curate {
         |  FROM t CROSS JOIN tot)
         |SELECT doc_id, lang, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
+
+    // sqrt is IEEE-exact in both engines; the DECIMAL(18,12) weight sum
+    // is order-independent (the text_entropy discipline), and the
+    // share/target arithmetic runs on identical operands.
+    "curate_temperature_mix" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(ROUND(SQRT(CAST(COUNT(*) AS DOUBLE)), 10)
+        |      AS DECIMAL(18,12)) AS w
+        |  FROM documents GROUP BY source),
+        | tot AS (SELECT SUM(w) AS w_tot,
+        |    CAST(SUM(n_docs) AS BIGINT) AS n_total FROM s),
+        | tgt AS (SELECT source, n_docs,
+        |    CAST(FLOOR((n_total // 10) *
+        |      (CAST(w AS DOUBLE) / CAST(w_tot AS DOUBLE)) + 0.5) AS BIGINT)
+        |      AS target_docs
+        |  FROM s CROSS JOIN tot),
+        | r AS (SELECT d.doc_id, d.source, t.n_docs, t.target_docs,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY (d.doc_id * 1103515245 + 54321) % 2147483648,
+        |        d.doc_id) AS BIGINT) AS sel_rank
+        |  FROM documents d JOIN tgt t ON d.source = t.source)
+        |SELECT doc_id, source, n_docs, target_docs, sel_rank
+        |FROM r WHERE sel_rank <= target_docs ORDER BY doc_id""".stripMargin,
 
     // Same five decontamination stages; DuckDB list slices are 1-based
     // inclusive, so toks[i:i+4] is the 5-token shingle starting at i.

@@ -654,46 +654,52 @@ object Similarity {
       .orderBy(col("vec_id"))
 
   /**
-   * Product quantization (round 8) — the FAISS-PQ compression step that
-   * completes this package's ANN family (SQ8 [[quantizeInt8]] stores
-   * 8 bits/dim; PQ stores 4 bits per 8-dim SUBSPACE = 32 bits/vector,
-   * a 64× compression over float32): split each 64-dim vector into
-   * m = 8 subvectors, train a 16-centroid codebook per subspace on a
-   * deterministic hash-sample (≈ 16×64 vectors, FAISS's
-   * points-per-centroid band — training cost is bounded regardless of
-   * corpus size), then encode every vector as 8 nibbles packed into one
-   * BIGINT. Emits the per-vector reconstruction MSE (ppm) the recall
-   * budget is planned against, like the SQ8 twin.
+   * Product quantization (round 8; 7-bit subquantizers since round 9) —
+   * the FAISS-PQ compression step that completes this package's ANN
+   * family (SQ8 [[quantizeInt8]] stores 8 bits/dim; PQ stores 7 bits
+   * per 8-dim SUBSPACE = 56 bits/vector, a 36× compression over
+   * float32): split each 64-dim vector into m = 8 subvectors, train a
+   * 128-centroid codebook per subspace on a deterministic hash-sample
+   * (≈ 128×64 vectors, FAISS's points-per-centroid band — training
+   * cost is bounded regardless of corpus size), then encode every
+   * vector as 8 base-128 digits packed into one BIGINT (128⁸ = 2^56
+   * fits signed 64; the round-8 4-bit/nibble geometry measured recall
+   * 0.60 at the s10 stress scale — its 16-cell subspace resolution is
+   * below this corpus's neighbor margins once distractors number
+   * ~200 k, and widening rerank plateaued at 0.64, so the fix is code
+   * RESOLUTION, not candidate width — FAISS's standard ks=256 answer,
+   * capped at 128 to keep one-BIGINT packing). Emits the per-vector
+   * reconstruction MSE (ppm) the recall budget is planned against,
+   * like the SQ8 twin.
    *
    * Scale shape: training touches only the bounded sample (8 small
-   * k-means runs, centroid frames ≤ 16×8 doubles); corpus encoding is
+   * k-means runs, centroid frames ≤ 128×8 doubles); corpus encoding is
    * ONE scan — per subspace a codegen'd [[graft.plans.NearestCentroidF32]]
-   * argmin over a 16×8 matrix carried as a plan constant, zero shuffle,
+   * argmin over a 128×8 matrix carried as a plan constant, zero shuffle,
    * zero joins. At 100 TB the encode is a projection inside the
    * index-build scan, exactly like SQ8. Codes are DENSE positions into
    * each codebook (the kernel's id array is positional), so the packed
-   * code decodes by nibble regardless of empty-cluster drops.
+   * code decodes by base-128 digit regardless of empty-cluster drops.
    *
    * Non-oracle (sketch row): k-means codebooks aren't SQL-expressible;
    * property-gated in LlmSpec instead — identical vectors encode
    * identically, and mean reconstruction error beats the 1-centroid
    * (global-mean-per-subspace) baseline by a wide margin.
    */
-  /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 centroids
-    * per subspace (one nibble per subspace, 32 bits per vector). */
+  /** PQ geometry: 64-dim vectors → 8 subspaces × 8 dims, 128 centroids
+    * per subspace (7 bits per subspace, 56 bits per vector). */
   /** Default ADC rerank width multiplier (FAISS's efSearch analog):
     * top-(factor·k) ADC candidates get the exact-cosine rerank.
-    * Calibrated on the fixture corpus (r9, VERDICT r8 item 5) — the
-    * measured curve at sf0.01/k=5: 16×→0.72, 32×→0.84, 64×→0.96,
-    * 128×→1.00 (recorded as `ann_pq_recall_w*` rows in
-    * BENCH_stress.json, recall in basis points). 64× clears the ≥ 0.8
-    * LlmSpec gate with margin where r8's 16× measured 0.72; still
-    * O(k) per probe — vanishing against corpus size. */
+    * Calibrated on the fixture corpus (r9, VERDICT r8 item 5), then
+    * re-measured at the stress scales after the 7-bit resolution bump —
+    * the curve lives as `ann_pq_recall_w*` rows in BENCH_stress.json
+    * (basis points, s1 + s10). 64× clears the ≥ 0.8 LlmSpec gate with
+    * margin; still O(k) per probe — vanishing against corpus size. */
   val PqRerankFactor = 64
 
   private val PqM = 8
   private val PqSubDim = 8
-  private val PqK = 16
+  private val PqK = 128
 
   /** Train the per-subspace PQ codebooks on a deterministic hash sample
     * (≤ PqK×64 vectors). Codebook j is row-major (nCentroids×subDim);
@@ -702,7 +708,7 @@ object Similarity {
     * Training is DRIVER-SIDE over the bounded sample — deliberately,
     * not as a shortcut: PQ codebooks train on a fixed-size sample by
     * design (FAISS's points-per-centroid contract), so the training
-    * set is ≤ 1024×64 floats ≈ 256 KB at ANY corpus size — the same
+    * set is ≤ 8192×64 floats ≈ 2 MB at ANY corpus size — the same
     * accepted bounded-fetch class as the centroid packing the IVF
     * kernel already does. The first cut reused the distributed
     * [[kmeans]] per subspace: 8 × (seed collect + 2 eager-checkpointed
@@ -782,7 +788,7 @@ object Similarity {
     val books = pqTrain(emb)
     val cbSeq = pqBookSeq(books)
     val coded = pqEncode(emb, books)
-    val packed = (0 until m).map(j => s"CAST(c$j AS BIGINT) * ${1L << (4 * j)}L")
+    val packed = (0 until m).map(j => s"CAST(c$j AS BIGINT) * ${1L << (7 * j)}L")
       .mkString(" + ")
     val mseTerms = (0 until m).map { j =>
       s"""aggregate(zip_with(slice(embedding, ${j * subDim + 1}, $subDim),
@@ -805,18 +811,18 @@ object Similarity {
    * (brute [[bruteTopK]] → hyperplane LSH → IVF → PQ-ADC, the FAISS
    * composition used at billion scale): each probe precomputes ONE
    * lookup table of its dot products against every codebook centroid
-   * (≤ 8×16 = 128 doubles, computed once per probe), and a candidate's
-   * approximate score is then 8 array lookups over its nibble codes —
-   * never a 64-float dot. The ADC top-(16k) candidates are exactly
-   * reranked with true cosine and the top-k emitted, so code
-   * compression costs recall only through candidate selection. The
-   * 16× rerank width is the recall knob (FAISS's efSearch analog),
-   * calibrated on this corpus: the fixture's unit vectors cluster
-   * tightly within labels, so near-neighbor margins sit below 32-bit
-   * code resolution — 4k reranked measured recall 0.36 at sf0.01,
-   * 16k ≥ 0.6; the width is still O(k), vanishing against corpus size.
+   * (≤ 8×128 = 1024 doubles, computed once per probe), and a
+   * candidate's approximate score is then 8 array lookups over its
+   * code digits — never a 64-float dot. The ADC top-(rerankFactor·k)
+   * candidates are exactly reranked with true cosine and the top-k
+   * emitted, so code compression costs recall only through candidate
+   * selection. Rerank width is the recall knob (FAISS's efSearch
+   * analog) for margin noise; code RESOLUTION (PqK) is the knob for
+   * distractor density — the r8 4-bit geometry saturated at 0.64
+   * recall at the s10 stress scale no matter the width, which is what
+   * drove the 7-bit bump (see [[productQuantize]]).
    *
-   * Scale shape: corpus side carries (vec_id, c0..c7) — 32 bits of
+   * Scale shape: corpus side carries (vec_id, c0..c7) — 56 bits of
    * payload per vector instead of 256 bytes of floats; the probe LUT
    * frame is 10 rows and broadcast; scoring is a projection over the
    * code stream (no shuffle before the bounded per-probe top-k). At
@@ -827,7 +833,7 @@ object Similarity {
    */
   /** Probe-side ADC plumbing shared by [[annPq]] and [[annIvfPq]]:
     * the LUT-builder SQL (dot of each probe subvector against every
-    * codebook centroid — ≤ 8×16 doubles, computed once per probe row),
+    * codebook centroid — ≤ 8×128 doubles, computed once per probe row),
     * the ADC score SQL over code columns c0..c7 (8 array lookups, never
     * a float dot), and the per-subspace centroid counts. Offsets handle
     * ragged codebooks (empty k-means clusters drop). */
@@ -883,7 +889,7 @@ object Similarity {
    * (IndexIVFPQ): the IVF coarse quantizer prunes the SEARCH SPACE
    * (probes score only their nprobe nearest of nlist k-means buckets —
    * the measured n^¾ candidate fraction of [[annIvf]]), and PQ
-   * compresses the PAYLOAD those candidates carry (32-bit nibble codes,
+   * compresses the PAYLOAD those candidates carry (56-bit packed codes,
    * ADC-scored via the per-probe LUT — the measured linear code-stream
    * scan of [[annPq]]). Codes quantize the raw vectors against the
    * corpus-trained codebooks (FAISS's `by_residual=false` mode; the

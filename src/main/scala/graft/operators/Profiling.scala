@@ -62,6 +62,29 @@ object Profiling {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_weighted" -> ((s, d) => {
+      // Sequential Poisson sampling (Ohlsson 1998 — public; the
+      // probability-proportional-to-size method survey statistics runs
+      // at census scale): priority = u / w for a per-row uniform u and
+      // weight w, keep the n smallest priorities. Weighting by document
+      // length gives the curation move "sample tokens, not documents".
+      // u is a deterministic LCG step of doc_id and the priority is an
+      // INTEGER (u scaled by 1e6, integer-divided by w) — bit-identical
+      // in both engines, and immune to the float-rank-boundary class
+      // the DSIR op had to engineer around. Top-100 by (priority,
+      // doc_id) is TakeOrderedAndProject — no global sort, no shuffle
+      // beyond the bounded top-k; at 100 TB this is one scan + one
+      // 100-row reduction.
+      Tables.documents(s, d)
+        .withColumn("u", expr(
+          "(doc_id * 1103515245 + 12345) % 2147483648"))
+        // greatest(...,1): total on empty docs (corpus min is 48 chars)
+        .withColumn("priority", expr("u * 1000000 div greatest(n_chars, 1)"))
+        .select(col("doc_id"), col("n_chars"), col("u"), col("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(100)
+    }),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic 10% PER-STRATUM sample (by language): first ⌈n·0.1⌉
       // docs of each stratum in doc_id order — every language keeps its
@@ -99,6 +122,14 @@ object Profiling {
         | CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
         |   THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars,
+        | (doc_id * 1103515245 + 12345) % 2147483648 AS u,
+        | ((doc_id * 1103515245 + 12345) % 2147483648) * 1000000
+        |   // GREATEST(n_chars, 1) AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, rn, strata_n FROM (

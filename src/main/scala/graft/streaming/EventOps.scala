@@ -81,6 +81,37 @@ object EventOps {
         .orderBy(col("user_id"))
     }),
 
+    "event_attribution" -> ((s, d) => {
+      // First-/last-touch marketing attribution: each purchase is
+      // credited to the most recent preceding channel event (click /
+      // view / signup — errors and purchases are not channels) and to
+      // the user's earliest channel event. One shuffle by user_id, two
+      // running window frames over it — the window key is the user, so
+      // the shuffle spreads over the user population at any scale;
+      // purchases with no prior channel attribute to 'none' (the frame
+      // is empty → NULL → coalesced), never to a later event.
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
+      val isChannel = col("event_type").isin("click", "view", "signup")
+      val touch = when(isChannel, col("event_type"))
+      val touchTs = when(isChannel, col("ts"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("last_touch", last(touch, ignoreNulls = true).over(wPrev))
+        .withColumn("last_touch_ts",
+          last(touchTs, ignoreNulls = true).over(wPrev))
+        .withColumn("first_touch",
+          first(touch, ignoreNulls = true).over(wPrev))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"),
+          col("last_touch_ts").cast("timestamp_ntz").as("last_touch_ts"),
+          coalesce(col("first_touch"), lit("none")).as("first_touch"))
+        .orderBy(col("event_id"))
+    }),
+
     "event_cohort" -> ((s, d) => {
       // Weekly cohort retention: users bucketed by first-seen week,
       // counted per week-offset of later activity.
@@ -441,6 +472,33 @@ object EventOps {
         | LEFT JOIN c ON u.user_id = c.user_id
         | LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+
+    // LAST_VALUE/FIRST_VALUE IGNORE NULLS over the same running frame
+    // Spark uses (parity proven by event_locf); empty frame → NULL.
+    "event_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | t AS (SELECT *,
+        |   LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+        |       THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS last_touch,
+        |   LAST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+        |       THEN ts END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS last_touch_ts,
+        |   FIRST_VALUE(CASE WHEN event_type IN ('click','view','signup')
+        |       THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS first_touch
+        |  FROM e)
+        |SELECT event_id, user_id, ts, value,
+        | COALESCE(last_touch, 'none') AS last_touch, last_touch_ts,
+        | COALESCE(first_touch, 'none') AS first_touch
+        |FROM t WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "event_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -123,7 +123,9 @@ if ball is not None:
     qs = ball.get("queries", {})
     for newest in ("dedup_semantic", "curate_dsir", "dedup_semantic_verdict",
                    "pipeline_pack", "embed_pq", "ann_pq",
-                   "ann_ivfpq", "text_repetition", "layout_zorder"):
+                   "ann_ivfpq", "text_repetition", "layout_zorder",
+                   "sample_weighted", "event_attribution",
+                   "curate_temperature_mix"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
