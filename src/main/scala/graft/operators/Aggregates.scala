@@ -128,6 +128,39 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pre-aggregated MERGEABLE sketches — the datacube pattern that
+    // makes distinct counts distributive at 100 TB: each (priority,
+    // month) partial builds its own Datasketches-HLL state, and the
+    // rollup UNIONS the states instead of re-scanning raw rows. A 100 TB
+    // fact table materializes the partial-sketch table once (tiny: one
+    // sketch blob per cell), and every rollup/regrouping after that is
+    // sketch-side only — the query below carries both levels in one
+    // plan. HLL register state is max-merge, so the result is
+    // insertion-order-independent and deterministic. Rows-only gate
+    // (DuckDB's approx sketch differs); the union estimate is
+    // property-gated ±5% vs exact, and union-vs-flat-sketch equality is
+    // asserted in OperatorSpec (mergeability, the property the pattern
+    // rests on).
+    "agg_hll_partitioned" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val partials = o
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val exact = o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      partials
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_partials"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_custs"))
+        .join(exact, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_partials"),
+          col("approx_custs"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")) * lit(10000L)
+            / col("exact_custs")).cast("long").as("err_bp"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "agg_approx_quantile" -> ((s, d) => {
       // Sketch-based percentiles (constant state per group, mergeable —
       // the 100 TB path when exact percentile's per-group sort is too

@@ -350,6 +350,25 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.65, s"IVF-PQ recall $recall < 0.65 (|ann|=${annPairs.size})")
   }
 
+  test("ann_mrl: prefix-scan + exact rerank recall vs exact top-k (sf0.01)") {
+    // Even on this UNTRAINED synthetic corpus (the 16-dim prefix holds
+    // only 1/4 of the vector energy) the 64×k rerank window absorbs the
+    // coarse stage's blur: measured recall 0.94 at sf0.01 — random
+    // candidate selection at the same window would land ≈ 0.0064, so
+    // the prefix signal is doing ~150× better than chance. The op's
+    // CORRECTNESS is the DuckDB oracle (hash-equal two-stage ranking);
+    // this gate pins the retrieval quality floor.
+    val exact = Similarity.queries("sim_topk")(spark, sf001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.queries("ann_mrl")(spark, sf001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    info(f"ann_mrl recall at sf0.01: $recall%.3f")
+    assert(recall >= 0.8, s"MRL prefix recall $recall below the 0.8 floor")
+  }
+
   test("multimodal decodeFeatures: mapPartitions batch path matches expression path (sf0.001)") {
     val s = spark
     import s.implicits._

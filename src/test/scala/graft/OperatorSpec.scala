@@ -91,6 +91,32 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("agg_hll_partitioned: union of monthly sketches == one flat sketch, estimate within 5% (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    val out = operators.Aggregates.queries("agg_hll_partitioned")(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.nonEmpty)
+    // estimate within 5% of exact per group (err_bp carries it exactly)
+    out.foreach { case (k, (_, ap, ex, errBp)) =>
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx=$ap exact=$ex")
+      assert(errBp === math.abs(ap - ex) * 10000L / ex)
+    }
+    // MERGEABILITY: the union of per-month sketch states must estimate
+    // exactly what a single flat sketch over the same rows estimates —
+    // the property that lets a 100 TB rollup run sketch-side only.
+    val flat = Tables.orders(spark, sf0001)
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.expr(
+        "hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (k, (nParts, ap, _, _)) =>
+      assert(nParts > 1, s"$k: only $nParts partials — merge not exercised")
+      assert(flat(k) === ap, s"$k: union estimate $ap != flat sketch ${flat(k)}")
+    }
+  }
+
   test("fn_map: element_at round-trips the constructed map (sf0.001)") {
     val out = functions.ScalarFns.queries("fn_map")(spark, sf0001)
     val s = spark

@@ -125,7 +125,8 @@ if ball is not None:
                    "pipeline_pack", "embed_pq", "ann_pq",
                    "ann_ivfpq", "text_repetition", "layout_zorder",
                    "sample_weighted", "event_attribution",
-                   "curate_temperature_mix"):
+                   "curate_temperature_mix", "agg_hll_partitioned",
+                   "ann_mrl"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
