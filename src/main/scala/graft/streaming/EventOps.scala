@@ -249,6 +249,20 @@ object EventOps {
       ewmaBatch(Tables.events(s, d)).orderBy(col("event_id"))
     }),
 
+    "event_holt" -> ((s, d) => {
+      // Holt double exponential smoothing (level + trend, α = β = 0.5)
+      // over each user's value timeline — the one-step-ahead
+      // forecasting shape (rate projection, engagement trajectory)
+      // that EWMA cannot express because a flat average has no slope
+      // state. Same architecture as event_ewma: per-key sequential
+      // fold, collected-ordered-array batch arm as the oracle stand-in
+      // (O(events-per-hottest-key) per task), transformWithState as
+      // the stated scale path for 10⁸-event keys. α = β = 0.5 keeps
+      // every multiply binary-exact; level/trend/forecast emit as the
+      // shared floor(x·10⁴ + 0.5) integer basis points.
+      holtBatch(Tables.events(s, d)).orderBy(col("event_id"))
+    }),
+
     "event_transitions" -> ((s, d) => {
       // Behavioral transition matrix: count of (event_type → next type)
       // per user timeline — the input to Markov/journey analysis. One
@@ -662,6 +676,32 @@ object EventOps {
         | CAST(FLOOR(ew * 10000 + 0.5) AS BIGINT) AS ewma_bp
         |FROM p ORDER BY event_id""".stripMargin,
 
+    // Recursive CTE, one step per (user, i) — NOT list_reduce: DuckDB
+    // 1.0.0's reduce mutates the accumulator struct in place (a 'b'
+    // expression reading a.l sees the freshly-written new l when the
+    // transform range is column-bound), while a recursive step can only
+    // see prior-row columns. Same three multiplies in the same order as
+    // the Spark UDF's expanded trend spelling.
+    "event_holt" ->
+      """WITH RECURSIVE s AS (SELECT user_id,
+        |    LIST(value ORDER BY ts, event_id) AS vals,
+        |    LIST(event_id ORDER BY ts, event_id) AS eids
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT user_id, 1 AS i, vals, eids,
+        |    vals[1] AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM s
+        |  UNION ALL
+        |  SELECT user_id, i + 1, vals, eids,
+        |    0.5 * vals[i + 1] + 0.5 * (l + b),
+        |    0.25 * vals[i + 1] - 0.25 * l + 0.75 * b
+        |  FROM h WHERE i < LEN(vals))
+        |SELECT eids[i] AS event_id, user_id, vals[i] AS value,
+        | CAST(FLOOR(l * 10000 + 0.5) AS BIGINT) AS level_bp,
+        | CAST(FLOOR(b * 10000 + 0.5) AS BIGINT) AS trend_bp,
+        | CAST(FLOOR((l + b) * 10000 + 0.5) AS BIGINT) AS forecast_bp
+        |FROM h ORDER BY event_id""".stripMargin,
+
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |           FROM events),
@@ -718,6 +758,52 @@ object EventOps {
         val e = if (first) { first = false; v } else 0.5 * v + 0.5 * prev
         prev = e
         e
+      }
+    }
+
+  /** Batch Holt fold (α = β = 0.5) — [[ewmaBatch]]'s level+trend twin.
+    * Init l₁ = v₁, b₁ = 0; then l = 0.5·v + 0.5·(l' + b'),
+    * b = 0.5·(l − l') + 0.5·b'. Same memory/scale contract as
+    * ewmaBatch; the DuckDB oracle folds the SAME spelled expressions
+    * over a struct accumulator, so parity is bit-exact. */
+  def holtBatch(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("evs"))
+      .withColumn("hw", holtPrefix(expr("transform(evs, e -> e.value)")))
+      .select(col("user_id"), posexplode(expr(
+        "transform(evs, (e, i) -> struct(e.event_id AS eid, e.value AS v, " +
+          "hw[i]._1 AS l, hw[i]._2 AS b))")))
+      .select(col("col.eid").as("event_id"), col("user_id"),
+        col("col.v").as("value"),
+        floor(col("col.l") * 10000 + 0.5).cast("long").as("level_bp"),
+        floor(col("col.b") * 10000 + 0.5).cast("long").as("trend_bp"),
+        floor((col("col.l") + col("col.b")) * 10000 + 0.5).cast("long")
+          .as("forecast_bp"))
+
+  /** O(n) Holt prefix scan — a UDF for the same O(n)-vs-O(n²) reason
+    * as [[ewmaPrefix]]. The trend uses the EXPANDED spelling
+    * 0.25·v − 0.25·l' + 0.75·b' (algebraically 0.5·(l − l') + 0.5·b'
+    * with the new-l substituted): the DuckDB oracle cannot evaluate the
+    * nested form — its 1.0.0 list_reduce mutates the accumulator
+    * struct field-by-field, so a 'b' expression referencing a.l reads
+    * the freshly-written NEW l when the transform range is
+    * column-bound — and the recursive-CTE oracle must reference only
+    * prior-row columns anyway. Both engines run the same three
+    * multiplies in the same order, so parity stays bit-exact. */
+  private val holtPrefix =
+    org.apache.spark.sql.functions.udf { (vals: Seq[Double]) =>
+      var pl = 0.0
+      var pb = 0.0
+      var first = true
+      vals.map { v =>
+        val l = if (first) v else 0.5 * v + 0.5 * (pl + pb)
+        val b = if (first) { first = false; 0.0 }
+                else 0.25 * v - 0.25 * pl + 0.75 * pb
+        pl = l
+        pb = b
+        (l, b)
       }
     }
 }

@@ -228,6 +228,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sample_weighted plans TakeOrderedAndProject (bounded top-k, no global sort)") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample lost its top-k reduction — a global sort would " +
+        "shuffle the full corpus at 100 TB")
+  }
+
+  test("curate_temperature_mix broadcasts the per-source target frame") {
+    // The 5-row target frame must reach the doc stream as a broadcast —
+    // a shuffle join here would repartition the whole corpus to join
+    // against 5 rows.
+    val p = plan("curate_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source targets no longer broadcast")
+  }
+
+  test("ann_mrl: coarse pass broadcasts probes; no shuffle before the per-probe windows") {
+    val p = plan("ann_mrl")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "probe frame no longer broadcast in the coarse scan")
+    assert(!p.contains("CartesianProduct"),
+      "coarse scan degenerated to a non-broadcast cartesian")
+  }
+
   test("pipeline_decontaminate: shingle probe joins hash-based, never a nested loop or cartesian") {
     val p = plan("pipeline_decontaminate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
