@@ -427,9 +427,15 @@ object Curate {
    * rounded in every engine, unlike a general pow — and each source's
    * weight rounds to 10 dp and sums as DECIMAL (the text_entropy
    * discipline: order-independent, bit-identical). The doc budget is
-   * 10 % of the corpus, split ∝ √n_s; each source admits its target
-   * count in deterministic LCG-hash order (decorrelated from doc_id
-   * order and from sample_weighted's stream by a different increment).
+   * ~10 % of the corpus (per-source half-up rounding lets small
+   * sources round UP, so the realized total can slightly exceed the
+   * nominal budget — boosting small sources is the point), split
+   * ∝ √n_s; each source admits its target count in deterministic
+   * LCG-hash order — decorrelated from doc_id/insertion order. It is
+   * NOT independent of sample_weighted's stream (same multiplier with
+   * a different increment is a constant offset mod 2³¹, so the two
+   * rank orders nearly coincide); admission order only needs to be
+   * arbitrary-but-deterministic, not cross-op independent.
    *
    * Plan shape: one 5-row aggregate (partial+final), broadcast back,
    * one per-source window for the admission rank — the same

@@ -107,17 +107,27 @@ object Similarity {
         col("e16").as("p16"), col("sq").as("p_sq"), col("sq16").as("p_sq16"))
     val wCoarse = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos16").desc, col("vec_id"))
-    val cands = emb.crossJoin(broadcast(probes))
+    // The coarse cut carries ONLY (probe_id, vec_id, cos16) into its
+    // window exchange — the annPq discipline: shuffling the full
+    // 64-float payload for every candidate would put ~520 bytes/row
+    // through the exchange and negate the prefix-bandwidth win; the
+    // 320 survivors re-join the corpus (and the 10-row probe frame) to
+    // fetch floats for the exact rerank.
+    val cands = emb.crossJoin(broadcast(probes.select(col("probe_id"),
+        col("p16"), col("p_sq16"))))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("p_emb"),
-        col("embedding"), col("p_sq"), col("sq"),
+      .select(col("probe_id"), col("vec_id"),
         cos4Pre(dotFast(col("p16"), col("e16")), col("p_sq16"), col("sq16"))
           .as("cos16"))
       .withColumn("crn", row_number().over(wCoarse))
       .filter(col("crn") <= rerankFactor * k)
+      .select(col("probe_id"), col("vec_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     cands
+      .join(emb.select(col("vec_id"), col("embedding"), col("sq")), "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("p_emb"),
+        col("p_sq"))), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         cos4Pre(dotFast(col("p_emb"), col("embedding")), col("p_sq"),
           col("sq")).as("cos_sim"))
@@ -601,6 +611,11 @@ object Similarity {
     val comps = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       inputPersisted = true)
+    // comps returns re-rooted on the final round's own cache (flat
+    // LogicalRDD leaf), so the pair frame is dead weight from here —
+    // drop it rather than pinning the pair set for the session (the
+    // Verify/Bench runners clearCache per query, ad-hoc sessions don't).
+    pairs.unpersist()
     assigned.select(col("vec_id"), col("cl").cast("long").as("cl"))
       .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
         Seq("vec_id"), "left")
@@ -630,6 +645,9 @@ object Similarity {
     val comps = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       inputPersisted = true)
+    // comps is re-rooted on its own cache — release the O(n²) exact
+    // pair frame instead of pinning it for the session.
+    pairs.unpersist()
     emb.select(col("vec_id"))
       .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
         Seq("vec_id"), "left")
@@ -947,8 +965,9 @@ object Similarity {
    * corpus-trained codebooks (FAISS's `by_residual=false` mode; the
    * residual variant needs residual-trained codebooks for no change in
    * the plan shape). The two stages multiply: the ADC scan touches
-   * n^¾ · 4 bytes instead of n · 256 bytes, and only the top
-   * rerankFactor·k reranked candidates per probe ever read float data.
+   * n^¾ · 8 bytes of packed 56-bit codes instead of n · 256 bytes of
+   * floats, and only the top rerankFactor·k reranked candidates per
+   * probe ever read float data.
    *
    * Plan shape at 100 TB: ONE encode scan over the bucket-assigned
    * corpus (coarse argmin + 8 codegen'd subspace argmins fused into the

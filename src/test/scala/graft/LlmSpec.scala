@@ -654,9 +654,9 @@ class LlmSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = (exact & approx).size.toDouble / exact.size
     // r9 gate raise (VERDICT r8 item 5), re-based on the 7-bit codes:
-    // default rerank width 64x measures 1.00 at s1 and 0.92 at the s10
-    // stress scale (the 4-bit geometry saturated at 0.64 there); the
-    // width curve is committed as ann_pq_recall_w* via StressBench.
+    // the committed curve (ann_pq_recall_w* in BENCH_stress.json, via
+    // StressBench) has w64 at 9800 bp (s1) and 9400 bp (s10) — the
+    // 4-bit geometry saturated at ~6400 bp there regardless of width.
     assert(recall >= 0.8,
       s"PQ-ADC recall $recall < 0.8 (|exact|=${exact.size}, |approx|=${approx.size})")
     // exact rerank: every emitted cos_sim must equal the true cosine —
@@ -725,9 +725,6 @@ class LlmSpec extends SparkSpec {
   test("connectedComponents runs exactly one job per propagation round (VERDICT r8)") {
     val s = spark
     import s.implicits._
-    // AQE splits one action into per-stage jobs, which would make the
-    // count test AQE-config-dependent rather than algorithmic — pin it
-    // off so one action == one job and the assertion reads the design.
     // AQE splits one action into per-stage jobs and a broadcast join
     // runs its build as a separate future job -- both would make the
     // count config/scale-dependent rather than algorithmic; pin them

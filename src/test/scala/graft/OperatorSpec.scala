@@ -103,9 +103,15 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$k: approx=$ap exact=$ex")
       assert(errBp === math.abs(ap - ex) * 10000L / ex)
     }
-    // MERGEABILITY: the union of per-month sketch states must estimate
-    // exactly what a single flat sketch over the same rows estimates —
-    // the property that lets a 100 TB rollup run sketch-side only.
+    // MERGEABILITY: the union of per-month sketch states estimates what
+    // a single flat sketch over the same rows estimates — the property
+    // that lets a 100 TB rollup run sketch-side only. REGISTER merge is
+    // exact, the ESTIMATE is not: past the coupon-list threshold
+    // Datasketches switches a unioned sketch from the HIP estimator to
+    // the composite one, so the two estimates legitimately diverge
+    // within the sketch's own error band — assert ≤ 2% relative, not
+    // equality (at this fixture's ~130 distinct/group both are still in
+    // exact coupon mode and the diff is 0).
     val flat = Tables.orders(spark, sf0001)
       .groupBy($"o_orderpriority")
       .agg(org.apache.spark.sql.functions.expr(
@@ -113,7 +119,8 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     out.foreach { case (k, (nParts, ap, _, _)) =>
       assert(nParts > 1, s"$k: only $nParts partials — merge not exercised")
-      assert(flat(k) === ap, s"$k: union estimate $ap != flat sketch ${flat(k)}")
+      assert(math.abs(flat(k) - ap).toDouble / flat(k) <= 0.02,
+        s"$k: union estimate $ap vs flat sketch ${flat(k)} diverges > 2%")
     }
   }
 
