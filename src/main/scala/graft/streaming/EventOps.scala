@@ -256,8 +256,9 @@ object EventOps {
       // that EWMA cannot express because a flat average has no slope
       // state. Same architecture as event_ewma: per-key sequential
       // fold, collected-ordered-array batch arm as the oracle stand-in
-      // (O(events-per-hottest-key) per task), transformWithState as
-      // the stated scale path for 10⁸-event keys. α = β = 0.5 keeps
+      // (O(events-per-hottest-key) per task), with
+      // StreamPipelines.statefulHolt as the O(1)-state-per-key scale
+      // arm (bit-parity asserted in StreamingSpec). α = β = 0.5 keeps
       // every multiply binary-exact; level/trend/forecast emit as the
       // shared floor(x·10⁴ + 0.5) integer basis points.
       holtBatch(Tables.events(s, d)).orderBy(col("event_id"))

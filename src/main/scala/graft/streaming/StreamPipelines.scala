@@ -20,6 +20,9 @@ case class UserUpdate(user_id: Long, total_events: Long, last_ts_millis: Long)
 /** Per-user EWMA state (α = 0.5) and its per-event output record. */
 case class EwmaState(ewma: Double, n: Long)
 case class EwmaUpdate(user_id: Long, event_id: Long, value: Double, ewma_bp: Long)
+case class HoltState(l: Double, b: Double, n: Long)
+case class HoltUpdate(user_id: Long, event_id: Long, value: Double,
+  level_bp: Long, trend_bp: Long, forecast_bp: Long)
 
 /**
  * Structured Streaming surface (SURVEY.md §2c `stream_watermark` /
@@ -283,6 +286,52 @@ object StreamPipelines {
                 cur = EwmaState(next, cur.n + 1)
                 EwmaUpdate(uid, e.event_id, e.value,
                   math.floor(next * 10000 + 0.5).toLong)
+              }
+            st.update(cur)
+            out.iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /**
+   * Per-user Holt level+trend smoothing (α = β = 0.5) via
+   * `transformWithState` — the STREAMING twin of the batch `event_holt`
+   * operator (EventOps), completing the same exact-arm/scale-arm
+   * pairing statefulEwma gives event_ewma: identical fold (including
+   * the expanded trend spelling 0.25·v − 0.25·l' + 0.75·b' — see the
+   * batch twin's Scaladoc for why), identical basis-point output,
+   * state = one (l, b, n) triple per user in the RocksDB store. O(1)
+   * state per key; three multiplies per event.
+   */
+  def statefulHolt(events: Dataset[Event]): Dataset[HoltUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, HoltUpdate] {
+          @transient private var st: ValueState[HoltState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[HoltState](
+              "holtState", Encoders.product[HoltState], TTLConfig.NONE)
+          override def handleInputRows(uid: Long, rows: Iterator[Event],
+              timers: TimerValues): Iterator[HoltUpdate] = {
+            var cur = if (st.exists()) st.get()
+                      else HoltState(Double.NaN, Double.NaN, 0L)
+            val out = rows.toSeq
+              .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
+                e.event_id))
+              .map { e =>
+                val (l, b) =
+                  if (cur.n == 0L) (e.value, 0.0)
+                  else (0.5 * e.value + 0.5 * (cur.l + cur.b),
+                    0.25 * e.value - 0.25 * cur.l + 0.75 * cur.b)
+                cur = HoltState(l, b, cur.n + 1)
+                HoltUpdate(uid, e.event_id, e.value,
+                  math.floor(l * 10000 + 0.5).toLong,
+                  math.floor(b * 10000 + 0.5).toLong,
+                  math.floor((l + b) * 10000 + 0.5).toLong)
               }
             st.update(cur)
             out.iterator

@@ -450,6 +450,48 @@ class StreamingSpec extends SparkSpec {
     assert(got === want, "post-restart upsert target diverged from the batch upsert_latest twin")
   }
 
+  test("stateful Holt streaming twin matches the batch event_holt trajectory bit-for-bit (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Timeline order, micro-batch boundaries mid-user — level AND
+      // trend state must carry the fold across epochs.
+      val all = Tables.events(s, sf0001).as[Event].collect()
+        .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
+          e.event_id))
+      val in = MemoryStream[Event]
+      val q = StreamPipelines.statefulHolt(in.toDS())
+        .writeStream.format("memory").queryName("holt_stream_out")
+        .outputMode("append").start()
+      try {
+        all.grouped(700).foreach { chunk =>
+          in.addData(chunk.toSeq); q.processAllAvailable()
+        }
+        val got = s.table("holt_stream_out").collect()
+          .map(r => r.getAs[Long]("event_id") ->
+            ((r.getAs[Long]("level_bp"), r.getAs[Long]("trend_bp"),
+              r.getAs[Long]("forecast_bp")))).toMap
+        val want = streaming.EventOps.queries("event_holt")(s, sf0001)
+          .collect()
+          .map(r => r.getAs[Long]("event_id") ->
+            ((r.getAs[Long]("level_bp"), r.getAs[Long]("trend_bp"),
+              r.getAs[Long]("forecast_bp")))).toMap
+        assert(got.size === want.size)
+        assert(got === want, "streaming Holt diverged from the batch twin")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stateful EWMA streaming twin matches the batch event_ewma trajectory bit-for-bit (sf0.001)") {
     val s = spark
     import s.implicits._
