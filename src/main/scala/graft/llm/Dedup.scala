@@ -532,6 +532,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Span-level dedup TRANSFORM (round 9) — the other half of the Lee
+   * et al. 2022 span-dedup story: [[hotNgramCover]] computes the audit
+   * (how much of each doc is corpus-hot boilerplate); this op APPLIES
+   * the trim — every token covered by any n-gram occurring ≥ hotMin
+   * times corpus-wide is dropped, and the surviving tokens re-join
+   * into the cleaned text a pretraining pipeline actually feeds the
+   * tokenizer. Exact-substring dedup via suffix arrays is the paper's
+   * full machinery; hot-n-gram span removal is its streaming-friendly
+   * approximation with the same plan shape as the audit: ONE explode
+   * feeds both the global gram counts and the per-doc hit positions
+   * (no second corpus scan), the hot set joins back broadcast-gated,
+   * and the per-doc trim is a bounded HOF over (starts, positions) —
+   * starts per doc ≤ grams per doc, so the collect_set is
+   * model-input-sized, never corpus-sized.
+   *
+   * Determinism: positions and counts are integers; the trim predicate
+   * (i ∈ [s, s+n−1] for any hot start s) is the same arithmetic in
+   * both engines, so the row is fully oracle-checked including the
+   * reconstructed text.
+   */
+  def spanTrim(documents: DataFrame, n: Int, hotMin: Long): DataFrame = {
+    val base = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = base.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
+      .persist()
+    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= hotMin).select(col("gram"))
+    val starts = grams.join(Q.maybeBroadcast(hot), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("kept", expr(
+        s"filter(sequence(1, size(toks)), i -> NOT exists(starts, s -> i >= s AND i <= s + ${n - 1}))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_dropped"),
+        expr("array_join(transform(kept, i -> element_at(toks, i)), ' ')")
+          .as("trimmed_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, QFn] = Map(
     "dedup_exact" -> ((s, d) => {
       // Hash-groupBy exact dedup: keep the lowest doc_id per md5(text).
@@ -590,7 +636,12 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_ngram_cover" -> ((s, d) =>
-      hotNgramCover(Tables.documents(s, d), 3, 3L)))
+      hotNgramCover(Tables.documents(s, d), 3, 3L)),
+
+    "dedup_spantrim" -> ((s, d) =>
+      // Same (n=3, hotMin=3) geometry as dedup_ngram_cover — audit and
+      // transform read the same hot set.
+      spanTrim(Tables.documents(s, d), 3, 3L)))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),
@@ -624,6 +675,36 @@ object Dedup {
         | CASE WHEN n_grams > 0
         |   THEN COALESCE(n_hot, 0) * 10000 // n_grams ELSE 0 END AS hot_bp
         |FROM tot LEFT JOIN hp USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same hot set as dedup_ngram_cover; the trim predicate is pure
+    // integer arithmetic over (position, hot-start) pairs, so the
+    // reconstructed text hash-matches too.
+    "dedup_spantrim" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        |           FROM documents),
+        | g AS (SELECT doc_id,
+        |    UNNEST(RANGE(1, LEN(toks) - 3 + 2)) AS start,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3 + 2),
+        |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS gram
+        |   FROM d WHERE LEN(toks) >= 3),
+        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 3),
+        | sh AS (SELECT DISTINCT doc_id, start FROM g JOIN hot USING (gram)),
+        | st AS (SELECT doc_id, LIST(start ORDER BY start) AS starts
+        |        FROM sh GROUP BY doc_id),
+        | r AS (SELECT d.doc_id, d.toks,
+        |    COALESCE(st.starts, CAST([] AS BIGINT[])) AS starts
+        |   FROM d LEFT JOIN st USING (doc_id)),
+        | k AS (SELECT doc_id, toks,
+        |    LIST_FILTER(RANGE(1, LEN(toks) + 1), i ->
+        |      LEN(LIST_FILTER(starts, s -> i >= s AND i <= s + 2)) = 0)
+        |      AS kept
+        |   FROM r)
+        |SELECT doc_id,
+        | CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        | CAST(LEN(toks) - LEN(kept) AS BIGINT) AS n_dropped,
+        | COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(kept, i -> toks[i]), ' '),
+        |   '') AS trimmed_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "dedup_editdist" ->
       """WITH g AS (SELECT doc_id, text,

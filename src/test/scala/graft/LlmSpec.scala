@@ -433,6 +433,30 @@ class LlmSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, 0L, 1)))
   }
 
+  test("dedup_spantrim: planted boilerplate spans trimmed, unique text intact (literal frames)") {
+    val s = spark
+    import s.implicits._
+    // "legal footer text" appears in 3 docs → hot at hotMin=3; every
+    // token covered by one of its occurrences must drop. Docs 1-3 carry
+    // it embedded in unique prose; doc 4 is all-unique and must pass
+    // through untouched; doc 5 is PURE boilerplate and trims to empty.
+    val docs = Seq(
+      (1L, "alpha beta legal footer text gamma delta"),
+      (2L, "epsilon legal footer text zeta"),
+      (3L, "eta theta iota legal footer text"),
+      (4L, "kappa lambda mu nu xi"),
+      (5L, "legal footer text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanTrim(docs, 3, 3L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((7L, 3L, "alpha beta gamma delta")))
+    assert(out(2L) === ((5L, 3L, "epsilon zeta")))
+    assert(out(3L) === ((6L, 3L, "eta theta iota")))
+    assert(out(4L) === ((5L, 0L, "kappa lambda mu nu xi")))
+    assert(out(5L) === ((3L, 3L, "")))
+  }
+
   test("dedup_editdist: identical texts at distance 0; rearranged text at known distance (literal frames)") {
     val s = spark
     import s.implicits._

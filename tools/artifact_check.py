@@ -126,7 +126,7 @@ if ball is not None:
                    "ann_ivfpq", "text_repetition", "layout_zorder",
                    "sample_weighted", "event_attribution",
                    "curate_temperature_mix", "agg_hll_partitioned",
-                   "ann_mrl", "event_holt"):
+                   "ann_mrl", "event_holt", "dedup_spantrim"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
