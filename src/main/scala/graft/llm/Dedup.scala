@@ -507,16 +507,37 @@ object Dedup {
    * xxhash64(gram) to shrink exchange width (kept as the exact string
    * here so the oracle comparison is collision-free by construction).
    */
-  def hotNgramCover(documents: DataFrame, n: Int, hotMin: Long): DataFrame = {
+  /** The (n, hotMin) geometry shared by the audit ([[hotNgramCover]] /
+    * dedup_ngram_cover) and the transform ([[spanTrim]] /
+    * dedup_spantrim) — one constant pair so the two registry rows can
+    * never desynchronize. */
+  val SpanN = 3
+  val SpanHotMin = 3L
+
+  /** Shared candidate stage of [[hotNgramCover]] and [[spanTrim]]:
+    * the positioned gram explode (doc_id, start [1-based], gram) and
+    * the corpus-hot gram set derived from it. Factored so "audit and
+    * transform read the same hot set" is structural, not a comment —
+    * any future change to the gram spelling or hot threshold hits both
+    * consumers. Returns the gram frame PERSISTED (it feeds both the
+    * global count and the per-doc probe; the session runner owns cache
+    * lifecycle, per the convention at the top of this file). */
+  private def hotGramParts(documents: DataFrame, n: Int, hotMin: Long)
+      : (DataFrame, DataFrame) = {
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))"))
-        .as("gram"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
       .persist()
     val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= hotMin).select(col("gram"))
+    (grams, hot)
+  }
+
+  def hotNgramCover(documents: DataFrame, n: Int, hotMin: Long): DataFrame = {
+    val (grams, hot) = hotGramParts(documents, n, hotMin)
     val hotPerDoc = grams.join(Q.maybeBroadcast(hot), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hot"))
     documents
@@ -555,13 +576,7 @@ object Dedup {
    */
   def spanTrim(documents: DataFrame, n: Int, hotMin: Long): DataFrame = {
     val base = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val grams = base.filter(size(col("toks")) >= n)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
-      .persist()
-    val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= hotMin).select(col("gram"))
+    val (grams, hot) = hotGramParts(documents, n, hotMin)
     val starts = grams.join(Q.maybeBroadcast(hot), Seq("gram"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("start"))).as("starts"))
@@ -636,12 +651,12 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_ngram_cover" -> ((s, d) =>
-      hotNgramCover(Tables.documents(s, d), 3, 3L)),
+      hotNgramCover(Tables.documents(s, d), SpanN, SpanHotMin)),
 
     "dedup_spantrim" -> ((s, d) =>
-      // Same (n=3, hotMin=3) geometry as dedup_ngram_cover — audit and
-      // transform read the same hot set.
-      spanTrim(Tables.documents(s, d), 3, 3L)))
+      // Audit and transform share hotGramParts AND the SpanN/SpanHotMin
+      // geometry — the same hot set by construction.
+      spanTrim(Tables.documents(s, d), SpanN, SpanHotMin)))
 
   private def jaccardOracle(tokenCte: String, thresh: Double): String =
     s"""WITH t AS ($tokenCte),

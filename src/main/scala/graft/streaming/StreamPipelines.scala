@@ -20,6 +20,17 @@ case class UserUpdate(user_id: Long, total_events: Long, last_ts_millis: Long)
 /** Per-user EWMA state (α = 0.5) and its per-event output record. */
 case class EwmaState(ewma: Double, n: Long)
 case class EwmaUpdate(user_id: Long, event_id: Long, value: Double, ewma_bp: Long)
+object EventOrder {
+  /** Within-micro-batch ordering key for stateful folds: whole seconds
+    * rescaled to nanos plus the sub-second nanos. getTime MUST truncate
+    * to seconds before the add — getNanos re-encodes the full
+    * sub-second part, so using raw millis would double-count it. One
+    * definition shared by every stateful op and its parity test; a
+    * drifted copy would silently break the bit-parity contract. */
+  def key(e: Event): (Long, Long) =
+    (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos, e.event_id)
+}
+
 case class HoltState(l: Double, b: Double, n: Long)
 case class HoltUpdate(user_id: Long, event_id: Long, value: Double,
   level_bp: Long, trend_bp: Long, forecast_bp: Long)
@@ -278,8 +289,7 @@ object StreamPipelines {
               timers: TimerValues): Iterator[EwmaUpdate] = {
             var cur = if (st.exists()) st.get() else EwmaState(Double.NaN, 0L)
             val out = rows.toSeq
-              .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
-                e.event_id))
+              .sortBy(EventOrder.key)
               .map { e =>
                 val next =
                   if (cur.n == 0L) e.value else 0.5 * e.value + 0.5 * cur.ewma
@@ -320,8 +330,7 @@ object StreamPipelines {
             var cur = if (st.exists()) st.get()
                       else HoltState(Double.NaN, Double.NaN, 0L)
             val out = rows.toSeq
-              .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
-                e.event_id))
+              .sortBy(EventOrder.key)
               .map { e =>
                 val (l, b) =
                   if (cur.n == 0L) (e.value, 0.0)

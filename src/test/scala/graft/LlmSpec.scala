@@ -445,7 +445,14 @@ class LlmSpec extends SparkSpec {
       (2L, "epsilon legal footer text zeta"),
       (3L, "eta theta iota legal footer text"),
       (4L, "kappa lambda mu nu xi"),
-      (5L, "legal footer text")
+      (5L, "legal footer text"),
+      // OVERLAPPING hot starts in one doc: "spam spam spam" occurs at
+      // starts 1..4 (hot from this doc alone) — the trim must union the
+      // overlapping spans, covering all 6 tokens once, not 4×3.
+      (6L, Seq.fill(6)("spam").mkString(" ")),
+      // two DISJOINT occurrences in one doc with a survivor between:
+      // starts 1 and 5 cover [1,3] ∪ [5,7], only token 4 survives.
+      (7L, "legal footer text pad legal footer text")
     ).toDF("doc_id", "text")
     val out = Dedup.spanTrim(docs, 3, 3L).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
@@ -455,6 +462,8 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) === ((6L, 3L, "eta theta iota")))
     assert(out(4L) === ((5L, 0L, "kappa lambda mu nu xi")))
     assert(out(5L) === ((3L, 3L, "")))
+    assert(out(6L) === ((6L, 6L, "")), s"overlap union wrong: ${out(6L)}")
+    assert(out(7L) === ((7L, 6L, "pad")), s"disjoint spans wrong: ${out(7L)}")
   }
 
   test("dedup_editdist: identical texts at distance 0; rearranged text at known distance (literal frames)") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Event, StreamPipelines}
+import graft.streaming.{Event, EventOrder, StreamPipelines}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 
@@ -462,8 +462,7 @@ class StreamingSpec extends SparkSpec {
       // Timeline order, micro-batch boundaries mid-user — level AND
       // trend state must carry the fold across epochs.
       val all = Tables.events(s, sf0001).as[Event].collect()
-        .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
-          e.event_id))
+        .sortBy(EventOrder.key)
       val in = MemoryStream[Event]
       val q = StreamPipelines.statefulHolt(in.toDS())
         .writeStream.format("memory").queryName("holt_stream_out")
@@ -505,8 +504,7 @@ class StreamingSpec extends SparkSpec {
       // micro-batches (boundaries land mid-user on purpose — state must
       // carry the fold across epochs).
       val all = Tables.events(s, sf0001).as[Event].collect()
-        .sortBy(e => (e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos,
-          e.event_id))
+        .sortBy(EventOrder.key)
       val in = MemoryStream[Event]
       val q = StreamPipelines.statefulEwma(in.toDS())
         .writeStream.format("memory").queryName("ewma_stream_out")
