@@ -352,11 +352,30 @@ object Bench {
         val hc = heavyResults.map { case (k, _, _, _, m) =>
           "\"" + k + "\":" + (math.round(m.cpuShare * 1000) / 1000.0) }
           .mkString("{", ",", "}")
+        // gc + spill per heavy entry (VERDICT r9 #1): the r9 driver run
+        // breached the tier budget with only sec/strategy/cpu_share
+        // recorded, so the artifact could not say whether the plan got
+        // slower or the JVM stalled. gc_sec is the per-entry delta of
+        // cumulative collector time; spill is the stage-summed shuffle
+        // spill (disk+memory) from RunMetricsListener. A breach now
+        // self-reports: high gc/spill with flat task_sec = memory
+        // stall; flat gc with grown task_sec = real plan regression.
+        val hg = heavyResults.map { case (k, _, _, g, _) =>
+          "\"" + k + "\":" + g }.mkString("{", ",", "}")
+        val hSpill = heavyResults.map { case (k, _, _, _, m) =>
+          "\"" + k + "\":" + (m.diskSpillBytes + m.memorySpillBytes) }
+          .mkString("{", ",", "}")
+        val hTask = heavyResults.map { case (k, _, _, _, m) =>
+          "\"" + k + "\":" + (m.executorRunMillis / 1e3) }
+          .mkString("{", ",", "}")
         val hFailed = heavyResults.collect {
           case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
           .mkString("[", ",", "]")
         val hTotal = heavyResults.map(_._2).filter(_ >= 0).sum
+        val hGcTotal = heavyResults.map(_._4).sum
         s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
+          s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
+          s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +
           s""""heavy_failed":$hFailed,"heavy_total":$hTotal,""" +
           s""""heavy_budget_sec":$HeavyBudgetSec,"""
       }) +

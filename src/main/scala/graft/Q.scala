@@ -71,6 +71,25 @@ object Q {
    * how Spark itself promotes BHJ on `autoBroadcastJoinThreshold`; both
    * expansions are plan-pinned in PlanShapeSpec.
    */
+  /** A persist with explicit ownership (VERDICT r9 #2): `df` plus
+    * whether THIS call created the cache entry. Only the owner
+    * unpersists — re-persisting a plan the CacheManager already holds
+    * is benign (Spark dedups) but logs "Asked to cache already cached
+    * data", and at 100 TB that warning marks exactly the unclear
+    * cache-ownership the r9 heavy-tier stall grew out of. */
+  final case class Owned(df: DataFrame, owned: Boolean) {
+    def release(): Unit = if (owned) df.unpersist()
+  }
+
+  /** Persist `df` unless its analyzed plan is already cached; the
+    * returned [[Owned]] records who must release it. All operator-
+    * internal persists go through here so a repeated query (tests,
+    * ad-hoc sessions without the runners' per-query clearCache) reuses
+    * the existing entry instead of double-persisting. */
+  def ownPersist(df: DataFrame): Owned =
+    if (org.apache.spark.sql.GraftShims.isCached(df)) Owned(df, owned = false)
+    else Owned(df.persist(), owned = true)
+
   def maybeBroadcast(side: DataFrame): DataFrame = {
     val conf = side.sparkSession.conf
     val rowThreshold = conf.get(BroadcastSideThresholdKey, "8000000").toLong

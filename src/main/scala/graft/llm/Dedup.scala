@@ -55,7 +55,16 @@ object Dedup {
    * cardinalities are hash-invariant, so values match the string-set
    * form bit-for-bit (same property minhash_lsh's verify relies on).
    */
-  private[llm] def jaccardPairsRaw(toks0: DataFrame, thresh: Double): DataFrame = {
+  private[llm] def jaccardPairsRaw(toks0: DataFrame, thresh: Double): DataFrame =
+    jaccardPairsParts(toks0, thresh)._1
+
+  /** [[jaccardPairsRaw]] plus handles to its internal caches, so
+    * consumers that MATERIALIZE the pair frame (the connected-components
+    * fixpoint) can release the O(corpus-tokens) token-side caches before
+    * their own loop starts instead of dragging them through every round
+    * (VERDICT r9 #1 — bounded cache footprint for the CC consumers). */
+  private[llm] def jaccardPairsParts(toks0: DataFrame, thresh: Double)
+      : (DataFrame, Seq[Q.Owned]) = {
     // The (doc_id, tok) explode feeds THREE consumers (df counts, the
     // prefix stack, tokArrays) and the prefix frame feeds its own
     // self-join twice — persist both or every reference re-reads and
@@ -64,16 +73,17 @@ object Dedup {
     // MEMORY_AND_DISK default: at 100 TB these are the (doc, tok) and
     // prefix-token frames — O(corpus tokens), spill-safe, same
     // discipline as text_ngram_lm's persisted explode.
-    val toks = toks0.persist()
+    val toksOwned = Q.ownPersist(toks0)
+    val toks = toksOwned.df
     val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = toks
+    val prefixOwned = Q.ownPersist(toks
       .join(Q.maybeBroadcast(df), "tok") // token dimension: tiny here; conf-gated for corpus-scale dictionaries
       .withColumn("rk", row_number().over(wDoc))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("rk") <= col("n") - ceil(col("n") * lit(thresh)) + 1)
-      .select(col("doc_id"), col("tok"))
-      .persist()
+      .select(col("doc_id"), col("tok")))
+    val prefix = prefixOwned.df
     // Candidates are NOT deduped here: a pair surfaces once per shared
     // prefix token (≤ prefix length, ~2 on this corpus), so running the
     // cheap merge-scan verify on the slightly-inflated stream and
@@ -84,20 +94,21 @@ object Dedup {
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val tokArrays = toks
+    val tokArraysOwned = Q.ownPersist(toks
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(xxhash64(col("tok")))).as("toks"))
-      .persist()
+      .agg(array_sort(collect_list(xxhash64(col("tok")))).as("toks")))
+    val tokArrays = tokArraysOwned.df
     // Per-doc side tables: broadcast only below the conf-gated row
     // threshold (graft.Q.maybeBroadcast); above it the planner shuffles
     // on doc id — hard-coding the hint would OOM at 10⁸ docs.
-    cands
+    val out = cands
       .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
       .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
       .withColumn("jaccard", graft.plans.VectorExprs.jaccardSorted(col("ta"), col("tb")))
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .distinct()
+    (out, Seq(toksOwned, prefixOwned, tokArraysOwned))
   }
 
   /** [[jaccardPairsRaw]] + the oracle's total order — registry surface.
@@ -264,7 +275,7 @@ object Dedup {
     // belongs to the session runner: a lazily-returned DataFrame has no
     // after-materialization hook, so Verify/Bench clearCache() between
     // queries (round-1 ADVICE: nothing stays pinned across queries).
-    val sigs = signaturesInline(docs).persist()
+    val sigs = Q.ownPersist(signaturesInline(docs)).df
     val cands = lshCandidatePairs(sigs, lshBands(docs))
     val minMatches = math.ceil((thresh - 0.10) * MinHashK).toInt
     val estKeep = cands
@@ -435,15 +446,26 @@ object Dedup {
     // executes once per union branch. Callers that already hold the
     // pair frame (or a projection of it) in cache pass
     // `inputPersisted = true` so we don't materialize a SECOND copy of
-    // the pair set for the fixpoint loop's duration (ADVICE r8).
-    val pairs = if (inputPersisted) pairs0 else pairs0.persist()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var cached = edges.select(col("src").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
-      .persist()
-    var labels = cached
+    // the pair set for the fixpoint loop's duration (ADVICE r8);
+    // ownPersist additionally catches the case where the identical
+    // plan is already cached (repeated query in one session) without
+    // a double-persist attempt (VERDICT r9 #2).
+    val pairsOwned =
+      if (inputPersisted) Q.Owned(pairs0, owned = false)
+      else Q.ownPersist(pairs0)
+    val pairs = pairsOwned.df
+    val edgesOwned = Q.ownPersist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val edges = edgesOwned.df
+    // Initial label frame: ownPersist — a repeated CC over the same
+    // edge set (test sequences) would otherwise re-persist an
+    // identical plan. Per-round frames below contain a fresh
+    // LogicalRDD leaf each round, so plain persist can never collide.
+    var cachedOwned = Q.ownPersist(
+      edges.select(col("src").as("doc")).distinct()
+        .withColumn("lbl", col("doc")))
+    var labels = cachedOwned.df
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -468,8 +490,8 @@ object Dedup {
       val chgRow = next.agg(sum(col("chg"))).first()
       changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
       // next is materialized — the previous round's label cache is dead.
-      cached.unpersist()
-      cached = next
+      cachedOwned.release()
+      cachedOwned = Q.Owned(next, owned = true)
       // Re-root on the cached data as a flat leaf: the next round
       // references labels twice (join + union), so carrying the full
       // plan would DOUBLE the logical tree every round — exponential
@@ -479,13 +501,38 @@ object Dedup {
       rounds += 1
     }
     lastCcRounds = rounds
-    edges.unpersist()
-    if (!inputPersisted) pairs.unpersist()
+    edgesOwned.release()
+    pairsOwned.release()
     val bySize = Window.partitionBy(col("lbl"))
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("component_id"),
         count(lit(1)).over(bySize).as("component_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Exact-Jaccard connected components with a BOUNDED cache footprint
+   * (VERDICT r9 #1: the r9 driver run stalled on exactly the two
+   * CC-backed heavy entries — the fixpoint loop was running with the
+   * whole pair pipeline's token-side caches still resident). Order of
+   * operations: materialize the pair frame ONCE (a count action while
+   * the (doc,tok)/prefix/token-array caches are hot, so the candidate
+   * join + verify run exactly one time), then RELEASE those
+   * O(corpus-tokens) caches before the first CC round — the loop holds
+   * only (pairs, edges, one label frame) for its whole duration. The
+   * pair cache itself is dropped as soon as the fixpoint returns: the
+   * result frame is re-rooted on the final round's own cache, so
+   * nothing downstream re-reads the pair pipeline.
+   */
+  private[llm] def componentsOverTokenPairs(toks: DataFrame,
+      thresh: Double): DataFrame = {
+    val (raw, internals) = jaccardPairsParts(toks, thresh)
+    val pairsOwned = Q.ownPersist(raw)
+    pairsOwned.df.count()
+    internals.foreach(_.release())
+    val comps = connectedComponents(pairsOwned.df, inputPersisted = true)
+    pairsOwned.release()
+    comps
   }
 
   /**
@@ -524,13 +571,12 @@ object Dedup {
     * lifecycle, per the convention at the top of this file). */
   private def hotGramParts(documents: DataFrame, n: Int, hotMin: Long)
       : (DataFrame, DataFrame) = {
-    val grams = documents
+    val grams = Q.ownPersist(documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> array_join(slice(toks, i + 1, $n), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))
-      .persist()
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("gram"))).df
     val hot = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= hotMin).select(col("gram"))
     (grams, hot)
@@ -638,8 +684,7 @@ object Dedup {
       editDistanceRank(Tables.documents(s, d), EditDistNeighbors)),
 
     "dedup_components" -> ((s, d) =>
-      connectedComponents(
-        jaccardPairsRaw(distinctTokens(Tables.documents(s, d)), 0.95))),
+      componentsOverTokenPairs(distinctTokens(Tables.documents(s, d)), 0.95)),
 
     "tokjoin_auto" -> ((s, d) =>
       // Declared token-similarity join (TokenSelfJoin node): the optimizer

@@ -295,7 +295,7 @@ object Similarity {
     // Persisted for the same reason as minhashLsh's sigs: four subtrees
     // (both banding sides + both verify sides) would recompute the
     // 192-dot signature scan; the runner clearCache()s between queries.
-    val sigs = hyperplaneSigs(emb).persist()
+    val sigs = graft.Q.ownPersist(hyperplaneSigs(emb)).df
     val cands = hyperplaneCandidatePairs(sigs)
     val sides = sigs.select(col("vec_id"), col("embedding"), col("sq"))
     // Conf-gated broadcast (graft.Q.maybeBroadcast): below the row
@@ -553,12 +553,12 @@ object Similarity {
    * pairs (cl, vec_a, vec_b, cos_sim)).
    */
   private def semanticParts(emb: DataFrame, thresh: Double)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, graft.Q.Owned) = {
     val (nlist, _) = ivfGeometry(emb, 1)
     // assigned feeds both pair sides and the verdict join — persist, or
     // each reference re-runs the centroid-argmin scan over the corpus.
     val (_, assigned0) = trainAssign(emb, nlist)
-    val assigned = assigned0.persist()
+    val assigned = graft.Q.ownPersist(assigned0).df
     val e = assigned.select(col("cl"), col("vec_id"), col("embedding"),
       dotFast(col("embedding"), col("embedding")).as("sq"))
     val a = e.select(col("cl"), col("vec_id").as("vec_a"),
@@ -568,10 +568,9 @@ object Similarity {
     val cos = cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
     // pairs feed connectedComponents' symmetric edge union (2 refs) —
     // persist so the within-cluster join runs once.
-    val pairs = a.join(b, Seq("cl"))
+    val pairs = graft.Q.ownPersist(a.join(b, Seq("cl"))
       .filter(col("vec_a") < col("vec_b") && cos >= thresh)
-      .select(col("cl"), col("vec_a"), col("vec_b"), cos.as("cos_sim"))
-      .persist()
+      .select(col("cl"), col("vec_a"), col("vec_b"), cos.as("cos_sim")))
     (assigned, pairs)
   }
 
@@ -582,7 +581,7 @@ object Similarity {
   def semanticCandidates(emb: DataFrame): DataFrame = {
     val (nlist, _) = ivfGeometry(emb, 1)
     val (_, assigned0) = trainAssign(emb, nlist)
-    val assigned = assigned0.persist()
+    val assigned = graft.Q.ownPersist(assigned0).df
     val a = assigned.select(col("cl"), col("vec_id").as("vec_a"))
     val b = assigned.select(col("cl"), col("vec_id").as("vec_b"))
     a.join(b, Seq("cl")).filter(col("vec_a") < col("vec_b"))
@@ -593,7 +592,7 @@ object Similarity {
     * entry point (compared against [[exactPairs]] at the same
     * threshold). */
   def semanticPairs(emb: DataFrame, thresh: Double): DataFrame =
-    semanticParts(emb, thresh)._2
+    semanticParts(emb, thresh)._2.df
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))
 
@@ -605,17 +604,17 @@ object Similarity {
    * curation pipeline anti-joins its corpus against.
    */
   def semanticDedup(emb: DataFrame, thresh: Double): DataFrame = {
-    val (assigned, pairs) = semanticParts(emb, thresh)
+    val (assigned, pairsOwned) = semanticParts(emb, thresh)
     // pairs is already persisted by semanticParts — the projection hits
     // that cache, so CC must not materialize a second copy (ADVICE r8).
     val comps = Dedup.connectedComponents(
-      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
+      pairsOwned.df.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       inputPersisted = true)
     // comps returns re-rooted on the final round's own cache (flat
     // LogicalRDD leaf), so the pair frame is dead weight from here —
     // drop it rather than pinning the pair set for the session (the
     // Verify/Bench runners clearCache per query, ad-hoc sessions don't).
-    pairs.unpersist()
+    pairsOwned.release()
     assigned.select(col("vec_id"), col("cl").cast("long").as("cl"))
       .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
         Seq("vec_id"), "left")
@@ -641,13 +640,14 @@ object Similarity {
    * [[semanticDedup]] with the identical downstream code.
    */
   def semanticVerdictExact(emb: DataFrame, thresh: Double): DataFrame = {
-    val pairs = exactPairs(emb, thresh).persist()
+    val pairsOwned = graft.Q.ownPersist(exactPairs(emb, thresh))
+    val pairs = pairsOwned.df
     val comps = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")),
       inputPersisted = true)
     // comps is re-rooted on its own cache — release the O(n²) exact
     // pair frame instead of pinning it for the session.
-    pairs.unpersist()
+    pairsOwned.release()
     emb.select(col("vec_id"))
       .join(comps.select(col("doc_id").as("vec_id"), col("component_id")),
         Seq("vec_id"), "left")
@@ -938,14 +938,24 @@ object Similarity {
       .select(col("vec_id") +: (0 until PqM).map(j => col(s"c$j")): _*)
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val cands = codes.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    // ADC stream is cut to (probe_id, vec_id, adc) BEFORE the per-probe
+    // window (ADVICE r9): the LUT lookups happen in the broadcast-join
+    // projection map-side, so the window's exchange shuffles 3 narrow
+    // columns per candidate — never the 64-float probe vector or the
+    // ≤1024-double LUT. p_emb re-joins from the 10-row probe frame only
+    // for the rerankFactor·k survivors (the annMrl pattern).
+    val cands = codes
+      .join(broadcast(probes.select(col("probe_id"), col("lut"))),
+        col("vec_id") =!= col("probe_id"))
       .withColumn("adc", expr(adcScore))
+      .select(col("probe_id"), col("vec_id"), col("adc"))
       .withColumn("crn", row_number().over(wAdc))
       .filter(col("crn") <= rerankFactor * k)
-      .select(col("probe_id"), col("p_emb"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     cands.join(emb, "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("p_emb"))), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         cos4(col("p_emb"), col("embedding")).as("cos_sim"))
       .withColumn("rn", row_number().over(wTop).cast("long"))
@@ -999,15 +1009,26 @@ object Similarity {
       .select(col("probe_id"), col("p_emb"), col("bucket"), col("lut"))
     val wAdc = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val cands = codes.join(broadcast(probes), Seq("bucket"))
+    // Same exchange-width discipline as [[annPq]] (ADVICE r9): the
+    // bucket equi-join carries only (bucket, probe_id, lut), adc is
+    // computed in that projection, and the window shuffles the narrow
+    // (probe_id, vec_id, adc) stream — the "n^¾ · 8 bytes of packed
+    // codes" claim now holds through the exchange too. p_emb re-joins
+    // from the bounded probe frame for the rerank survivors only.
+    val cands = codes
+      .join(broadcast(probes.select(col("bucket"), col("probe_id"), col("lut"))),
+        Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", expr(adcScore))
+      .select(col("probe_id"), col("vec_id"), col("adc"))
       .withColumn("crn", row_number().over(wAdc))
       .filter(col("crn") <= rerankFactor * k)
-      .select(col("probe_id"), col("p_emb"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id"))
     val wTop = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     cands.join(emb, "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("p_emb"))
+        .dropDuplicates("probe_id")), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         cos4(col("p_emb"), col("embedding")).as("cos_sim"))
       .withColumn("rn", row_number().over(wTop).cast("long"))

@@ -380,7 +380,7 @@ object TextOps {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .persist()
+      graft.Q.ownPersist(bi)
       val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
@@ -409,8 +409,8 @@ object TextOps {
       // tf feeds both the scoring join and the df roll-up; persisted so
       // the corpus is scanned+exploded exactly once (cache lifecycle
       // belongs to the runner — Verify/Bench clearCache() per query).
-      val tf = toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf")).persist()
+      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))).df
       // df derives from tf (one row per doc-term pair already) instead
       // of a second corpus explode + distinct.
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -68,7 +68,12 @@ object Profiling {
       // at census scale): priority = u / w for a per-row uniform u and
       // weight w, keep the n smallest priorities. Weighting by document
       // length gives the curation move "sample tokens, not documents".
-      // u is a deterministic LCG step of doc_id and the priority is an
+      // u is the first 8 hex digits of a salted md5 of the doc id,
+      // read as a 32-bit integer (r10 — VERDICT r9 #4: the previous
+      // pure-LCG step had tiny low-bit periods and strongly correlated
+      // consecutive ids, and its 64-bit product overflowed past
+      // doc_id ≈ 8.4e9; md5 is well-mixed at any corpus size and both
+      // engines render identical lowercase hex). The priority stays an
       // INTEGER (u scaled by 1e6, integer-divided by w) — bit-identical
       // in both engines, and immune to the float-rank-boundary class
       // the DSIR op had to engineer around. Top-100 by (priority,
@@ -77,7 +82,7 @@ object Profiling {
       // 100-row reduction.
       Tables.documents(s, d)
         .withColumn("u", expr(
-          "(doc_id * 1103515245 + 12345) % 2147483648"))
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':sw')), 1, 8), 16, 10) AS BIGINT)"))
         // greatest(...,1): total on empty docs (corpus min is 48 chars)
         .withColumn("priority", expr("u * 1000000 div greatest(n_chars, 1)"))
         .select(col("doc_id"), col("n_chars"), col("u"), col("priority"))
@@ -123,12 +128,28 @@ object Profiling {
         |   THEN 'train' ELSE 'holdout' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB 1.0 has no hex→int cast, so u is assembled positionally
+    // from the same 8 lowercase-hex md5 chars Spark's conv() reads —
+    // identical integers by construction.
     "sample_weighted" ->
-      """SELECT doc_id, n_chars,
-        | (doc_id * 1103515245 + 12345) % 2147483648 AS u,
-        | ((doc_id * 1103515245 + 12345) % 2147483648) * 1000000
-        |   // GREATEST(n_chars, 1) AS priority
-        |FROM documents
+      """WITH h AS (
+        | SELECT doc_id, n_chars,
+        |  SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':sw'), 1, 8) AS hx
+        | FROM documents),
+        |uu AS (
+        | SELECT doc_id, n_chars,
+        |  (STRPOS('0123456789abcdef', SUBSTR(hx,1,1))-1)*268435456
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,2,1))-1)*16777216
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,3,1))-1)*1048576
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,4,1))-1)*65536
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,5,1))-1)*4096
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,6,1))-1)*256
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,7,1))-1)*16
+        |  + (STRPOS('0123456789abcdef', SUBSTR(hx,8,1))-1) AS u
+        | FROM h)
+        |SELECT doc_id, n_chars, CAST(u AS BIGINT) AS u,
+        | CAST(u AS BIGINT) * 1000000 // GREATEST(n_chars, 1) AS priority
+        |FROM uu
         |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
 
     "sample_stratified" ->

@@ -20,6 +20,16 @@ object GraftShims {
   def waitListenerBusEmpty(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** True when the frame's analyzed plan already has a CacheManager
+    * entry (same-result match — the exact check `persist()` itself runs
+    * before warning "Asked to cache already cached data"). Lets
+    * operator code take cache OWNERSHIP explicitly instead of
+    * re-persisting blind: see [[graft.Q.ownPersist]]. */
+  def isCached(df: DataFrame): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
+  }
+
   /** Re-root a (typically persisted) frame as a flat `LogicalRDD` leaf —
     * the lineage-truncation half of `Dataset.localCheckpoint` without
     * its extra materialization job: iterative algorithms that reference

@@ -106,9 +106,30 @@ if bench is not None:
         failures.append("bench.json: heavy tier absent (heavy_total/"
                         "heavy_budget_sec) — Bench.scala docstring cites it")
     elif total > budget:
+        # VERDICT r9 item 3: a breach must self-attribute. heavy_gc_total
+        # (JVM collector seconds inside the tier) and per-entry spill
+        # separate "the plan got slower" (flat gc, grown task_sec) from
+        # "the JVM stalled" (gc a large fraction of the excess).
+        gc_total = bench.get("heavy_gc_total")
+        attrib = ""
+        if gc_total is not None:
+            excess = total - budget
+            attrib = (f" [gc {gc_total:.1f}s inside the tier → "
+                      f"{'JVM memory stall' if gc_total > 0.5 * excess else 'plan regression'}"
+                      f" fingerprint]")
         failures.append(
             f"bench.json: heavy_total {total:.1f}s breaches its "
-            f"{budget:.0f}s budget — an arm regressed (Bench.scala contract)")
+            f"{budget:.0f}s budget — an arm regressed (Bench.scala "
+            f"contract){attrib}")
+    # r10: the heavy tier must carry its own gc/spill observability
+    # (VERDICT r9 item 1) — a bench.json without them cannot attribute
+    # the next breach and is not a canonical artifact.
+    for key in ("heavy_gc_sec", "heavy_spill_bytes", "heavy_task_sec",
+                "heavy_gc_total"):
+        if key not in bench:
+            failures.append(
+                f"bench.json: '{key}' absent — heavy tier lacks the "
+                f"gc/spill observability VERDICT r9 item 1 requires")
 
 # --- bench_all.json: full-registry coverage --------------------------
 # VERDICT r8 item 1's second half: the committed full sweep must cover
