@@ -57,7 +57,7 @@ object Bench {
     "join_bucketed", "scan_pruned_date", "text_tfidf", "upsert_latest",
     "join_range_binned", "pipeline_decontaminate", "pipeline_datamix",
     "cdc_snapshot_diff", "dedup_ngram_cover", "text_entropy",
-    "stream_enrich", "pipeline_observe")
+    "stream_enrich", "pipeline_observe", "text_quality_gate")
 
   /** Second measurement tier (r6 — VERDICT r5 item 7): the heavy
     * entries that previously only got round-over-round signal via the

@@ -716,18 +716,21 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
-    // 3-gram slices are toks[i:i+2] (DuckDB slices are 1-based inclusive);
-    // RANGE is empty when LEN(toks) < 3, matching the Spark guard.
+    // n-gram slices are toks[i:i+(n-1)] (DuckDB slices are 1-based
+    // inclusive); RANGE is empty when LEN(toks) < n, matching the Spark
+    // guard. SpanN/SpanHotMin are INTERPOLATED (ADVICE r9) so the
+    // geometry truly is single-sourced — changing the constants can no
+    // longer silently desync these rows from the Scala side.
     "dedup_ngram_cover" ->
-      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+      s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
         |           FROM documents),
         | tot AS (SELECT doc_id,
-        |    CAST(GREATEST(LEN(toks) - 2, 0) AS BIGINT) AS n_grams FROM d),
+        |    CAST(GREATEST(LEN(toks) - ${SpanN - 1}, 0) AS BIGINT) AS n_grams FROM d),
         | g AS (SELECT doc_id,
-        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3 + 2),
-        |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS gram
-        |   FROM d WHERE LEN(toks) >= 3),
-        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 3),
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - $SpanN + 2),
+        |      i -> ARRAY_TO_STRING(toks[i:i+${SpanN - 1}], ' '))) AS gram
+        |   FROM d WHERE LEN(toks) >= $SpanN),
+        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= $SpanHotMin),
         | hp AS (SELECT doc_id, COUNT(*) AS n_hot
         |        FROM g JOIN hot USING (gram) GROUP BY doc_id)
         |SELECT doc_id, n_grams,
@@ -740,14 +743,14 @@ object Dedup {
     // integer arithmetic over (position, hot-start) pairs, so the
     // reconstructed text hash-matches too.
     "dedup_spantrim" ->
-      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+      s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
         |           FROM documents),
         | g AS (SELECT doc_id,
-        |    UNNEST(RANGE(1, LEN(toks) - 3 + 2)) AS start,
-        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3 + 2),
-        |      i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) AS gram
-        |   FROM d WHERE LEN(toks) >= 3),
-        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 3),
+        |    UNNEST(RANGE(1, LEN(toks) - $SpanN + 2)) AS start,
+        |    UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - $SpanN + 2),
+        |      i -> ARRAY_TO_STRING(toks[i:i+${SpanN - 1}], ' '))) AS gram
+        |   FROM d WHERE LEN(toks) >= $SpanN),
+        | hot AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= $SpanHotMin),
         | sh AS (SELECT DISTINCT doc_id, start FROM g JOIN hot USING (gram)),
         | st AS (SELECT doc_id, LIST(start ORDER BY start) AS starts
         |        FROM sh GROUP BY doc_id),
@@ -756,7 +759,7 @@ object Dedup {
         |   FROM d LEFT JOIN st USING (doc_id)),
         | k AS (SELECT doc_id, toks,
         |    LIST_FILTER(RANGE(1, LEN(toks) + 1), i ->
-        |      LEN(LIST_FILTER(starts, s -> i >= s AND i <= s + 2)) = 0)
+        |      LEN(LIST_FILTER(starts, s -> i >= s AND i <= s + ${SpanN - 1})) = 0)
         |      AS kept
         |   FROM r)
         |SELECT doc_id,
@@ -766,16 +769,18 @@ object Dedup {
         |   '') AS trimmed_text
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    // EditDistCap/EditDistNeighbors interpolated — same single-sourcing
+    // as the Span constants above.
     "dedup_editdist" ->
-      """WITH g AS (SELECT doc_id, text,
+      s"""WITH g AS (SELECT doc_id, text,
         |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
         |    AS sig
         | FROM documents),
         | r AS (SELECT doc_id, text, sig,
         |  ROW_NUMBER() OVER (PARTITION BY sig ORDER BY doc_id) AS rk FROM g)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | CAST(LEAST(LEVENSHTEIN(a.text, b.text), 24) AS BIGINT) AS edit_dist
-        |FROM r a JOIN r b ON a.sig = b.sig AND b.rk > a.rk AND b.rk <= a.rk + 16
+        | CAST(LEAST(LEVENSHTEIN(a.text, b.text), $EditDistCap) AS BIGINT) AS edit_dist
+        |FROM r a JOIN r b ON a.sig = b.sig AND b.rk > a.rk AND b.rk <= a.rk + $EditDistNeighbors
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_exact" ->

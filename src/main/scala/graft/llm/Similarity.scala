@@ -99,7 +99,7 @@ object Similarity {
       rerankFactor: Int = PqRerankFactor): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
-        expr("slice(embedding, 1, 16)").as("e16"),
+        expr(s"slice(embedding, 1, $MrlPrefixDim)").as("e16"),
         dotFast(col("embedding"), col("embedding")).as("sq"))
       .withColumn("sq16", dotFast(col("e16"), col("e16")))
     val probes = emb.filter(col("vec_id") < 10)
@@ -767,6 +767,11 @@ object Similarity {
     * margin; still O(k) per probe — vanishing against corpus size. */
   val PqRerankFactor = 64
 
+  /** MRL coarse-scan prefix length (first dims of the 64-float
+    * embedding) — single-sourced into annMrl's plan AND its DuckDB
+    * oracle (ADVICE r9). */
+  val MrlPrefixDim = 16
+
   private val PqM = 8
   private val PqSubDim = 8
   private val PqK = 128
@@ -1152,22 +1157,24 @@ object Similarity {
          |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     // Both stages are the shared rounded-cosine spelling (LIST_SUM
-    // left-folds like Spark's aggregate); 320 = rerankFactor 64 × k 5.
+    // left-folds like Spark's aggregate); prefix dim and the
+    // rerankFactor×k window are interpolated from the same constants
+    // the plan reads (ADVICE r9; k = 5 is the registry row's k).
     "ann_mrl" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
         | p AS (SELECT vec_id AS probe_id, emb AS p_emb FROM e
         |       WHERE vec_id < 10),
         | c AS (SELECT p.probe_id, e.vec_id, p.p_emb, e.emb,
         |    ROUND(
-        |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 17), i -> p_emb[i] * emb[i]))
-        |      / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |      LIST_SUM(LIST_TRANSFORM(RANGE(1, ${MrlPrefixDim + 1}), i -> p_emb[i] * emb[i]))
+        |      / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, ${MrlPrefixDim + 1}),
         |           i -> p_emb[i] * p_emb[i])))
-        |       * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+        |       * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, ${MrlPrefixDim + 1}),
         |           i -> emb[i] * emb[i])))), 4) AS cos16
         |   FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
         | w AS (SELECT * FROM c QUALIFY ROW_NUMBER() OVER (
-        |    PARTITION BY probe_id ORDER BY cos16 DESC, vec_id) <= 320),
+        |    PARTITION BY probe_id ORDER BY cos16 DESC, vec_id) <= ${PqRerankFactor * 5}),
         | r AS (SELECT probe_id, vec_id,
         |    ROUND(
         |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> p_emb[i] * emb[i]))

@@ -24,11 +24,18 @@ object TextOps {
    * Gopher repetition rules (Rae et al. 2021, "Scaling Language Models:
    * Methods, Analysis & Insights from Training Gopher",
    * arXiv:2112.11446 Table A1 — public), token-based variant: the
-   * filter that kills looping/boilerplate docs by (a) the fraction of
-   * tokens covered by the MOST FREQUENT 2-/3-gram and (b) the fraction
-   * of distinct 5-grams that are duplicated. All ratios are exact
-   * integer basis points (`div`), so both engines agree bit-for-bit;
-   * thresholds are the paper's (0.20 / 0.18 / 0.15).
+   * filter that kills looping/boilerplate docs by (a) the OCCURRENCE-
+   * MASS ratio of the most frequent 2-/3-gram — count × n / n_tokens,
+   * which double-counts self-overlapping occurrences and can exceed
+   * 10000 bp on degenerate loops ("spam spam …" ×20 scores 19000 bp;
+   * true union-of-spans coverage is what [[Dedup.spanTrim]] computes)
+   * — and (b) the fraction of distinct 5-grams that are duplicated.
+   * The mass ratio is deliberately kept: it is HARSHER on exactly the
+   * looping docs the rule exists to kill, and both engines compute the
+   * identical integer. All ratios are exact integer basis points
+   * (`div`); thresholds are the paper's (0.20 / 0.18 / 0.15) applied
+   * to this statistic (ADVICE r9: doc reworded — the thresholds gate
+   * occurrence mass, not span coverage).
    *
    * Scale shape: the n-gram counting is PER-ROW higher-order functions
    * over the token array (docs are model-input sized, so distinct×n ≈ a
@@ -37,20 +44,27 @@ object TextOps {
    * text_quality, where the grouped-explode alternative would shuffle
    * ~n_grams rows per doc.
    */
+  /** Positioned n-gram array over a `toks` column (SQL-expr spelling) —
+    * shared by [[repetitionStats]] and [[qualityGate]] so the two rows
+    * compute identical statistics by construction. */
+  private def grams(ng: Int): String = {
+    val parts = (0 until ng).map(o => s"element_at(toks, i + $o)")
+      .mkString(", ")
+    s"CASE WHEN size(toks) >= $ng THEN " +
+      s"transform(sequence(1, size(toks) - ${ng - 1}), " +
+      s"i -> concat_ws(' ', $parts)) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  }
+
+  /** Count of the most frequent element of gram array `g` (shared, as
+    * [[grams]]). */
+  private def topCnt(g: String): String =
+    s"CASE WHEN size($g) = 0 THEN 0L ELSE CAST(array_max(" +
+      s"transform(array_distinct($g), g -> size(filter($g, x -> x = g))))" +
+      " AS BIGINT) END"
+
   def repetitionStats(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    def grams(ng: Int) = {
-      val parts = (0 until ng).map(o => s"element_at(toks, i + $o)")
-        .mkString(", ")
-      s"CASE WHEN size(toks) >= $ng THEN " +
-        s"transform(sequence(1, size(toks) - ${ng - 1}), " +
-        s"i -> concat_ws(' ', $parts)) " +
-        "ELSE CAST(array() AS ARRAY<STRING>) END"
-    }
-    def topCnt(g: String) =
-      s"CASE WHEN size($g) = 0 THEN 0L ELSE CAST(array_max(" +
-        s"transform(array_distinct($g), g -> size(filter($g, x -> x = g))))" +
-        " AS BIGINT) END"
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -70,6 +84,76 @@ object TextOps {
         col("top2_bp"), col("top3_bp"), col("dup5_bp"),
         (col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
           col("dup5_bp") <= 1500).cast("int").as("keep"))
+  }
+
+  /**
+   * The composed Gopher-style quality gate (round 10, VERDICT r9 #7):
+   * every per-row curation signal the registry carries separately —
+   * length, language ID, repetition, lexical quality — fused into ONE
+   * keep/drop verdict with a reason code, as a single scan projection
+   * over `documents`. Rules fire in Gopher's order (cheap structural
+   * checks before content checks) and the FIRST failing rule names the
+   * reason, so downstream observability can histogram drop causes:
+   *
+   *   1. `too_short`  — n_tokens < 8 (the ragPrep degeneracy gate);
+   *   2. `lang`       — marker-token language ID says `unknown`
+   *                     (lang_id's exact argmax spelling);
+   *   3. `repetition` — any Gopher repetition bound breached
+   *                     ([[repetitionStats]]' statistics via the SAME
+   *                     [[grams]]/[[topCnt]] spellings);
+   *   4. `quality`    — integer quality score below 5000 bp
+   *                     (pipeline_curate's gate, text_quality's score);
+   *   5. `ok`         — keep = 1.
+   *
+   * Scale shape: zero joins, zero shuffle (the orderBy is the verify
+   * determinism sort) — at 100 TB this is the one-pass scan the
+   * separate signal rows would otherwise each re-scan the corpus for;
+   * the plan is pinned single-scan/no-join in PlanShapeSpec.
+   */
+  def qualityGate(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = col("toks")
+    val dToks = array_distinct(toks)
+    def langScore(markers: String*) =
+      size(array_intersect(dToks, array(markers.map(lit): _*))).cast("long")
+    val en = langScore("the", "a", "and", "query")
+    val de = langScore("der", "und", "das")
+    val es = langScore("el", "la", "los")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
+      .withColumn("quality_bp",
+        expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens"))
+      .withColumn("pred_lang",
+        when(en >= de && en >= es && en > 0, "en")
+          .when(de >= es && de > 0, "de")
+          .when(es > 0, "es")
+          .otherwise("unknown"))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .withColumn("g5", expr(grams(5)))
+      .withColumn("top2_bp", expr(
+        s"CASE WHEN n_tokens >= 2 THEN ${topCnt("g2")} * 2 * 10000 div n_tokens ELSE 0L END"))
+      .withColumn("top3_bp", expr(
+        s"CASE WHEN n_tokens >= 3 THEN ${topCnt("g3")} * 3 * 10000 div n_tokens ELSE 0L END"))
+      .withColumn("dup5_bp", expr(
+        "CASE WHEN size(g5) = 0 THEN 0L ELSE " +
+          "CAST(size(filter(transform(array_distinct(g5), " +
+          "g -> size(filter(g5, x -> x = g))), c -> c > 1)) AS BIGINT)" +
+          " * 10000 div CAST(size(array_distinct(g5)) AS BIGINT) END"))
+      .withColumn("reason",
+        when(col("n_tokens") < 8, "too_short")
+          .when(col("pred_lang") === "unknown", "lang")
+          .when(col("top2_bp") > 2000 || col("top3_bp") > 1800 ||
+            col("dup5_bp") > 1500, "repetition")
+          .when(col("quality_bp") < 5000, "quality")
+          .otherwise("ok"))
+      .select(col("doc_id"), col("n_tokens"), col("pred_lang"),
+        col("quality_bp"), col("top2_bp"), col("top3_bp"), col("dup5_bp"),
+        (col("reason") === "ok").cast("int").as("keep"), col("reason"))
   }
 
   /** 31-based rolling hash over per-token values, mod 2^31-1. Token value
@@ -255,6 +339,9 @@ object TextOps {
 
     "text_repetition" -> ((s, d) =>
       repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "text_quality_gate" -> ((s, d) =>
+      qualityGate(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "text_tokens" -> ((s, d) => {
       // Whitespace tokens vs a BPE-ish regex segmentation (letter runs /
@@ -547,6 +634,78 @@ object TextOps {
         |  CAST(top2_bp <= 2000 AND top3_bp <= 1800 AND dup5_bp <= 1500
         |    AS INT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Same statistics as the text_repetition / text_quality / lang_id
+    // oracles (grouped-unnest repetition counts, per-row quality and
+    // lang), composed into the gate's first-failing-rule CASE chain.
+    "text_quality_gate" ->
+      """WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        | q AS (SELECT doc_id,
+        |    (LEN(LIST_DISTINCT(toks)) * 7000
+        |      + (LEN(toks) - LEN(LIST_FILTER(toks,
+        |          x -> x IN ('the', 'a', 'of', 'and')))) * 3000)
+        |      // LEN(toks) AS quality_bp,
+        |    LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+        |      ['the', 'a', 'and', 'query'])) AS en,
+        |    LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+        |      ['der', 'und', 'das'])) AS de,
+        |    LEN(LIST_INTERSECT(LIST_DISTINCT(toks),
+        |      ['el', 'la', 'los'])) AS es
+        |  FROM d),
+        | ql AS (SELECT doc_id, quality_bp,
+        |    CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+        |         WHEN de >= es AND de > 0 THEN 'de'
+        |         WHEN es > 0 THEN 'es'
+        |         ELSE 'unknown' END AS pred_lang
+        |  FROM q),
+        | g2 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+        |     i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |   FROM d WHERE LEN(toks) >= 2),
+        | g3 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+        |   FROM d WHERE LEN(toks) >= 3),
+        | g5 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 3),
+        |     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+        |       || toks[i + 3] || ' ' || toks[i + 4])) AS gram
+        |   FROM d WHERE LEN(toks) >= 5),
+        | m2 AS (SELECT doc_id, MAX(cnt) AS top2 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | m3 AS (SELECT doc_id, MAX(cnt) AS top3 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | m5 AS (SELECT doc_id,
+        |     CAST(COUNT(*) FILTER (cnt > 1) AS BIGINT) AS dup5,
+        |     CAST(COUNT(*) AS BIGINT) AS dist5 FROM
+        |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2)
+        |   GROUP BY doc_id),
+        | r AS (SELECT d.doc_id, d.n_tokens, ql.pred_lang, ql.quality_bp,
+        |    CAST(CASE WHEN d.n_tokens >= 2
+        |      THEN COALESCE(m2.top2, 0) * 2 * 10000 // d.n_tokens
+        |      ELSE 0 END AS BIGINT) AS top2_bp,
+        |    CAST(CASE WHEN d.n_tokens >= 3
+        |      THEN COALESCE(m3.top3, 0) * 3 * 10000 // d.n_tokens
+        |      ELSE 0 END AS BIGINT) AS top3_bp,
+        |    CAST(CASE WHEN COALESCE(m5.dist5, 0) > 0
+        |      THEN COALESCE(m5.dup5, 0) * 10000 // m5.dist5
+        |      ELSE 0 END AS BIGINT) AS dup5_bp
+        |   FROM d JOIN ql USING (doc_id)
+        |     LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        |     LEFT JOIN m5 USING (doc_id)),
+        | v AS (SELECT *,
+        |    CASE WHEN n_tokens < 8 THEN 'too_short'
+        |         WHEN pred_lang = 'unknown' THEN 'lang'
+        |         WHEN top2_bp > 2000 OR top3_bp > 1800 OR dup5_bp > 1500
+        |           THEN 'repetition'
+        |         WHEN quality_bp < 5000 THEN 'quality'
+        |         ELSE 'ok' END AS reason
+        |   FROM r)
+        |SELECT doc_id, n_tokens, pred_lang, quality_bp,
+        |  top2_bp, top3_bp, dup5_bp,
+        |  CAST(reason = 'ok' AS INT) AS keep, reason
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok

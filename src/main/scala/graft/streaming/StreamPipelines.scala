@@ -35,6 +35,15 @@ case class HoltState(l: Double, b: Double, n: Long)
 case class HoltUpdate(user_id: Long, event_id: Long, value: Double,
   level_bp: Long, trend_bp: Long, forecast_bp: Long)
 
+/** Per-user first/last-touch attribution state ("" = no channel event
+  * seen yet, lastTsNanos = -1) and the per-purchase output record
+  * (nanos instead of Timestamp so the update is encoder-trivial; the
+  * parity test rescales the batch twin's timestamps the same way). */
+case class AttribState(firstTouch: String, lastTouch: String,
+  lastTsNanos: Long)
+case class AttributionUpdate(user_id: Long, event_id: Long, value: Double,
+  last_touch: String, last_touch_ts_nanos: Long, first_touch: String)
+
 /**
  * Structured Streaming surface (SURVEY.md §2c `stream_watermark` /
  * `stream_stateful`): the same event transformations as the batch twins
@@ -344,6 +353,58 @@ object StreamPipelines {
               }
             st.update(cur)
             out.iterator
+          }
+        },
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /**
+   * Per-user first-/last-touch attribution via `transformWithState` —
+   * the STREAMING twin of the batch `event_attribution` operator
+   * (VERDICT r9 #6, completing the ewma/holt pairing): state is ONE
+   * (first_touch, last_touch, last_ts) triple per user, each channel
+   * event (click/view/signup) overwrites the last-touch slots and
+   * fills first-touch once, each purchase EMITS the current state —
+   * the strictly-before-current-row semantics of the batch twin's
+   * `rowsBetween(unboundedPreceding, -1)` frame falls out of the fold
+   * order for free. O(1) state per key, zero arithmetic per event; at
+   * a 100 TB/day event stream this is the attribution form that never
+   * re-reads history.
+   *
+   * Same within-micro-batch ordering contract as the other stateful
+   * folds ([[EventOrder.key]]); across batches order is arrival order.
+   */
+  def statefulAttribution(events: Dataset[Event]): Dataset[AttributionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Event, AttributionUpdate] {
+          @transient private var st: ValueState[AttribState] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[AttribState](
+              "attribState", Encoders.product[AttribState], TTLConfig.NONE)
+          override def handleInputRows(uid: Long, rows: Iterator[Event],
+              timers: TimerValues): Iterator[AttributionUpdate] = {
+            var cur = if (st.exists()) st.get() else AttribState("", "", -1L)
+            val out = Seq.newBuilder[AttributionUpdate]
+            rows.toSeq.sortBy(EventOrder.key).foreach { e =>
+              e.event_type match {
+                case "purchase" =>
+                  out += AttributionUpdate(uid, e.event_id, e.value,
+                    if (cur.lastTouch.isEmpty) "none" else cur.lastTouch,
+                    cur.lastTsNanos,
+                    if (cur.firstTouch.isEmpty) "none" else cur.firstTouch)
+                case t if t == "click" || t == "view" || t == "signup" =>
+                  val nanos = e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos
+                  cur = AttribState(
+                    if (cur.firstTouch.isEmpty) t else cur.firstTouch, t, nanos)
+                case _ => // errors and purchases are not channels
+              }
+            }
+            st.update(cur)
+            out.result().iterator
           }
         },
         TimeMode.None(), OutputMode.Append())

@@ -285,6 +285,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_gate: one scan over documents, zero joins, zero exchanges below the sort (VERDICT r9 #7)") {
+    val p = plan("text_quality_gate")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"), "the fused gate must not join — all four " +
+      "signals are per-row expressions")
+    // Only the verify-sort exchange may appear: everything below it is a
+    // pure scan projection at any corpus size.
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"fused gate shuffles more than the sort:\n$p")
+  }
+
   test("text_ngram_lm: model-table join is hash-based; corpus count broadcast only") {
     val p = plan("text_ngram_lm")
     assert(!p.contains("CartesianProduct"), "ngram_lm planned a cartesian")

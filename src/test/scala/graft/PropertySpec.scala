@@ -117,9 +117,11 @@ class PropertySpec extends SparkSpec {
   }
 
   test("agg_approx_quantile tracks the exact percentile (rank error bounded by n/accuracy)") {
-    // At sf0.001 each group's n ≪ accuracy=10000, so the sketch's rank
+    // At sf0.001 each group's n ≪ accuracy=10⁶, so the sketch's rank
     // error bound (Greenwald-Khanna: ≤ n/accuracy) allows at most the
     // neighboring order statistic — relative value error stays tiny.
+    // (Since r10 the row is also hash-oracled vs QUANTILE_DISC at the
+    // verify sf; this test keeps the SKETCH property pinned.)
     val approx = SparkEntry.queries("agg_approx_quantile")(spark, sf0001)
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val exact = Tables.lineitem(spark, sf0001)

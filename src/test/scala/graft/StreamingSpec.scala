@@ -567,4 +567,66 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("stateful attribution streaming twin matches batch event_attribution across a stop/restart (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import java.nio.file.Files
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Timeline order; the query is STOPPED mid-timeline and restarted
+      // on the same checkpoint — first/last-touch state must survive the
+      // restart for the post-restart purchases to attribute correctly
+      // (VERDICT r9 #6's crash/restart requirement).
+      val all = Tables.events(s, sf0001).as[Event].collect()
+        .sortBy(EventOrder.key)
+      val (half1, half2) = all.splitAt(all.length / 2)
+      val cp = Files.createTempDirectory("graft_attr_cp").toString
+      val out = Files.createTempDirectory("graft_attr_out").toString
+      val in = MemoryStream[Event]
+      // foreachBatch parquet append: the memory sink cannot recover from
+      // a checkpoint, and an epoch replayed after the restart would
+      // append duplicates — the event_id-keyed Map dedups them, which is
+      // exactly the idempotence consumers of an append sink rely on.
+      def start() =
+        StreamPipelines.statefulAttribution(in.toDS())
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.AttributionUpdate], _: Long) =>
+            b.write.mode("append").parquet(out); () }
+          .option("checkpointLocation", cp)
+          .outputMode("append").start()
+      val q1 = start()
+      try half1.grouped(700).foreach { c => in.addData(c.toSeq); q1.processAllAvailable() }
+      finally q1.stop()
+      val q2 = start()
+      try half2.grouped(700).foreach { c => in.addData(c.toSeq); q2.processAllAvailable() }
+      finally q2.stop()
+      val got = s.read.parquet(out).collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("last_touch"),
+          r.getAs[Long]("last_touch_ts_nanos"),
+          r.getAs[String]("first_touch")))).toMap
+      def nanos(ts: Any): Long = ts match {
+        case null => -1L
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + t.getNano
+      }
+      val want = streaming.EventOps.queries("event_attribution")(s, sf0001)
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          ((r.getAs[String]("last_touch"),
+            nanos(r.getAs[Any]("last_touch_ts")),
+            r.getAs[String]("first_touch")))).toMap
+      assert(got.size === want.size,
+        s"purchase count diverged: stream ${got.size} vs batch ${want.size}")
+      assert(got === want, "streaming attribution diverged from the batch twin")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
 }

@@ -147,7 +147,8 @@ if ball is not None:
                    "ann_ivfpq", "text_repetition", "layout_zorder",
                    "sample_weighted", "event_attribution",
                    "curate_temperature_mix", "agg_hll_partitioned",
-                   "ann_mrl", "event_holt", "dedup_spantrim"):
+                   "ann_mrl", "event_holt", "dedup_spantrim",
+                   "text_quality_gate"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
