@@ -149,6 +149,17 @@ object Bench {
     // never clobbers the driver's bench.json.
     val allMode = args.contains("--all") ||
       sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    // --changed[=ref]: registry rows whose DEFINING FILE differs from
+    // <ref> (default HEAD) per git — the mid-round iteration tier
+    // (VERDICT r9 #8: the full 153-query sweep crosses 5 minutes within
+    // two rounds; a one-family change only needs that family re-timed).
+    // Output goes to bench_changed.json, NEVER bench_all.json — the
+    // committable artifacts remain the full headline and --all sweeps,
+    // which still run at round end. A diff touching shared non-family
+    // source (Q, Tables, plans/, sources/) falls back to the full
+    // registry: shared code can shift any row.
+    val changedArg = args.find(a => a == "--changed" || a.startsWith("--changed="))
+    val changedMode = changedArg.isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -222,8 +233,40 @@ object Bench {
     // query also records the join strategies of its EXECUTED (post-AQE)
     // plan — the self-diagnosis that separates "host was loaded" from
     // "the planner flipped the join" when an entry spikes.
+    val changedFiles: Seq[String] =
+      if (!changedMode) Nil
+      else {
+        val ref = changedArg.get.split("=", 2) match {
+          case Array(_, r) => r
+          case _ => "HEAD"
+        }
+        try {
+          val p = new ProcessBuilder("git", "diff", "--name-only", ref)
+            .redirectErrorStream(true).start()
+          val out = new String(p.getInputStream.readAllBytes())
+          p.waitFor()
+          out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] git diff failed ($e) — running full registry")
+          Nil
+        }
+      }
     val suite =
-      if (allMode) SparkEntry.queries.keys.toSeq.sorted
+      if (changedMode) {
+        val files = SparkEntry.queryFiles
+        val familyFiles = files.values.toSet
+        val sharedTouched = changedFiles.exists(f =>
+          f.startsWith("src/main/") && !familyFiles.contains(f))
+        if (sharedTouched || changedFiles.isEmpty) {
+          System.err.println("[bench] --changed: shared source touched " +
+            "(or empty diff) — running the full registry")
+          SparkEntry.queries.keys.toSeq.sorted
+        } else {
+          val hit = changedFiles.toSet
+          files.collect { case (q, f) if hit(f) => q }.toSeq.sorted
+        }
+      }
+      else if (allMode) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     // Per-query failure MESSAGE, not just the -1 sentinel (ADVICE r7):
     // the r7 contended-host artifact recorded 8 events-family queries as
@@ -297,7 +340,8 @@ object Bench {
     // r1–r5 artifacts for the comparable part); skipped in --all mode
     // where every registry entry runs anyway.
     val heavyResults =
-      if (allMode) Nil else runSuite(heavy.filter(SparkEntry.queries.contains))
+      if (allMode || changedMode) Nil
+      else runSuite(heavy.filter(SparkEntry.queries.contains))
     val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -344,7 +388,11 @@ object Bench {
       s""""analyze_sec":$analyzeSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
       s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +
-      (if (allMode) s""""mode":"all",""" else {
+      (if (changedMode) {
+        val cf = changedFiles.map(f => "\"" + jsonEsc(f) + "\"")
+          .mkString("[", ",", "]")
+        s""""mode":"changed","changed_files":$cf,"""
+      } else if (allMode) s""""mode":"all",""" else {
         val hq = heavyResults.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
         val hs = heavyResults.map { case (k, _, s, _, _) =>
@@ -384,7 +432,8 @@ object Bench {
       s""""sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (allMode) "bench_all.json" else "bench.json")
+      if (changedMode) "bench_changed.json"
+      else if (allMode) "bench_all.json" else "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
     spark.stop()

@@ -38,6 +38,32 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = groups.map(_._1).reduce(_ ++ _)
 
+  /** Query name → defining source file (repo-relative), for Bench's
+    * `--changed` mode: a git-diff touching a family file re-benches
+    * exactly that family's rows. Kept beside [[groups]] so adding a
+    * family updates both or SparkEntrySpec fails the coverage check. */
+  private[graft] def queryFiles: Map[String, String] = {
+    val base = "src/main/scala/graft/"
+    Seq(
+      operators.Relational.queries -> (base + "operators/Relational.scala"),
+      operators.Aggregates.queries -> (base + "operators/Aggregates.scala"),
+      operators.Windows.queries -> (base + "operators/Windows.scala"),
+      operators.SetOps.queries -> (base + "operators/SetOps.scala"),
+      operators.Reshape.queries -> (base + "operators/Reshape.scala"),
+      operators.Profiling.queries -> (base + "operators/Profiling.scala"),
+      operators.Sql.queries -> (base + "operators/Sql.scala"),
+      operators.Layout.queries -> (base + "operators/Layout.scala"),
+      functions.ScalarFns.queries -> (base + "functions/ScalarFns.scala"),
+      streaming.EventOps.queries -> (base + "streaming/EventOps.scala"),
+      sources.SourceOps.queries -> (base + "sources/SourceOps.scala"),
+      llm.TextOps.queries -> (base + "llm/TextOps.scala"),
+      llm.Dedup.queries -> (base + "llm/Dedup.scala"),
+      llm.Curate.queries -> (base + "llm/Curate.scala"),
+      llm.Similarity.queries -> (base + "llm/Similarity.scala"),
+      llm.Multimodal.queries -> (base + "llm/Multimodal.scala")
+    ).flatMap { case (qs, f) => qs.keys.map(_ -> f) }.toMap
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = groups.map(_._2).reduce(_ ++ _)

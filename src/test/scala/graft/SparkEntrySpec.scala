@@ -21,6 +21,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"headline names not in the registry: $missing")
   }
 
+  test("queryFiles covers every registry row and points at real files (--changed mode)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.queryFiles.keySet
+    assert(missing.isEmpty,
+      s"rows with no --changed file mapping (new family not added to queryFiles?): $missing")
+    val gone = SparkEntry.queryFiles.values.toSet
+      .filterNot(f => new java.io.File(f).isFile)
+    assert(gone.isEmpty, s"queryFiles points at nonexistent files: $gone")
+  }
+
   test("oracle SQL strings are DuckDB-shaped (no read_parquet paths, bare table names)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("read_parquet"), s"$name embeds a path")
