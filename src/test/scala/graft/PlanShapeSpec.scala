@@ -285,6 +285,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("ann_pq/ann_ivfpq: the ADC window's input is the narrow (probe_id, vec_id, adc) stream (ADVICE r9)") {
+    // The per-probe top-(rerankFactor·k) window shuffles by probe_id;
+    // its input must never carry the 64-float probe vector or the
+    // ≤1024-double LUT — that exchange width is the whole point of PQ.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("ann_pq", "ann_ivfpq")) {
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val adcWindows = plan.collect {
+        case w: LWindow if w.child.output.exists(_.name == "adc") => w
+      }
+      assert(adcWindows.nonEmpty, s"$q: ADC window not found")
+      for (w <- adcWindows) {
+        val cols = w.child.output.map(_.name).toSet
+        assert(!cols.contains("p_emb") && !cols.contains("lut"),
+          s"$q: wide columns ride the ADC window exchange: $cols")
+      }
+    }
+  }
+
   test("text_quality_gate: one scan over documents, zero joins, zero exchanges below the sort (VERDICT r9 #7)") {
     val p = plan("text_quality_gate")
     val scans = p.linesIterator.count(l =>
