@@ -333,6 +333,101 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cos.as("cos_sim"))
   }
 
+  /**
+   * Full kNN-GRAPH build (round 10) — the JOIN form of similarity
+   * search: top-k nearest neighbors for EVERY corpus vector, not just
+   * a probe set (sim_topk answers 10 probes; this materializes the
+   * neighbor graph that semantic dedup, label propagation, kNN
+   * classification at corpus scale, and graph-based curation consume).
+   * Exact arm: all-pairs rounded cosine + per-src top-k window — the
+   * O(n²) oracle stand-in, embed_neardup's discipline (norms attached
+   * per side BEFORE the pair join; the window input carries only
+   * (src, dst, cos_sim)). Scale arm: [[knnGraphBlocked]].
+   */
+  def knnGraph(emb: DataFrame, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val a = e.select(col("vec_id").as("src"), col("embedding").as("ea"),
+      col("sq").as("sqa"))
+    val b = e.select(col("vec_id").as("dst"), col("embedding").as("eb"),
+      col("sq").as("sqb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    a.join(b, col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("src"), col("rn"))
+  }
+
+  /**
+   * kNN graph via MULTI-PROBE IVF — the 100 TB arm of [[knnGraph]]:
+   * every vector acts as its own probe and pairs with the vectors of
+   * its nprobe nearest k-means buckets (single-cluster SemDeDup
+   * blocking was measured at 0.24 edge recall on this near-uniform
+   * corpus — generic kNN neighbors, unlike near-dups, do NOT
+   * concentrate in one cell; multi-probe is what IVF search itself
+   * does for exactly this reason). Stages: (1) per-row top-nprobe
+   * bucket choice — the centroid table rides as an expression literal
+   * (bounded ≤ 4096 centroids, the documented collect bound) and the
+   * L2 argsort happens INSIDE the row projection, so bucket choice
+   * adds zero shuffle, exactly like the codegen'd argmin of
+   * [[assignClusters]]; (2) explode to n·nprobe (src, bucket) rows;
+   * (3) bucket equi-join against the assigned corpus — everything
+   * shuffles by bucket id, the candidate stream is ≈ nprobe/nlist of
+   * n² ≈ n^1.5 at the √n geometry; (4) per-src top-k window over the
+   * narrow (src, dst, cos_sim) stream. LlmSpec gates edge recall vs
+   * the exact graph. Non-oracle (k-means centroids), rows-only check.
+   */
+  def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
+    val (nlist, nprobe) = ivfGeometry(emb, 1)
+    val (centroids, assigned0) = trainAssign(emb, nlist)
+    val assigned = graft.Q.ownPersist(assigned0).df
+    // Bounded collect (≤ 4096 centroids — same bound as the PQ LUT
+    // literals): the centroid table becomes a per-row expression so
+    // bucket choice never shuffles the corpus.
+    // Float-cast-then-double matches the value the assignment kernel
+    // actually compares against (NearestCentroidF32 carries float
+    // centroids), so a vector's nearest probe bucket agrees with its
+    // own assigned cl up to exact ties.
+    val cb = centroids.collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).map(d => d.toFloat.toDouble)))
+      .sortBy(_._1)
+    val cbVecs = typedlit(cb.map(_._2))
+    val cbIds = typedlit(cb.map(_._1.toLong))
+    val nearBuckets = expr(
+      s"""transform(
+         |  slice(array_sort(transform(sequence(1, ${cb.length}),
+         |    j -> struct(
+         |      aggregate(zip_with(ea, element_at(cbv, j),
+         |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+         |        CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d,
+         |      element_at(cbi, j) AS cl))), 1, $nprobe),
+         |  s -> s.cl)""".stripMargin)
+    val srcProbes = emb
+      .select(col("vec_id").as("src"), col("embedding").as("ea"),
+        dotFast(col("embedding"), col("embedding")).as("sqa"))
+      .withColumn("cbv", cbVecs).withColumn("cbi", cbIds)
+      .select(col("src"), col("ea"), col("sqa"),
+        explode(nearBuckets).as("cl"))
+    val corpus = assigned.select(col("cl").cast("long").as("cl"),
+      col("vec_id").as("dst"), col("embedding").as("eb"),
+      dotFast(col("embedding"), col("embedding")).as("sqb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    srcProbes.join(corpus, Seq("cl"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("src"), col("rn"))
+  }
+
   /** Mean vector per cluster, computed distributed: posexplode to
     * (cl, pos, x), avg per component, re-assemble ordered by pos
     * (struct array_sort orders by first field). */
@@ -1083,6 +1178,14 @@ object Similarity {
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
 
+    "knn_graph" -> ((s, d) =>
+      knnGraph(Tables.embeddings(s, d), 3)),
+
+    // Non-oracle (k-means blocking); edge recall vs knn_graph gated in
+    // LlmSpec, candidate-volume exponent shared with semantic_candidates.
+    "knn_graph_blocked" -> ((s, d) =>
+      knnGraphBlocked(Tables.embeddings(s, d), 3)),
+
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d, 5)),
 
     "ann_mrl" -> ((s, d) => annMrl(s, d, 5)),
@@ -1131,6 +1234,26 @@ object Similarity {
       |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) t)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // All-pairs rounded cosine + per-src top-k — the shared spelling of
+    // embCte generalized from the 10-probe frame to every vector.
+    "knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        | n AS (SELECT vec_id, emb,
+        |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
+        |   FROM e),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    ROUND(
+        |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+        |      / (SQRT(a.sq) * SQRT(b.sq)), 4) AS cos_sim
+        |   FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        | r AS (SELECT src, dst, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+        |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn
+        |   FROM p)
+        |SELECT src, dst, cos_sim, rn FROM r
+        |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+
     // LIST_SUM left-folds like Spark's aggregate (proven bit-identical by
     // fn_vector); the rounding is the shared floor(+0.5) spelling.
     "embed_quantize" ->

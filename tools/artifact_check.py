@@ -148,7 +148,7 @@ if ball is not None:
                    "sample_weighted", "event_attribution",
                    "curate_temperature_mix", "agg_hll_partitioned",
                    "ann_mrl", "event_holt", "dedup_spantrim",
-                   "text_quality_gate"):
+                   "text_quality_gate", "knn_graph", "knn_graph_blocked"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
