@@ -568,6 +568,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("text_quality_gate composes onto a stream unchanged: per-doc verdicts match the batch gate (sf0.001)") {
+    // The fused gate is pure per-row expressions, so the SAME function
+    // applies to a readStream frame with no code change — the property
+    // that lets one curation definition serve both the backfill scan
+    // and the live ingest path. Fed in micro-batches; per-doc verdicts
+    // must equal the batch row's exactly.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = Tables.documents(s, sf0001)
+      .selectExpr("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val stream = in.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = graft.llm.TextOps.qualityGate(stream)
+      .writeStream.format("memory").queryName("gate_stream_out")
+      .outputMode("append").start()
+    try {
+      docs.grouped(200).foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+      val got = s.table("gate_stream_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("keep"), r.getAs[String]("reason")))).toMap
+      val want = SparkEntry.queries("text_quality_gate")(s, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("keep"), r.getAs[String]("reason")))).toMap
+      assert(got.size === want.size)
+      assert(got === want, "streaming gate verdicts diverged from batch")
+    } finally q.stop()
+  }
+
   test("stateful attribution streaming twin matches batch event_attribution across a stop/restart (sf0.001)") {
     val s = spark
     import s.implicits._
