@@ -241,11 +241,18 @@ object Bench {
           case _ => "HEAD"
         }
         try {
-          val p = new ProcessBuilder("git", "diff", "--name-only", ref)
-            .redirectErrorStream(true).start()
+          // stderr NOT merged: a failed git (bad ref, not a repo) must
+          // not have its fatal-message lines parsed as file names; a
+          // nonzero exit falls back to the full registry explicitly.
+          val p = new ProcessBuilder("git", "diff", "--name-only", ref).start()
           val out = new String(p.getInputStream.readAllBytes())
-          p.waitFor()
-          out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+          val err = new String(p.getErrorStream.readAllBytes())
+          if (p.waitFor() != 0) {
+            System.err.println(
+              s"[bench] git diff exited nonzero (${err.trim.take(200)}) — " +
+                "running full registry")
+            Nil
+          } else out.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
         } catch { case e: Throwable =>
           System.err.println(s"[bench] git diff failed ($e) — running full registry")
           Nil
@@ -263,7 +270,16 @@ object Bench {
           SparkEntry.queries.keys.toSeq.sorted
         } else {
           val hit = changedFiles.toSet
-          files.collect { case (q, f) if hit(f) => q }.toSeq.sorted
+          val affected = files.collect { case (q, f) if hit(f) => q }.toSeq.sorted
+          if (affected.isEmpty)
+            // Diff touches only tests/tools/docs: nothing to re-time.
+            // Say so loudly — an empty queries map in bench_changed.json
+            // must read as "no registry row affected", never as a
+            // zero-regression signal.
+            System.err.println("[bench] --changed: diff touches no " +
+              "operator-family file — no registry rows to re-time " +
+              s"(changed: ${changedFiles.mkString(", ")})")
+          affected
         }
       }
       else if (allMode) SparkEntry.queries.keys.toSeq.sorted
@@ -420,7 +436,11 @@ object Bench {
           case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
           .mkString("[", ",", "]")
         val hTotal = heavyResults.map(_._2).filter(_ >= 0).sum
-        val hGcTotal = heavyResults.map(_._4).sum
+        // Same summed set as heavy_total (failed entries excluded), or
+        // the gc-vs-excess breach fingerprint in artifact_check would
+        // compare GC from N entries against elapsed from N−1.
+        val hGcTotal = heavyResults.collect {
+          case (_, v, _, g, _) if v >= 0 => g }.sum
         s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
           s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
           s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +

@@ -66,16 +66,16 @@ object Curate {
     val nearKept = exactKept.join(
       comps.filter(col("doc_id") =!= col("component_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
-    // 3. quality gate (text_quality's integer-bp score — tie-divergence-proof)
+    // 3. quality gate (text_quality's integer-bp score — the SHARED
+    // stop list / formula spellings from TextOps, so this stage and
+    // the standalone rows cannot drift)
     val toks = col("toks")
     val scored = nearKept
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("stop_cnt",
-        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("stop_cnt", TextOps.stopCnt(toks))
       .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
-      .withColumn("quality_bp",
-        expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens"))
+      .withColumn("quality_bp", expr(TextOps.QualityBpSql))
       .filter(col("quality_bp") >= 5000)
     // 4. deterministic 50% stratified sample by language
     val byLang = Window.partitionBy(col("lang"))

@@ -63,6 +63,43 @@ object TextOps {
       s"transform(array_distinct($g), g -> size(filter($g, x -> x = g))))" +
       " AS BIGINT) END"
 
+  /** Marker-token evidence lists for language ID — single-sourced into
+    * lang_id AND the composed gate (the same drift-proofing as
+    * [[grams]]/[[topCnt]]: editing a marker updates every consumer). */
+  private[llm] val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "query"),
+    "de" -> Seq("der", "und", "das"),
+    "es" -> Seq("el", "la", "los"))
+
+  /** Deterministic marker-evidence argmax (en ≥ de ≥ es priority on
+    * ties, 'unknown' when nothing hits) over the DISTINCT token array. */
+  private[llm] def predLang(dToks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def score(markers: Seq[String]) =
+      size(array_intersect(dToks, array(markers.map(lit): _*))).cast("long")
+    val en = score(LangMarkers("en"))
+    val de = score(LangMarkers("de"))
+    val es = score(LangMarkers("es"))
+    when(en >= de && en >= es && en > 0, "en")
+      .when(de >= es && de > 0, "de")
+      .when(es > 0, "es")
+      .otherwise("unknown")
+  }
+
+  /** Stop-word list shared by text_quality, the composed gate, and
+    * pipeline_curate's quality stage. */
+  private[llm] val StopWords = Seq("the", "a", "of", "and")
+
+  private[llm] def stopCnt(toks: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    size(filter(toks, t => t.isin(StopWords.map(x => x: Any): _*))).cast("long")
+
+  /** The integer-basis-point quality score over prepared (uniq_cnt,
+    * n_tokens, stop_cnt) columns — ONE spelling for text_quality, the
+    * composed gate, and pipeline_curate. */
+  private[llm] val QualityBpSql =
+    "(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens"
+
   def repetitionStats(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     docs
@@ -98,9 +135,11 @@ object TextOps {
    *   1. `too_short`  — n_tokens < 8 (the ragPrep degeneracy gate);
    *   2. `lang`       — marker-token language ID says `unknown`
    *                     (lang_id's exact argmax spelling);
-   *   3. `repetition` — any Gopher repetition bound breached
-   *                     ([[repetitionStats]]' statistics via the SAME
-   *                     [[grams]]/[[topCnt]] spellings);
+   *   3. `repetition` — a Gopher repetition bound breached by a gram
+   *                     that actually repeats (count ≥ 2 — see the
+   *                     inline comment; [[repetitionStats]]'
+   *                     statistics via the SAME [[grams]]/[[topCnt]]
+   *                     spellings);
    *   4. `quality`    — integer quality score below 5000 bp
    *                     (pipeline_curate's gate, text_quality's score);
    *   5. `ok`         — keep = 1.
@@ -113,41 +152,40 @@ object TextOps {
   def qualityGate(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val toks = col("toks")
-    val dToks = array_distinct(toks)
-    def langScore(markers: String*) =
-      size(array_intersect(dToks, array(markers.map(lit): _*))).cast("long")
-    val en = langScore("the", "a", "and", "query")
-    val de = langScore("der", "und", "das")
-    val es = langScore("el", "la", "los")
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("stop_cnt",
-        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("stop_cnt", stopCnt(toks))
       .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
-      .withColumn("quality_bp",
-        expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens"))
-      .withColumn("pred_lang",
-        when(en >= de && en >= es && en > 0, "en")
-          .when(de >= es && de > 0, "de")
-          .when(es > 0, "es")
-          .otherwise("unknown"))
+      .withColumn("quality_bp", expr(QualityBpSql))
+      .withColumn("pred_lang", predLang(array_distinct(toks)))
       .withColumn("g2", expr(grams(2)))
       .withColumn("g3", expr(grams(3)))
       .withColumn("g5", expr(grams(5)))
+      .withColumn("top2_cnt", expr(topCnt("g2")))
+      .withColumn("top3_cnt", expr(topCnt("g3")))
       .withColumn("top2_bp", expr(
-        s"CASE WHEN n_tokens >= 2 THEN ${topCnt("g2")} * 2 * 10000 div n_tokens ELSE 0L END"))
+        "CASE WHEN n_tokens >= 2 THEN top2_cnt * 2 * 10000 div n_tokens ELSE 0L END"))
       .withColumn("top3_bp", expr(
-        s"CASE WHEN n_tokens >= 3 THEN ${topCnt("g3")} * 3 * 10000 div n_tokens ELSE 0L END"))
+        "CASE WHEN n_tokens >= 3 THEN top3_cnt * 3 * 10000 div n_tokens ELSE 0L END"))
       .withColumn("dup5_bp", expr(
         "CASE WHEN size(g5) = 0 THEN 0L ELSE " +
           "CAST(size(filter(transform(array_distinct(g5), " +
           "g -> size(filter(g5, x -> x = g))), c -> c > 1)) AS BIGINT)" +
           " * 10000 div CAST(size(array_distinct(g5)) AS BIGINT) END"))
+      // The top-gram rules additionally require the gram to actually
+      // REPEAT (count ≥ 2): a single occurrence scores 3·10⁴/n bp,
+      // which breaches the 0.18 threshold for EVERY doc under 17
+      // tokens — without the count gate, short-but-clean docs would be
+      // systematically branded 'repetition' (the audit-statistic row
+      // text_repetition deliberately keeps the raw thresholds; this is
+      // the DECISION row, so its rule must mean what it says). dup5_bp
+      // needs no gate — nonzero already implies a duplicated 5-gram.
       .withColumn("reason",
         when(col("n_tokens") < 8, "too_short")
           .when(col("pred_lang") === "unknown", "lang")
-          .when(col("top2_bp") > 2000 || col("top3_bp") > 1800 ||
+          .when((col("top2_cnt") >= 2 && col("top2_bp") > 2000) ||
+            (col("top3_cnt") >= 2 && col("top3_bp") > 1800) ||
             col("dup5_bp") > 1500, "repetition")
           .when(col("quality_bp") < 5000, "quality")
           .otherwise("ok"))
@@ -322,8 +360,7 @@ object TextOps {
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(toks).cast("long"))
-        .withColumn("stop_cnt",
-          size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("long"))
+        .withColumn("stop_cnt", stopCnt(toks))
         .withColumn("uniq_cnt", size(array_distinct(toks)).cast("long"))
         .withColumn("sum_len", aggregate(transform(toks, t => length(t).cast("long")),
           lit(0L), (acc, x) => acc + x))
@@ -332,8 +369,7 @@ object TextOps {
           round(col("sum_len").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
           round(col("stop_cnt").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
           round(col("uniq_cnt").cast("double") / col("n_tokens"), 4).as("uniq_ratio"),
-          expr("(uniq_cnt * 7000 + (n_tokens - stop_cnt) * 3000) div n_tokens")
-            .as("quality_bp"))
+          expr(QualityBpSql).as("quality_bp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -362,19 +398,12 @@ object TextOps {
       // Marker-token heuristic (n-gram language ID degenerates to marker
       // counting on the synthetic single-vocabulary corpus — the shape of
       // the operator is what matters: per-language evidence scores +
-      // deterministic argmax with alphabetic tiebreak).
-      val toks = array_distinct(split(col("text"), " "))
-      def score(markers: String*) =
-        size(array_intersect(toks, array(markers.map(lit): _*))).cast("long")
-      val en = score("the", "a", "and", "query")
-      val de = score("der", "und", "das")
-      val es = score("el", "la", "los")
+      // deterministic argmax with alphabetic tiebreak). The marker lists
+      // and argmax chain live in [[LangMarkers]]/[[predLang]], shared
+      // with the composed gate.
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          when(en >= de && en >= es && en > 0, "en")
-            .when(de >= es && de > 0, "de")
-            .when(es > 0, "es")
-            .otherwise("unknown").as("pred_lang"))
+          predLang(array_distinct(split(col("text"), " "))).as("pred_lang"))
         .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
         .orderBy(col("doc_id"))
     }),
@@ -682,6 +711,8 @@ object TextOps {
         |   (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2)
         |   GROUP BY doc_id),
         | r AS (SELECT d.doc_id, d.n_tokens, ql.pred_lang, ql.quality_bp,
+        |    COALESCE(m2.top2, 0) AS top2_cnt,
+        |    COALESCE(m3.top3, 0) AS top3_cnt,
         |    CAST(CASE WHEN d.n_tokens >= 2
         |      THEN COALESCE(m2.top2, 0) * 2 * 10000 // d.n_tokens
         |      ELSE 0 END AS BIGINT) AS top2_bp,
@@ -697,7 +728,9 @@ object TextOps {
         | v AS (SELECT *,
         |    CASE WHEN n_tokens < 8 THEN 'too_short'
         |         WHEN pred_lang = 'unknown' THEN 'lang'
-        |         WHEN top2_bp > 2000 OR top3_bp > 1800 OR dup5_bp > 1500
+        |         WHEN (top2_cnt >= 2 AND top2_bp > 2000)
+        |           OR (top3_cnt >= 2 AND top3_bp > 1800)
+        |           OR dup5_bp > 1500
         |           THEN 'repetition'
         |         WHEN quality_bp < 5000 THEN 'quality'
         |         ELSE 'ok' END AS reason

@@ -397,9 +397,11 @@ object StreamPipelines {
                     cur.lastTsNanos,
                     if (cur.firstTouch.isEmpty) "none" else cur.firstTouch)
                 case t if t == "click" || t == "view" || t == "signup" =>
-                  val nanos = e.ts.getTime / 1000 * 1000000000L + e.ts.getNanos
+                  // EventOrder.key's nanos component — the ONE shared
+                  // definition, per its drift warning.
                   cur = AttribState(
-                    if (cur.firstTouch.isEmpty) t else cur.firstTouch, t, nanos)
+                    if (cur.firstTouch.isEmpty) t else cur.firstTouch, t,
+                    EventOrder.key(e)._1)
                 case _ => // errors and purchases are not channels
               }
             }
