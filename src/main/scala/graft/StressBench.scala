@@ -72,6 +72,17 @@ object StressBench {
     // one model join + the two-phase rank — e_time ≈ 1 is the pass bar.
     "dedup_semantic", "curate_dsir")
 
+  /** r10: the multi-probe kNN graph — measured at the TWO SMALLEST
+    * scales only. Its honest cost IS the n^1.5 candidate stream (every
+    * vector × nprobe buckets × bucket width — a full-corpus graph
+    * build, the job FAISS runs on GPU farms), so the larger stress
+    * scales would spend sweep-hours re-measuring a known exponent:
+    * the committed s1→s3 fit is e_time 1.18, and a one-off s10 probe
+    * during round 10 measured 509 s (≈ n^1.46 over s1→s10) — both
+    * inside the n^1.5 class the Scaladoc claims and far from the
+    * exact arm's n². */
+  val knnGraphScales = 2
+
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
     * answer it computes is itself near-quadratic in size (~40 M pairs at
@@ -317,6 +328,15 @@ object StressBench {
       if (ccEntry.rows >= 0) ccRounds(scale) = llm.Dedup.lastCcRounds
     }
 
+    // Multi-probe kNN graph: smallest [[knnGraphScales]] scales only —
+    // see the constant's Scaladoc for why.
+    for ((scale, _) <- uniformScales.take(knnGraphScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("knn_graph_blocked", scale,
+        measure(() => SparkEntry.queries("knn_graph_blocked")(spark, dir)))
+    }
+
     // ---- ann_pq recall-vs-rerank-width curve (VERDICT r8 item 5) ----
     // Ground truth is the exact bruteTopK per width; recall is recorded
     // in BASIS POINTS in the rows field (10000 = 1.00) so the curve
@@ -347,6 +367,34 @@ object StressBench {
       for ((w, r) <- curve)
         record(s"ann_pq_recall_w$w", scale,
           Entry(sec, math.round(r * 10000), "pq_recall", 0.0, 1.0))
+      // ---- ann_ivfpq recall-vs-nprobe curve (r10) ----
+      // The r9 verdict's diagnosis made a testable claim: the composed
+      // index's recall ceiling is the IVF stage's bucket recall, so
+      // "raising the gate means raising nprobe, not rerankFactor".
+      // This curve measures what the nprobe knob actually buys (recall
+      // in basis points in the rows field, same convention as the PQ
+      // width curve; one shared wall time per scale — ground truth and
+      // the k-means/PQ builds dominate and are nprobe-independent).
+      val t1 = System.nanoTime()
+      val exact = llm.Similarity.bruteTopK(spark, dir, 5)
+        .selectExpr("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val npCurve =
+        try (Seq(2, 4, 8, 16).map { np =>
+          val got = llm.Similarity.annIvfPq(spark, dir, 5,
+              nprobeOverride = Some(np))
+            .selectExpr("probe_id", "vec_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          (np, (exact & got).size.toDouble / exact.size)
+        })
+        catch { case e: Throwable =>
+          System.err.println(s"[stress] ivfpq_nprobe failed: $e"); Nil }
+      val sec1 = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      for ((np, r) <- npCurve)
+        record(s"ann_ivfpq_recall_p$np", scale,
+          Entry(sec1, math.round(r * 10000), "ivfpq_nprobe", 0.0, 1.0))
     }
 
     // ---- s100: banded families only (VERDICT r5 item 8) ----

@@ -602,10 +602,14 @@ object Similarity {
     (centroids, assignClusters(emb, centroids))
   }
 
-  private def ivfParts(s: SparkSession, d: String, minNprobe: Int)
-      : (DataFrame, DataFrame) = {
+  private def ivfParts(s: SparkSession, d: String, minNprobe: Int,
+      nprobeOverride: Option[Int] = None): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
-    val (nlist, nprobe) = ivfGeometry(emb, minNprobe)
+    val (nlist, nprobeGeo) = ivfGeometry(emb, minNprobe)
+    // Override exists for the recall-vs-nprobe curve (StressBench):
+    // the geometry's 1.5·√nlist is the calibrated DEFAULT; the curve
+    // measures what the knob buys around it.
+    val nprobe = nprobeOverride.map(_.min(nlist)).getOrElse(nprobeGeo)
     val (centroids, assignedRaw) = trainAssign(emb, nlist)
     val cb = broadcast(centroids)
     val assigned = assignedRaw
@@ -1093,9 +1097,10 @@ object Similarity {
    * the gate sits below either component's own.
    */
   def annIvfPq(s: SparkSession, d: String, k: Int,
-      rerankFactor: Int = PqRerankFactor): DataFrame = {
+      rerankFactor: Int = PqRerankFactor,
+      nprobeOverride: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val (assigned, probeBuckets) = ivfParts(s, d, 3)
+    val (assigned, probeBuckets) = ivfParts(s, d, 3, nprobeOverride)
     val books = pqTrain(emb)
     val cbSeq = pqBookSeq(books)
     val (lutExpr, adcScore, sizes) = pqAdcParts(books)

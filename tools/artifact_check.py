@@ -59,13 +59,19 @@ if stress is not None:
     if not stress.get("cc_rounds"):
         failures.append("BENCH_stress.json: cc_rounds empty "
                         "(flat-rounds claim unbacked)")
-    # s100 half-decade extension for the banded families
+    # s100 half-decade extension for the banded families — the point
+    # must exist AND be a successful measurement (r10: a broadcast-OOM
+    # run recorded -1 sentinels here; a sentinel is not evidence).
     for fam in ("minhash_lsh", "tokjoin_auto", "embed_lshpairs"):
         pts = q.get(fam, {})
         if "s100" not in pts:
             failures.append(
                 f"BENCH_stress.json: '{fam}' lacks the s100 point the "
                 f"banded-family fit cites")
+        elif pts["s100"].get("sec", -1) < 0:
+            failures.append(
+                f"BENCH_stress.json: '{fam}' s100 point is a failure "
+                f"sentinel — re-run the sweep")
     # r9 (VERDICT r8 items 1/5): the two newest ops' scale rows, the
     # n^1.5 blocking claim, and the PQ recall-vs-rerank-width curve.
     rows("dedup_semantic")              # SemDeDup e_time series
@@ -81,6 +87,31 @@ if stress is not None:
                 failures.append(
                     f"BENCH_stress.json: ann_pq_recall_w64 below the 0.8 "
                     f"gate (basis points): {low}")
+    # r10: the composed index's recall-vs-nprobe curve ("raising the
+    # gate means raising nprobe" made measurable) + the multi-probe kNN
+    # graph's scale series.
+    rows("knn_graph_blocked")
+    np_pts = {np: rows(f"ann_ivfpq_recall_p{np}", min_scales=1)
+              for np in (2, 4, 8, 16)}
+    # The curve's claim is the KNOB, not an absolute: recall must be
+    # monotone non-decreasing in nprobe at every measured scale (fixed
+    # nprobe is a shrinking fraction of nlist as n grows, so absolute
+    # floors only hold at the top of the curve).
+    for scale in (np_pts[2] or {}):
+        series = [np_pts[np].get(scale, {}).get("rows", -1)
+                  for np in (2, 4, 8, 16)]
+        if all(r >= 0 for r in series) and any(
+                a > b for a, b in zip(series, series[1:])):
+            failures.append(
+                f"BENCH_stress.json: ann_ivfpq nprobe curve not monotone "
+                f"at {scale}: {series}")
+    p16_low = {k: v["rows"] for k, v in np_pts[16].items()
+               if isinstance(v, dict) and v.get("rows", -1) >= 0
+               and v["rows"] < 6000}
+    if p16_low:
+        failures.append(
+            f"BENCH_stress.json: ann_ivfpq_recall_p16 below the 0.6 floor "
+            f"(basis points): {p16_low}")
 
 # --- bench.json: headline + heavy tier -------------------------------
 bench = load("bench.json")
