@@ -73,14 +73,15 @@ object StressBench {
     "dedup_semantic", "curate_dsir")
 
   /** r10: the multi-probe kNN graph — measured at the TWO SMALLEST
-    * scales only. Its honest cost IS the n^1.5 candidate stream (every
-    * vector × nprobe buckets × bucket width — a full-corpus graph
-    * build, the job FAISS runs on GPU farms), so the larger stress
-    * scales would spend sweep-hours re-measuring a known exponent:
-    * the committed s1→s3 fit is e_time 1.18, and a one-off s10 probe
-    * during round 10 measured 509 s (≈ n^1.46 over s1→s10) — both
-    * inside the n^1.5 class the Scaladoc claims and far from the
-    * exact arm's n². */
+    * scales only. Its honest cost is the n^1.75 multi-probe candidate
+    * stream (n sources × nprobe ∝ n^0.25 buckets × n^0.5 bucket width
+    * — a full-corpus graph build, the job FAISS runs on GPU farms),
+    * so the larger stress scales would spend sweep-hours re-measuring
+    * a known class: the committed s1→s3 fit is e_time 1.18 (constants
+    * dominate small scales), and a one-off s10 probe during round 10
+    * measured 509 s — ≈ 1.6 over s1→s10 against that run's s1,
+    * approaching the analytic exponent; sub-quadratic either way,
+    * which is the design claim (the exact arm is n²). */
   val knnGraphScales = 2
 
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
@@ -329,7 +330,10 @@ object StressBench {
     }
 
     // Multi-probe kNN graph: smallest [[knnGraphScales]] scales only —
-    // see the constant's Scaladoc for why.
+    // see the constant's Scaladoc for why. Runs at sweep END, so the
+    // JVM/parquet caches are thoroughly warm; the row's unique codegen
+    // compiles once inside the s1 window (~2% of its 12 s) — accepted
+    // rather than adding a warmup the committed artifact predates.
     for ((scale, _) <- uniformScales.take(knnGraphScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
@@ -376,17 +380,26 @@ object StressBench {
       // width curve; one shared wall time per scale — ground truth and
       // the k-means/PQ builds dominate and are nprobe-independent).
       val t1 = System.nanoTime()
-      val exact = llm.Similarity.bruteTopK(spark, dir, 5)
-        .selectExpr("probe_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // Whole block inside the try (ground truth included, like the PQ
+      // curve): a collect failure here must cost this curve, never the
+      // rest of the sweep. The per-np rebuild re-runs the nprobe-
+      // independent k-means/PQ builds 4×; accepted — the block is
+      // ~30 s/scale at two scales, and threading a shared build
+      // through annIvfPq would complicate the measured operator for a
+      // harness-only saving.
       val npCurve =
-        try (Seq(2, 4, 8, 16).map { np =>
-          val got = llm.Similarity.annIvfPq(spark, dir, 5,
-              nprobeOverride = Some(np))
+        try {
+          val exact = llm.Similarity.bruteTopK(spark, dir, 5)
             .selectExpr("probe_id", "vec_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          (np, (exact & got).size.toDouble / exact.size)
-        })
+          Seq(2, 4, 8, 16).map { np =>
+            val got = llm.Similarity.annIvfPq(spark, dir, 5,
+                nprobeOverride = Some(np))
+              .selectExpr("probe_id", "vec_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            (np, (exact & got).size.toDouble / exact.size)
+          }
+        }
         catch { case e: Throwable =>
           System.err.println(s"[stress] ivfpq_nprobe failed: $e"); Nil }
       val sec1 = (System.nanoTime() - t1) / 1e9

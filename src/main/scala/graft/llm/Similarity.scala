@@ -376,10 +376,18 @@ object Similarity {
    * adds zero shuffle, exactly like the codegen'd argmin of
    * [[assignClusters]]; (2) explode to n·nprobe (src, bucket) rows;
    * (3) bucket equi-join against the assigned corpus — everything
-   * shuffles by bucket id, the candidate stream is ≈ nprobe/nlist of
-   * n² ≈ n^1.5 at the √n geometry; (4) per-src top-k window over the
-   * narrow (src, dst, cos_sim) stream. LlmSpec gates edge recall vs
-   * the exact graph. Non-oracle (k-means centroids), rows-only check.
+   * shuffles by bucket id; (4) per-src top-k window over the narrow
+   * (src, dst, cos_sim) stream. Candidate volume: n sources × nprobe
+   * buckets × n/nlist per bucket ≈ 1.5·n^1.75 at the (nlist ≈ √n,
+   * nprobe ≈ 1.5·√nlist) geometry — sub-quadratic by the n^0.25 the
+   * probed fraction shrinks with, and deliberately NOT the
+   * single-cluster n^1.5 (that geometry measured 0.24 edge recall
+   * here: multi-probe buys its recall by paying an nprobe factor).
+   * Committed stress fit s1→s3 e_time 1.18 (constants dominate small
+   * scales); a one-off s10 probe at 509 s implies ≈ 1.6 over the
+   * longer span, approaching the analytic class. LlmSpec gates edge
+   * recall vs the exact graph. Non-oracle (k-means centroids),
+   * rows-only check.
    */
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)
@@ -608,8 +616,10 @@ object Similarity {
     val (nlist, nprobeGeo) = ivfGeometry(emb, minNprobe)
     // Override exists for the recall-vs-nprobe curve (StressBench):
     // the geometry's 1.5·√nlist is the calibrated DEFAULT; the curve
-    // measures what the knob buys around it.
-    val nprobe = nprobeOverride.map(_.min(nlist)).getOrElse(nprobeGeo)
+    // measures what the knob buys around it. Clamped to [1, nlist] —
+    // Some(0) would silently produce an empty probe set and a
+    // zero-recall row that reads as a regression, not a misuse.
+    val nprobe = nprobeOverride.map(_.max(1).min(nlist)).getOrElse(nprobeGeo)
     val (centroids, assignedRaw) = trainAssign(emb, nlist)
     val cb = broadcast(centroids)
     val assigned = assignedRaw
@@ -1187,7 +1197,9 @@ object Similarity {
       knnGraph(Tables.embeddings(s, d), 3)),
 
     // Non-oracle (k-means blocking); edge recall vs knn_graph gated in
-    // LlmSpec, candidate-volume exponent shared with semantic_candidates.
+    // LlmSpec. Candidate class is n^1.75 (multi-probe), NOT
+    // semantic_candidates' single-cluster n^1.5 — see knnGraphBlocked's
+    // Scaladoc for the geometry arithmetic and the measured fits.
     "knn_graph_blocked" -> ((s, d) =>
       knnGraphBlocked(Tables.embeddings(s, d), 3)),
 

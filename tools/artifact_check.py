@@ -93,18 +93,29 @@ if stress is not None:
     rows("knn_graph_blocked")
     np_pts = {np: rows(f"ann_ivfpq_recall_p{np}", min_scales=1)
               for np in (2, 4, 8, 16)}
-    # The curve's claim is the KNOB, not an absolute: recall must be
-    # monotone non-decreasing in nprobe at every measured scale (fixed
-    # nprobe is a shrinking fraction of nlist as n grows, so absolute
-    # floors only hold at the top of the curve).
-    for scale in (np_pts[2] or {}):
+    # The curve's claim is the KNOB, not an absolute: recall must rise
+    # with nprobe at every measured scale, modulo a 200-bp tolerance —
+    # IVF-PQ recall is not strictly monotone (extra probed buckets add
+    # ADC distractors that can push a true neighbor past the fixed
+    # rerank width), so a hard a>b gate would flap on legitimate
+    # 20-bp dips. Scales are the UNION across the four rows, and a
+    # scale present in one row but missing in another is itself a
+    # failure — a half-recorded curve must not pass silently.
+    np_scales = set()
+    for pts in np_pts.values():
+        np_scales |= {k for k, v in pts.items()
+                      if isinstance(v, dict) and "rows" in v}
+    for scale in sorted(np_scales):
         series = [np_pts[np].get(scale, {}).get("rows", -1)
                   for np in (2, 4, 8, 16)]
-        if all(r >= 0 for r in series) and any(
-                a > b for a, b in zip(series, series[1:])):
+        if any(r < 0 for r in series):
             failures.append(
-                f"BENCH_stress.json: ann_ivfpq nprobe curve not monotone "
+                f"BENCH_stress.json: ann_ivfpq nprobe curve incomplete "
                 f"at {scale}: {series}")
+        elif any(a > b + 200 for a, b in zip(series, series[1:])):
+            failures.append(
+                f"BENCH_stress.json: ann_ivfpq nprobe curve not "
+                f"monotone (>200 bp dip) at {scale}: {series}")
     p16_low = {k: v["rows"] for k, v in np_pts[16].items()
                if isinstance(v, dict) and v.get("rows", -1) >= 0
                and v["rows"] < 6000}
