@@ -75,7 +75,10 @@ object Bench {
     * agg_percentiles' five-column exact percentile scan). Budget:
     * [[HeavyBudgetSec]] cumulative at sf0.1 on an idle host — each
     * entry is EXPLAINED (oracle exactness or index build), not excused;
-    * a breach means an arm regressed or a scale twin went missing. */
+    * a breach means an arm regressed or a scale twin went missing.
+    * r11: pipeline_curate and dedup_components run their conf-swapped
+    * LSH (scale) arms HERE — their exact oracle arms are priced in
+    * bench_all.json instead (VERDICT r10 #1a). */
   val heavy: Seq[String] = Seq(
     "pipeline_curate", "dedup_components", "dedup_near", "ngram_jaccard",
     "sql_neardup", "pipeline_rag", "pipeline_chunkdedup",
@@ -86,8 +89,33 @@ object Bench {
     * Re-based r8: the jaccardPairs persist fix cut the tier's measured
     * total from 145.8 s to ~55 s, so the r6 150 s budget no longer
     * gates anything — 90 s keeps ~1.6× headroom for host noise while a
-    * real arm regression (any big entry doubling) still breaches. */
+    * real arm regression (any big entry doubling) still breaches.
+    * r11 (VERDICT r10 #1): the two CC-backed entries now benchmark
+    * their conf-swapped SCALE arms (see the conf sets around the heavy
+    * runSuite below), cutting the idle tier to ~half, and the tier
+    * carries its own probe anchors — the budget is unchanged so the
+    * raw totals stay comparable, but the margin is now real. */
   val HeavyBudgetSec = 90.0
+
+  /** Warm in-JVM idle-host anchors for the tier-local probes that
+    * bracket the [[heavy]] tier (VERDICT r10 #1b). The HEADLINE probes
+    * run at session start; both r9 and r10 driver breaches were host
+    * stalls that arrived MID-RUN (headline host_factor 1.01 while the
+    * heavy entries ran at cpu_share 0.46–0.60) — invisible to a
+    * start-of-run anchor. These two probes re-run immediately before
+    * and after the heavy tier (untimed — outside every budget window);
+    * `heavy_host_factor` = measured / anchor normalizes the tier total
+    * exactly as the headline's probe_baseline normalizes `value`.
+    * Anchors are the WARM costs (parquet hot, JVM warm — unlike the
+    * 5.1 s cold probe_filter anchor), measured idle at HEAD r11
+    * (probe_agg_q1 0.53–0.54, probe_cosine_hof 0.58–0.84 per pass;
+    * the TWO-PASS SUM is the stable quantity — 2.49/2.52 s across
+    * idle runs — which is why the factor divides the summed passes by
+    * the summed baseline rather than averaging per-probe ratios). The
+    * cosine probe is pure CPU (500×500 HOF join), so its inflation
+    * tracks descheduling; the agg probe adds a shuffle-shaped floor. */
+  val HeavyProbeAnchors: Map[String, Double] = Map(
+    "probe_agg_q1" -> 0.54, "probe_cosine_hof" -> 0.71)
 
   /** Load-normalizer probes + idle-host anchor seconds (sf0.1,
     * local[32], measured 2026-08-12). probe_filter runs first so it
@@ -269,7 +297,11 @@ object Bench {
             "(or empty diff) — running the full registry")
           SparkEntry.queries.keys.toSeq.sorted
         } else {
-          val hit = changedFiles.toSet
+          // ADVICE r10: expand by the static cross-family call graph —
+          // a Dedup-only diff also re-times the Curate/Similarity rows
+          // whose pipelines call into it.
+          val hit = changedFiles.toSet ++
+            changedFiles.flatMap(f => SparkEntry.familyDeps.getOrElse(f, Nil))
           val affected = files.collect { case (q, f) if hit(f) => q }.toSeq.sorted
           if (affected.isEmpty)
             // Diff touches only tests/tools/docs: nothing to re-time.
@@ -355,9 +387,36 @@ object Bench {
     // Heavy tier AFTER the headline (identical warm-up profile to the
     // r1–r5 artifacts for the comparable part); skipped in --all mode
     // where every registry entry runs anyway.
+    // r11 (VERDICT r10 #1): (a) the tier benchmarks the conf-swapped
+    // SCALE arms of the two CC-backed entries — pipeline_curate's
+    // banded-LSH pair stage and dedup_components over the LSH candidate
+    // stream (both parity/property-tested; the exact oracle arms stay
+    // in Verify and in bench_all, where these confs are never set) —
+    // so the tier prices the 100 TB composition, not the sf0.1 oracle
+    // stand-in; (b) two warm probes bracket the tier (untimed) and
+    // their mean vs [[HeavyProbeAnchors]] is the tier-local host factor
+    // that normalizes heavy_total the way probe_baseline normalizes
+    // the headline.
+    def heavyProbeRun(): Seq[(String, Double)] = probes(sfDir).collect {
+      case (n, _, run) if HeavyProbeAnchors.contains(n) => (n, time(run(spark)))
+    }
+    val heavyProbesPre =
+      if (allMode || changedMode) Nil else heavyProbeRun()
+    val heavyProbePre = heavyProbesPre.map(_._2).sum
     val heavyResults =
       if (allMode || changedMode) Nil
-      else runSuite(heavy.filter(SparkEntry.queries.contains))
+      else {
+        spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
+        spark.conf.set("spark.graft.components.pairStrategy", "lsh")
+        try runSuite(heavy.filter(SparkEntry.queries.contains))
+        finally {
+          spark.conf.unset("spark.graft.curate.pairStrategy")
+          spark.conf.unset("spark.graft.components.pairStrategy")
+        }
+      }
+    val heavyProbesPost =
+      if (allMode || changedMode) Nil else heavyProbeRun()
+    val heavyProbePost = heavyProbesPost.map(_._2).sum
     val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -441,10 +500,25 @@ object Bench {
         // compare GC from N entries against elapsed from N−1.
         val hGcTotal = heavyResults.collect {
           case (_, v, _, g, _) if v >= 0 => g }.sum
+        // Tier-local host factor: mean of the pre/post probe passes
+        // over the warm anchors. Consumers (tools/artifact_check.py)
+        // normalize the budget gate by this ONLY when it exceeds 1 —
+        // a fast host never shrinks the gate.
+        val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
+        val hHostFactor = (heavyProbePre + heavyProbePost) / hProbeBaseline
         s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
           s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
           s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +
           s""""heavy_failed":$hFailed,"heavy_total":$hTotal,""" +
+          s""""heavy_probe_pre":$heavyProbePre,""" +
+          s""""heavy_probe_post":$heavyProbePost,""" +
+          s""""heavy_probes_pre":${heavyProbesPre.map { case (k, v) =>
+            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+          s""""heavy_probes_post":${heavyProbesPost.map { case (k, v) =>
+            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+          s""""heavy_probe_baseline":$hProbeBaseline,""" +
+          s""""heavy_host_factor":$hHostFactor,""" +
+          s""""heavy_total_normalized":${hTotal / math.max(1.0, hHostFactor)},""" +
           s""""heavy_budget_sec":$HeavyBudgetSec,"""
       }) +
       s""""complete":${results.forall(_._2 >= 0) &&

@@ -67,4 +67,21 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = groups.map(_._2).reduce(_ ++ _)
+
+  /** Cross-family call graph for Bench's `--changed` mode (ADVICE r10):
+    * [[queryFiles]] maps each row to ONE defining file, but some
+    * families call into others — Curate's pipeline runs Dedup's
+    * minhashLsh/componentsOverTokenPairs and TextOps' stopCnt/
+    * QualityBpSql; Similarity's semanticDedup runs Dedup's
+    * connectedComponents. A diff touching only the callee file must
+    * re-time the CALLER's rows too, or bench_changed.json reads as
+    * "no regression" for rows the change governs. Key = changed file,
+    * value = family files whose rows are also affected. */
+  private[graft] val familyDeps: Map[String, Seq[String]] = {
+    val base = "src/main/scala/graft/"
+    Map(
+      base + "llm/Dedup.scala" -> Seq(
+        base + "llm/Curate.scala", base + "llm/Similarity.scala"),
+      base + "llm/TextOps.scala" -> Seq(base + "llm/Curate.scala"))
+  }
 }

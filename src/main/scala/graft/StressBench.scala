@@ -330,15 +330,24 @@ object StressBench {
     }
 
     // Multi-probe kNN graph: smallest [[knnGraphScales]] scales only —
-    // see the constant's Scaladoc for why. Runs at sweep END, so the
-    // JVM/parquet caches are thoroughly warm; the row's unique codegen
-    // compiles once inside the s1 window (~2% of its 12 s) — accepted
-    // rather than adding a warmup the committed artifact predates.
+    // see the constant's Scaladoc for why. Runs after the main
+    // per-scale loops (ADVICE r10: the recall-curve and s100 blocks
+    // follow it), so the JVM/parquet caches are thoroughly warm; the
+    // row's unique codegen compiles once inside the s1 window (~2% of
+    // its 12 s) — accepted rather than adding a warmup the committed
+    // artifact predates. knn_graph_refine (r11) rides the same scales:
+    // its seed IS knn_graph_blocked, so the pair of rows prices
+    // seed-vs-refined at identical corpus sizes; the refinement's own
+    // claim is the LINEAR n·k² candidate class per round (vs the
+    // seed's n^1.75), so its e_time fit should sit near the seed's
+    // lower edge despite doing strictly more work.
     for ((scale, _) <- uniformScales.take(knnGraphScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("knn_graph_blocked", scale,
         measure(() => SparkEntry.queries("knn_graph_blocked")(spark, dir)))
+      record("knn_graph_refine", scale,
+        measure(() => SparkEntry.queries("knn_graph_refine")(spark, dir)))
     }
 
     // ---- ann_pq recall-vs-rerank-width curve (VERDICT r8 item 5) ----
@@ -387,26 +396,36 @@ object StressBench {
       // ~30 s/scale at two scales, and threading a shared build
       // through annIvfPq would complicate the measured operator for a
       // harness-only saving.
+      // The DEFAULT-geometry point rides beside the fixed-nprobe curve
+      // (VERDICT r10 #3): the curve's fixed probes are a SHRINKING
+      // fraction of nlist ≈ √n as the corpus grows, so its mid-points
+      // legitimately fall with scale — the claim that needed measuring
+      // is that the default nprobe ≈ 1.5·√nlist (which GROWS with the
+      // corpus) holds recall as n grows. Recorded as
+      // ann_ivfpq_recall_default, gated in artifact_check (≥ 0.8 at the
+      // smallest scale; ≥ the fixed-p16 point wherever both exist).
       val npCurve =
         try {
           val exact = llm.Similarity.bruteTopK(spark, dir, 5)
             .selectExpr("probe_id", "vec_id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          Seq(2, 4, 8, 16).map { np =>
+          def recallAt(np: Option[Int]): Double = {
             val got = llm.Similarity.annIvfPq(spark, dir, 5,
-                nprobeOverride = Some(np))
+                nprobeOverride = np)
               .selectExpr("probe_id", "vec_id").collect()
               .map(r => (r.getLong(0), r.getLong(1))).toSet
-            (np, (exact & got).size.toDouble / exact.size)
+            (exact & got).size.toDouble / exact.size
           }
+          Seq(2, 4, 8, 16).map(np => (s"p$np", recallAt(Some(np)))) :+
+            ("default", recallAt(None))
         }
         catch { case e: Throwable =>
           System.err.println(s"[stress] ivfpq_nprobe failed: $e"); Nil }
       val sec1 = (System.nanoTime() - t1) / 1e9
       spark.catalog.clearCache()
       System.gc()
-      for ((np, r) <- npCurve)
-        record(s"ann_ivfpq_recall_p$np", scale,
+      for ((label, r) <- npCurve)
+        record(s"ann_ivfpq_recall_$label", scale,
           Entry(sec1, math.round(r * 10000), "ivfpq_nprobe", 0.0, 1.0))
     }
 

@@ -606,6 +606,8 @@ object Curate {
       .select(col("doc_id"), col("lang"), explode(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], '_', toks[i + 1]))"))
         .as("gram"))
+    // Handle intentionally discarded: released by the runner's
+    // per-query clearCache once the result is materialized (ADVICE r10).
     Q.ownPersist(bi)
     val raw = bi.groupBy(col("gram")).agg(count(lit(1)).as("c_raw"))
     val tgt = bi.filter(col("lang") === targetLang)

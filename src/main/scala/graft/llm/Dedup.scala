@@ -683,8 +683,21 @@ object Dedup {
     "dedup_editdist" -> ((s, d) =>
       editDistanceRank(Tables.documents(s, d), EditDistNeighbors)),
 
-    "dedup_components" -> ((s, d) =>
-      componentsOverTokenPairs(distinctTokens(Tables.documents(s, d)), 0.95)),
+    // Pair source is conf-picked like pipeline_curate's
+    // (`spark.graft.components.pairStrategy` = exact | lsh): exact
+    // Jaccard pairs by default — the arm Verify oracle-checks — and the
+    // banded MinHash-LSH candidate stream when set to "lsh", the 100 TB
+    // composition measured as dedup_components_lsh in BENCH_stress.json.
+    // Bench's heavy tier sets "lsh" (VERDICT r10 #1a): the tier budget
+    // gates the SCALE arm; the exact arm's cost still rides in
+    // bench_all.json, where no conf is set.
+    "dedup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      if (s.conf.getOption("spark.graft.components.pairStrategy")
+          .contains("lsh"))
+        connectedComponents(minhashLsh(docs, 0.95))
+      else componentsOverTokenPairs(distinctTokens(docs), 0.95)
+    }),
 
     "tokjoin_auto" -> ((s, d) =>
       // Declared token-similarity join (TokenSelfJoin node): the optimizer

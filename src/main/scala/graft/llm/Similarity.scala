@@ -392,6 +392,10 @@ object Similarity {
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)
     val (centroids, assigned0) = trainAssign(emb, nlist)
+    // Handle intentionally discarded (ADVICE r10): the cache must live
+    // until the caller materializes the RESULT frame built over it, so
+    // its release belongs to the runner's per-query clearCache, the
+    // repo-wide lifecycle for operator-persisted intermediates.
     val assigned = graft.Q.ownPersist(assigned0).df
     // Bounded collect (≤ 4096 centroids — same bound as the PQ LUT
     // literals): the centroid table becomes a per-row expression so
@@ -401,24 +405,23 @@ object Similarity {
     // centroids), so a vector's nearest probe bucket agrees with its
     // own assigned cl up to exact ties.
     val cb = centroids.collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Double](1).map(d => d.toFloat.toDouble)))
+      .map(r => (r.getInt(0).toLong,
+        r.getSeq[Double](1).map(_.toFloat).toArray))
       .sortBy(_._1)
-    val cbVecs = typedlit(cb.map(_._2))
-    val cbIds = typedlit(cb.map(_._1.toLong))
-    val nearBuckets = expr(
-      s"""transform(
-         |  slice(array_sort(transform(sequence(1, ${cb.length}),
-         |    j -> struct(
-         |      aggregate(zip_with(ea, element_at(cbv, j),
-         |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-         |        CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d,
-         |      element_at(cbi, j) AS cl))), 1, $nprobe),
-         |  s -> s.cl)""".stripMargin)
+    // r11 (VERDICT r10 #4): bucket choice is the codegen'd top-nprobe
+    // kernel — the centroid matrix rides into whole-stage codegen as a
+    // ≤ 1 MB plan constant exactly like the assignment argmin's, so the
+    // per-row L2-vs-all-centroids argsort that was an interpreted HOF
+    // (transform→array_sort→slice, ~nlist× the work and outside codegen)
+    // is now a tight primitive loop. Bit-parity with the HOF spelling
+    // ([[nearBucketsHofSql]]) is pinned by KernelSpec, including exact
+    // ties (ascending-cl order).
+    val dim = cb.headOption.map(_._2.length).getOrElse(0)
+    val nearBuckets = graft.plans.VectorExprs.nearestCentroids(
+      col("ea"), cb.flatMap(_._2), cb.map(_._1), dim, nprobe)
     val srcProbes = emb
       .select(col("vec_id").as("src"), col("embedding").as("ea"),
         dotFast(col("embedding"), col("embedding")).as("sqa"))
-      .withColumn("cbv", cbVecs).withColumn("cbi", cbIds)
       .select(col("src"), col("ea"), col("sqa"),
         explode(nearBuckets).as("cl"))
     val corpus = assigned.select(col("cl").cast("long").as("cl"),
@@ -432,6 +435,175 @@ object Similarity {
         cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
           .as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("src"), col("rn"))
+  }
+
+  /** The interpreted HOF spelling of the top-nprobe bucket choice that
+    * [[graft.plans.NearestCentroidsF32]] replaced (r11) — retained as
+    * the kernel's parity ORACLE: KernelSpec evaluates both over the
+    * same centroid pack and asserts bit-identical id arrays, exact
+    * ties included. Reads columns `ea` (array<float>), `cbv`
+    * (array<array<double>>, float-cast-then-double centroid values in
+    * ascending-id order) and `cbi` (array<bigint>, the matching ids). */
+  private[graft] def nearBucketsHofSql(nCent: Int, nprobe: Int): String =
+    s"""transform(
+       |  slice(array_sort(transform(sequence(1, $nCent),
+       |    j -> struct(
+       |      aggregate(zip_with(ea, element_at(cbv, j),
+       |        (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+       |        CAST(0.0 AS DOUBLE), (a, v) -> a + v) AS d,
+       |      element_at(cbi, j) AS cl))), 1, $nprobe),
+       |  s -> s.cl)""".stripMargin
+
+  /**
+   * NN-DESCENT refinement of the kNN graph (round 11, VERDICT r10 #5)
+   * — the standard CPU route BELOW [[knnGraphBlocked]]'s n^1.75
+   * candidate class (Dong, Moses & Li, "Efficient k-nearest neighbor
+   * graph construction for generic similarity measures", WWW 2011):
+   * seed with the multi-probe graph's edges, then iterate the local
+   * closure "my neighbor's neighbors are probably my neighbors" —
+   * each round scores the UNION of current edges and
+   * neighbor-of-neighbor candidates over the UNDIRECTED graph
+   * (reversed edges included: a vector that many others point at is a
+   * hub worth exploring through), keeps top-k per src, and converges
+   * in 2–3 rounds because the graph's diameter under this closure
+   * shrinks geometrically.
+   *
+   * Scale shape: each round is (a) one self-join of the 2·n·k
+   * undirected edge list on the shared endpoint — ≈ 4·n·k² candidate
+   * rows, LINEAR in n for fixed k (vs blocked's n^1.75) — then (b) two
+   * vec_id-keyed embedding joins to attach vectors, and (c) one per-src
+   * top-k window. All shuffles key on vec_id/src; no stage ever holds
+   * more than O(n·k²) narrow rows. The embedding side is persisted once
+   * across rounds; each round's edge frame is materialized and the
+   * previous round's released (the fixpoint-loop cache discipline of
+   * connectedComponents).
+   *
+   * Non-oracle (the seed inherits k-means nondeterminism); LlmSpec
+   * gates edge recall ≥ 0.85 vs the exact graph at sf0.01 — above the
+   * blocked seed's measured 0.753, i.e. refinement must BUY recall,
+   * not just move cost.
+   */
+  def knnGraphRefine(emb: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val eOwned = graft.Q.ownPersist(e)
+    var edges = graft.Q.ownPersist(
+      knnGraphBlocked(emb, k).select(col("src"), col("dst")))
+    edges.df.count()
+    var r = 0
+    while (r < rounds) {
+      val und = edges.df
+        .union(edges.df.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val cand = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(und)
+        .distinct()
+      val scored = cand
+        .join(eOwned.df.select(col("vec_id").as("src"),
+          col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
+        .join(eOwned.df.select(col("vec_id").as("dst"),
+          col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+            .as("cos_sim"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      val next = graft.Q.ownPersist(scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("src"), col("dst")))
+      next.df.count()
+      edges.release()
+      edges = next
+      r += 1
+    }
+    // Final pass re-attaches cos_sim and ranks — the same output shape
+    // as knnGraph/knnGraphBlocked so the three arms are drop-in twins.
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val out = edges.df
+      .join(eOwned.df.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
+      .join(eOwned.df.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .orderBy(col("src"), col("rn"))
+    // The result is consumed (materialized) by the caller; the two live
+    // caches (final edges, embeddings) are released by the runner's
+    // per-query clearCache — documented handle leak, same convention as
+    // knnGraphBlocked's assigned cache (ADVICE r10).
+    out
+  }
+
+  /** Fixed nlist/nprobe geometry of [[knnGraphFixedPivots]] — literal
+    * constants (NOT stats-derived like ivfGeometry) so the Spark plan
+    * and the DuckDB oracle can never diverge on a stats refresh. Sized
+    * for the sf0.01 verify corpus (~6 k vectors → 64 ≈ √n pivots,
+    * 8 ≈ 1.5·√nlist probes — the same geometry rules as the trained
+    * index, frozen). */
+  val FixedPivotNlist = 64
+  val FixedPivotNprobe = 8
+
+  /**
+   * Deterministic multi-probe kNN graph (round 11, VERDICT r10 #6) —
+   * the ORACLE arm of [[knnGraphBlocked]]: the same mechanism
+   * (partition the corpus by nearest pivot; every vector probes its
+   * nprobe nearest pivots; exact cosine + per-src top-k inside the
+   * probed cells) with FIXED hash-derived pivots instead of trained
+   * centroids — the nlist vectors with the smallest md5(vec_id) are
+   * the pivots, so the whole computation is deterministic and
+   * DuckDB-expressible end-to-end, and the 144th oracle row
+   * hash-checks the multi-probe mechanism itself (dedup_semantic got
+   * its verdict twin the same way in r9). k-means buys recall, not
+   * correctness; this arm trades recall for a hash-matchable truth.
+   *
+   * Verify-scale arm by design (n×nlist probe-choice frame via a
+   * broadcast cross join — the trained arm's kernel does this inside
+   * codegen); the scale path remains knnGraphBlocked.
+   */
+  def knnGraphFixedPivots(emb: DataFrame, k: Int): DataFrame = {
+    val pivots = emb
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .orderBy(md5(col("pid").cast("string")), col("pid"))
+      .limit(FixedPivotNlist)
+    val l2 = expr(
+      """aggregate(zip_with(emb_v, pv,
+        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+        |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+    val wNear = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("pid"))
+    val ranked = emb
+      .select(col("vec_id"), col("embedding").as("emb_v"))
+      .crossJoin(broadcast(pivots))
+      .select(col("vec_id"), col("pid"), l2.as("dist"))
+      .withColumn("r", row_number().over(wNear))
+    val assign = ranked.filter(col("r") === 1)
+      .select(col("vec_id"), col("pid"))
+    val probesF = ranked.filter(col("r") <= FixedPivotNprobe)
+      .select(col("vec_id"), col("pid"))
+    val sides = emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    probesF.select(col("vec_id").as("src"), col("pid"))
+      .join(assign.select(col("vec_id").as("dst"), col("pid")), Seq("pid"))
+      .filter(col("src") =!= col("dst"))
+      .join(sides.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
+      .join(sides.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= k)
       .orderBy(col("src"), col("rn"))
   }
@@ -666,6 +838,9 @@ object Similarity {
     val (nlist, _) = ivfGeometry(emb, 1)
     // assigned feeds both pair sides and the verdict join — persist, or
     // each reference re-runs the centroid-argmin scan over the corpus.
+    // Handles here and below intentionally discarded: released by the
+    // runner's per-query clearCache once the caller materializes the
+    // result built over them (ADVICE r10).
     val (_, assigned0) = trainAssign(emb, nlist)
     val assigned = graft.Q.ownPersist(assigned0).df
     val e = assigned.select(col("cl"), col("vec_id"), col("embedding"),
@@ -1203,6 +1378,17 @@ object Similarity {
     "knn_graph_blocked" -> ((s, d) =>
       knnGraphBlocked(Tables.embeddings(s, d), 3)),
 
+    // NN-descent refinement over the blocked seed — non-oracle like its
+    // seed (k-means); LlmSpec gates edge recall ≥ 0.85 (> the seed's
+    // 0.753) vs the exact graph.
+    "knn_graph_refine" -> ((s, d) =>
+      knnGraphRefine(Tables.embeddings(s, d), 3)),
+
+    // Deterministic fixed-pivot arm of knn_graph_blocked — full DuckDB
+    // oracle (hash-checks the multi-probe mechanism itself).
+    "knn_graph_blocked_verdict" -> ((s, d) =>
+      knnGraphFixedPivots(Tables.embeddings(s, d), 3)),
+
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d, 5)),
 
     "ann_mrl" -> ((s, d) => annMrl(s, d, 5)),
@@ -1270,6 +1456,44 @@ object Similarity {
         |   FROM p)
         |SELECT src, dst, cos_sim, rn FROM r
         |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+
+    // The fixed-pivot multi-probe graph, end-to-end: pivots = the
+    // FixedPivotNlist smallest md5(vec_id) vectors; every vector joins
+    // the cells of its FixedPivotNprobe nearest pivots (full-L2 over
+    // the double-cast values — LIST_SUM left-folds like Spark's
+    // aggregate, proven bit-identical by fn_vector); rounded cosine +
+    // per-src top-k inside the probed cells. Geometry constants are
+    // interpolated from the same vals the Spark plan reads.
+    "knn_graph_blocked_verdict" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         | piv AS (SELECT vec_id AS pid, emb AS pv FROM e
+         |         ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+         |         LIMIT $FixedPivotNlist),
+         | d AS (SELECT e.vec_id, piv.pid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+         |      i -> (e.emb[i] - piv.pv[i]) * (e.emb[i] - piv.pv[i]))) AS dist
+         |   FROM e CROSS JOIN piv),
+         | rk AS (SELECT vec_id, pid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pid) AS r
+         |   FROM d),
+         | n AS (SELECT vec_id, emb,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
+         |   FROM e),
+         | cand AS (SELECT p.vec_id AS src, a.vec_id AS dst
+         |   FROM rk p JOIN rk a ON p.pid = a.pid AND a.r = 1
+         |   WHERE p.r <= $FixedPivotNprobe AND p.vec_id <> a.vec_id),
+         | sc AS (SELECT c.src, c.dst,
+         |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+         |        i -> x.emb[i] * y.emb[i]))
+         |      / (SQRT(x.sq) * SQRT(y.sq)), 4) AS cos_sim
+         |   FROM cand c JOIN n x ON c.src = x.vec_id
+         |               JOIN n y ON c.dst = y.vec_id),
+         | r AS (SELECT src, dst, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+         |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn FROM sc)
+         |SELECT src, dst, cos_sim, rn FROM r
+         |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
 
     // LIST_SUM left-folds like Spark's aggregate (proven bit-identical by
     // fn_vector); the rounding is the shared floor(+0.5) spelling.

@@ -496,6 +496,8 @@ object TextOps {
           "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // Handle intentionally discarded: released by the runner's
+      // per-query clearCache once the result is materialized (ADVICE r10).
       graft.Q.ownPersist(bi)
       val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))

@@ -509,6 +509,118 @@ case class NearestCentroidF32(child: Expression, centroids: Array[Float],
     copy(child = newChild)
 }
 
+/**
+ * Top-`nprobe` nearest centroids of a float vector — the MULTI-PROBE
+ * bucket choice of the kNN-graph build, codegen'd (round 11, VERDICT
+ * r10 #4). [[NearestCentroidF32]] answers "which ONE bucket does this
+ * vector live in" (assignment); this kernel answers "which `nprobe`
+ * buckets should this vector SEARCH", the per-row argsort that
+ * knnGraphBlocked previously spelled as an interpreted HOF
+ * (transform→array_sort→slice over all nlist centroids — correct but
+ * ~nlist× the work of the codegen'd argmin sitting next to it, and
+ * outside whole-stage codegen entirely).
+ *
+ * Bit-parity with the HOF it replaces (KernelSpec pins it): the
+ * distance is the FULL L2 sum Σ((double)xⱼ − cⱼ)² accumulated
+ * left-to-right — not the Σc²−2·x·c shortcut the argmin kernel uses,
+ * because `array_sort(struct(d, cl))` ordered on the full-L2 VALUE and
+ * exact tie groups must resolve identically — and ties keep ascending
+ * cluster id (centroids scanned in ascending-id pack order; strict `<`
+ * insertion preserves earlier entries on equal distance, exactly the
+ * struct sort's (d, cl) order). Selection is a bounded insertion pass
+ * (nprobe ≤ nlist ≤ 4096, nprobe ~ 1.5√nlist in practice), O(m·nprobe)
+ * worst case but O(m) amortized once the window fills; the centroid
+ * matrix rides into codegen as the same ≤ 1 MB plan-constant reference
+ * object as the argmin kernel's.
+ */
+case class NearestCentroidsF32(child: Expression, centroids: Array[Float],
+    clIds: Array[Long], dim: Int, nprobe: Int) extends UnaryExpression {
+
+  private def m: Int = clIds.length
+  private def np: Int = math.min(nprobe, m)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+      if dim > 0 && nprobe > 0 && clIds.nonEmpty &&
+        centroids.length == clIds.length * dim =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroids expects array<float>, non-empty centroids × dim "
+        + s"pack and nprobe > 0, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val bestD = new Array[Double](np)
+    val bestId = new Array[Long](np)
+    var filled = 0
+    var c = 0
+    while (c < m) {
+      var d = 0.0
+      val base = c * dim
+      var j = 0
+      while (j < n) {
+        val diff = v.getFloat(j).toDouble - centroids(base + j).toDouble
+        d += diff * diff
+        j += 1
+      }
+      if (filled < np || d < bestD(filled - 1)) {
+        // insertion position: first slot with a STRICTLY larger distance
+        // (equal distances keep the earlier = lower cluster id)
+        var p = if (filled < np) filled else np - 1
+        while (p > 0 && bestD(p - 1) > d) {
+          bestD(p) = bestD(p - 1); bestId(p) = bestId(p - 1); p -= 1
+        }
+        bestD(p) = d; bestId(p) = clIds(c)
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(bestId, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val centRef = ctx.addReferenceObj("npcCentroids", centroids, "float[]")
+      val idsRef = ctx.addReferenceObj("npcClIds", clIds, "long[]")
+      val n = ctx.freshName("n"); val bd = ctx.freshName("bestD")
+      val bi = ctx.freshName("bestId"); val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val base = ctx.freshName("base"); val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff"); val p = ctx.freshName("p")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $bd = new double[$np];
+         |long[] $bi = new long[$np];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $m; $c++) {
+         |  double $d = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $diff = ((double) $a.getFloat($j)) - ((double) $centRef[$base + $j]);
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($filled < $np || $d < $bd[$filled - 1]) {
+         |    int $p = ($filled < $np) ? $filled : $np - 1;
+         |    while ($p > 0 && $bd[$p - 1] > $d) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $d; $bi[$p] = $idsRef[$c];
+         |    if ($filled < $np) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** dot(a, b) over float arrays, accumulated in double. */
   def dotF32(a: Column, b: Column): Column =
@@ -542,4 +654,11 @@ object VectorExprs {
       clIds: Array[Int], dim: Int): Column =
     GraftShims.exprColumn(
       NearestCentroidF32(GraftShims.expr(emb), centroids, clIds, dim))
+
+  /** Top-nprobe nearest cluster ids, ascending (full-L2, cl) order —
+    * the multi-probe bucket choice (centroids packed as above). */
+  def nearestCentroids(emb: Column, centroids: Array[Float],
+      clIds: Array[Long], dim: Int, nprobe: Int): Column =
+    GraftShims.exprColumn(
+      NearestCentroidsF32(GraftShims.expr(emb), centroids, clIds, dim, nprobe))
 }

@@ -161,6 +161,38 @@ class KernelSpec extends SparkSpec {
     assert(tie === 4, "tie must resolve to the lowest cl in ascending pack order")
   }
 
+  test("NearestCentroidsF32 == the HOF argsort (nearBucketsHofSql) bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    // Real embeddings vs a deterministic synthetic centroid pack that
+    // includes a DUPLICATE vector under a higher id (ids 3 and 40 carry
+    // the same centroid) — every vector hits an exact distance tie there,
+    // so the (d, cl)-ascending tie rule is exercised on every row, not
+    // just on a crafted point.
+    val emb = Tables.embeddings(spark, sf0001).limit(300)
+    val cents = ((0 until 32).map { i =>
+      (i.toLong, (0 until 64).map(j => ((i * 7 + j) % 13 - 6) / 6.0f))
+    } :+ ((40L, (0 until 64).map(j => ((3 * 7 + j) % 13 - 6) / 6.0f))))
+      .sortBy(_._1)
+    val hof = emb.select($"vec_id", $"embedding".as("ea"))
+      .withColumn("cbv", typedlit(cents.map(_._2.map(_.toDouble))))
+      .withColumn("cbi", typedlit(cents.map(_._1)))
+      .select($"vec_id",
+        expr(llm.Similarity.nearBucketsHofSql(cents.size, 5)).as("ref"))
+    val fast = emb.select($"vec_id",
+      VectorExprs.nearestCentroids($"embedding",
+        cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 64, 5).as("fast"))
+    val diff = hof.join(fast, "vec_id").filter($"ref" =!= $"fast").count()
+    assert(diff === 0)
+    // nprobe > nlist degenerates to "all buckets, sorted" — the full
+    // argsort, still in (d, cl) order.
+    val all = emb.limit(5).select(
+      VectorExprs.nearestCentroids($"embedding",
+        cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 64, 999).as("a"))
+      .collect()
+    all.foreach(r => assert(r.getSeq[Long](0).length === cents.size))
+  }
+
   test("kernels stay inside whole-stage codegen") {
     val s = spark
     import s.implicits._

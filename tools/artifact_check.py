@@ -16,6 +16,53 @@ ROOT = sys.argv[1] if len(sys.argv) > 1 else "."
 failures = []
 
 
+def heavy_breach_fingerprint(bench):
+    """Ordered attribution for a heavy-tier budget breach (VERDICT r10 #2).
+
+    The r10 run of this check printed "JVM memory stall" for a tier whose
+    own cpu_share columns said the workers were descheduled — it looked
+    at gc alone. The diagnosis now reads the evidence in order:
+
+      1. spill > 0, or gc both >= half the budget excess AND >= 10% of
+         the tier wall time                            -> JVM memory stall
+         (the excess-alone test is degenerate when total barely clears
+         budget: r10's 1.2 s excess made its routine 4.3 s of gc — 4.7%
+         of the tier — read as a "stall"; a real collector stall is a
+         material fraction of the tier itself)
+      2. time-weighted mean heavy cpu_share < 0.7      -> host stall
+         (the OS descheduled the worker threads; external load)
+      3. otherwise                                     -> plan regression
+         (task_sec grew while the JVM and host were both healthy)
+
+    Returns the fingerprint string, or "" if the artifact lacks the
+    observability columns to attribute anything.
+    """
+    total = bench.get("heavy_total")
+    budget = bench.get("heavy_budget_sec")
+    if total is None or budget is None:
+        return ""
+    excess = total - budget
+    gc_total = bench.get("heavy_gc_total")
+    spill = sum((bench.get("heavy_spill_bytes") or {}).values())
+    secs = bench.get("heavy") or {}
+    shares = bench.get("heavy_cpu_share") or {}
+    weighted = [(secs[k], shares[k]) for k in shares
+                if secs.get(k, -1) >= 0]
+    wall = sum(s for s, _ in weighted)
+    mean_share = (sum(s * c for s, c in weighted) / wall) if wall > 0 else None
+    if spill > 0 or (gc_total is not None and excess > 0
+                     and gc_total >= max(0.5 * excess, 0.1 * total)):
+        return (f"JVM memory stall (gc {gc_total:.1f}s / spill {spill} B "
+                f"against {excess:.1f}s excess)")
+    if mean_share is not None and mean_share < 0.7:
+        return (f"host stall (time-weighted heavy cpu_share "
+                f"{mean_share:.2f} — workers descheduled by external load)")
+    if gc_total is None and mean_share is None:
+        return ""
+    return ("plan regression (task_sec grew with gc/spill flat and "
+            f"cpu_share {mean_share:.2f} — an arm's plan got slower)")
+
+
 def load(name):
     try:
         with open(f"{ROOT}/{name}") as f:
@@ -147,22 +194,28 @@ if bench is not None:
     if total is None or budget is None:
         failures.append("bench.json: heavy tier absent (heavy_total/"
                         "heavy_budget_sec) — Bench.scala docstring cites it")
-    elif total > budget:
-        # VERDICT r9 item 3: a breach must self-attribute. heavy_gc_total
-        # (JVM collector seconds inside the tier) and per-entry spill
-        # separate "the plan got slower" (flat gc, grown task_sec) from
-        # "the JVM stalled" (gc a large fraction of the excess).
-        gc_total = bench.get("heavy_gc_total")
-        attrib = ""
-        if gc_total is not None:
-            excess = total - budget
-            attrib = (f" [gc {gc_total:.1f}s inside the tier → "
-                      f"{'JVM memory stall' if gc_total > 0.5 * excess else 'plan regression'}"
-                      f" fingerprint]")
-        failures.append(
-            f"bench.json: heavy_total {total:.1f}s breaches its "
-            f"{budget:.0f}s budget — an arm regressed (Bench.scala "
-            f"contract){attrib}")
+    else:
+        # VERDICT r10 #1(b): the heavy tier is gated on its HOST-NORMALIZED
+        # total when the artifact carries the tier-local probe anchors
+        # (heavy_host_factor from probes bracketing the tier, exactly as
+        # the headline normalizes by probe_baseline). The r9/r10 driver
+        # breaches were both host stalls (cpu_share 0.46–0.60) on runs
+        # whose HEADLINE probes saw an idle host — contention arrived
+        # mid-run, which only a tier-local anchor can see. Normalization
+        # only ever DIVIDES by a factor > 1 (an idle-or-faster host never
+        # shrinks the gate), and the raw total still rides in the artifact.
+        hhf = bench.get("heavy_host_factor")
+        effective = total / hhf if (hhf is not None and hhf > 1.0) else total
+        if effective > budget:
+            # VERDICT r9 item 3 + r10 #2: a breach must self-attribute,
+            # in evidence order (spill/gc, then cpu_share, then plan).
+            attrib = heavy_breach_fingerprint(bench)
+            norm = (f" (normalized {effective:.1f}s at heavy_host_factor "
+                    f"{hhf:.2f})" if hhf is not None else "")
+            failures.append(
+                f"bench.json: heavy_total {total:.1f}s{norm} breaches its "
+                f"{budget:.0f}s budget — an arm regressed (Bench.scala "
+                f"contract)" + (f" [{attrib}]" if attrib else ""))
     # r10: the heavy tier must carry its own gc/spill observability
     # (VERDICT r9 item 1) — a bench.json without them cannot attribute
     # the next breach and is not a canonical artifact.

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Fixture tests for artifact_check.heavy_breach_fingerprint (VERDICT r10 #2).
+
+The r10 driver breach (cpu_share 0.57/0.60, gc 4.3 s, zero spill against a
+33 s excess) was mislabeled "JVM memory stall" by the old gc-only
+fingerprint. Each fixture below is shaped like a real observed breach
+class; the test asserts the ordered diagnosis names the right culprit.
+
+Run: python3 tools/test_artifact_check.py   (exit 0 = all pass)
+"""
+import importlib.util
+import os
+import sys
+
+spec = importlib.util.spec_from_file_location(
+    "artifact_check_mod",
+    os.path.join(os.path.dirname(__file__), "artifact_check.py"))
+# artifact_check runs its checks at import time against sys.argv[1] (the
+# repo root); point it at the real repo so import doesn't fail, then use
+# only the pure fingerprint function.
+sys.argv = [sys.argv[0], os.path.join(os.path.dirname(__file__), "..")]
+mod = importlib.util.module_from_spec(spec)
+try:
+    spec.loader.exec_module(mod)
+except SystemExit:
+    pass  # the import-time gate may exit non-zero mid-round; irrelevant here
+fp = mod.heavy_breach_fingerprint
+
+
+def bench(total, budget, gc, spill_each, shares, secs):
+    names = list(secs)
+    return {
+        "heavy_total": total, "heavy_budget_sec": budget,
+        "heavy_gc_total": gc,
+        "heavy_spill_bytes": {n: spill_each for n in names},
+        "heavy_cpu_share": dict(zip(names, shares)),
+        "heavy": secs,
+    }
+
+
+failures = []
+
+
+def check(name, got, want_substr):
+    if want_substr not in got:
+        failures.append(f"{name}: expected '{want_substr}' in '{got}'")
+
+
+# 1. The r10 driver breach, verbatim shape: 91.2 s vs 90 s, gc 4.3 s,
+#    zero spill, the two big entries at cpu_share 0.57/0.60. The old
+#    fingerprint called this a JVM stall; it is a host stall.
+r10 = bench(91.2, 90.0, 4.3, 0,
+            [0.572, 0.602, 0.832, 0.882],
+            {"pipeline_curate": 35.7, "dedup_components": 28.8,
+             "ngram_jaccard": 5.1, "sql_neardup": 1.5})
+check("r10-shape", fp(r10), "host stall")
+
+# 2. The r9 driver breach shape: 94.2 s vs 90 s, same host-stall class
+#    (cpu_share 0.46-0.60 on the slow entries, gc small vs excess).
+r9 = bench(94.2, 90.0, 3.9, 0,
+           [0.46, 0.60, 0.85],
+           {"pipeline_curate": 40.5, "dedup_components": 23.5,
+            "ngram_jaccard": 5.0})
+check("r9-shape", fp(r9), "host stall")
+
+# 3. A genuine JVM memory stall: gc eats most of the excess.
+jvm = bench(110.0, 90.0, 14.0, 0,
+            [0.95, 0.93], {"a": 60.0, "b": 50.0})
+check("gc-dominated", fp(jvm), "JVM memory stall")
+
+# 4. Spill-driven stall: any shuffle spill inside the tier is memory
+#    pressure regardless of gc (spill is checked first).
+sp = bench(100.0, 90.0, 1.0, 1 << 30,
+           [0.95, 0.93], {"a": 55.0, "b": 45.0})
+check("spill-dominated", fp(sp), "JVM memory stall")
+
+# 5. Plan regression: healthy JVM (flat gc, no spill), healthy host
+#    (cpu_share ~= 1) — the time went into real compute, i.e. the plan.
+plan = bench(120.0, 90.0, 2.0, 0,
+             [0.97, 0.95, 0.96], {"a": 70.0, "b": 30.0, "c": 20.0})
+check("plan-regression", fp(plan), "plan regression")
+
+# 6. Observability absent (pre-r10 artifact): no attribution, no crash.
+check("no-columns", fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0}), "")
+
+# 7. Weighting matters: many fast healthy entries must not wash out the
+#    slow descheduled ones — the mean is time-weighted.
+wt = bench(100.0, 90.0, 2.0, 0,
+           [0.55, 0.98, 0.98, 0.98, 0.98],
+           {"slow": 70.0, "f1": 2.0, "f2": 2.0, "f3": 2.0, "f4": 2.0})
+check("time-weighted", fp(wt), "host stall")
+
+if failures:
+    print("FINGERPRINT FIXTURES FAILED:")
+    for f in failures:
+        print(f"  - {f}")
+    sys.exit(1)
+print("fingerprint fixtures: all pass")
