@@ -470,15 +470,23 @@ object Similarity {
    * in 2–3 rounds because the graph's diameter under this closure
    * shrinks geometrically.
    *
-   * Scale shape: each round is (a) one self-join of the 2·n·k
-   * undirected edge list on the shared endpoint — ≈ 4·n·k² candidate
-   * rows, LINEAR in n for fixed k (vs blocked's n^1.75) — then (b) two
-   * vec_id-keyed embedding joins to attach vectors, and (c) one per-src
-   * top-k window. All shuffles key on vec_id/src; no stage ever holds
-   * more than O(n·k²) narrow rows. The embedding side is persisted once
-   * across rounds; each round's edge frame is materialized and the
-   * previous round's released (the fixpoint-loop cache discipline of
-   * connectedComponents).
+   * Scale shape: each round is (a) a per-node DEGREE-CAPPED undirected
+   * adjacency build — out-edges plus reverse edges, ranked by cos and
+   * truncated to 2k per node (NN-descent's reverse-neighbor SAMPLING:
+   * without the cap, hub vectors that thousands of nodes point at
+   * contribute deg² candidate pairs and the closure goes quadratic in
+   * the hub degree — the uncapped first cut measured 150 s at stress
+   * s1 against the seed's 9 s for exactly this reason; the capped
+   * closure is the algorithm as published, ρ·k sampled neighbors, made
+   * deterministic by ranking on (cos desc, dst) instead of sampling) —
+   * then (b) the self-join of that capped list on the shared endpoint,
+   * ≤ 4·n·k² candidate rows by construction, LINEAR in n for fixed k
+   * (vs blocked's n^1.75), (c) two vec_id-keyed embedding joins to
+   * attach vectors, and (d) one per-src top-k window. All shuffles key
+   * on vec_id/src; no stage ever holds more than O(n·k²) narrow rows.
+   * The embedding side is persisted once across rounds; each round's
+   * edge frame is materialized and the previous round's released (the
+   * fixpoint-loop cache discipline of connectedComponents).
    *
    * Non-oracle (the seed inherits k-means nondeterminism); LlmSpec
    * gates edge recall ≥ 0.85 vs the exact graph at sf0.01 — above the
@@ -489,18 +497,30 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding"),
       dotFast(col("embedding"), col("embedding")).as("sq"))
     val eOwned = graft.Q.ownPersist(e)
-    var edges = graft.Q.ownPersist(
-      knnGraphBlocked(emb, k).select(col("src"), col("dst")))
+    var edges = graft.Q.ownPersist(knnGraphBlocked(emb, k)
+      .select(col("src"), col("dst"), col("cos_sim")))
     edges.df.count()
+    val wCap = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
     var r = 0
     while (r < rounds) {
-      val und = edges.df
-        .union(edges.df.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-      val cand = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+      // Degree-capped undirected adjacency: ≤ 2k rows per node. The
+      // same (cos desc, dst) ranking as the top-k keep, so out-edges
+      // (already ≤ k, high-cos) survive alongside the BEST reverse
+      // edges — hubs keep their strongest 2k in-pointers, not all.
+      val und = graft.Q.ownPersist(edges.df
+        .union(edges.df.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_sim")))
+        .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
+        .withColumn("cr", row_number().over(wCap))
+        .filter(col("cr") <= 2 * k)
+        .select(col("src"), col("dst")))
+      und.df.count()
+      val cand = und.df.as("x").join(und.df.as("y"),
+          col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .union(und)
+        .union(und.df)
         .distinct()
       val scored = cand
         .join(eOwned.df.select(col("vec_id").as("src"),
@@ -515,24 +535,19 @@ object Similarity {
       val next = graft.Q.ownPersist(scored
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= k)
-        .select(col("src"), col("dst")))
+        .select(col("src"), col("dst"), col("cos_sim")))
       next.df.count()
+      und.release()
       edges.release()
       edges = next
       r += 1
     }
-    // Final pass re-attaches cos_sim and ranks — the same output shape
-    // as knnGraph/knnGraphBlocked so the three arms are drop-in twins.
+    // Final ranking only — the rounds carry exact cos_sim with them, so
+    // no re-scoring join: the same output shape as knnGraph/
+    // knnGraphBlocked, making the three arms drop-in twins.
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
     val out = edges.df
-      .join(eOwned.df.select(col("vec_id").as("src"),
-        col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
-      .join(eOwned.df.select(col("vec_id").as("dst"),
-        col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
-      .select(col("src"), col("dst"),
-        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
-          .as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .orderBy(col("src"), col("rn"))
     // The result is consumed (materialized) by the caller; the two live

@@ -136,8 +136,33 @@ if stress is not None:
                     f"gate (basis points): {low}")
     # r10: the composed index's recall-vs-nprobe curve ("raising the
     # gate means raising nprobe" made measurable) + the multi-probe kNN
-    # graph's scale series.
+    # graph's scale series. r11 adds the NN-descent refinement arm on
+    # the same scales (its claim: linear n·k² rounds over the blocked
+    # seed — so its wall time should grow no faster than the seed's).
     rows("knn_graph_blocked")
+    rows("knn_graph_refine")
+    # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
+    # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
+    # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
+    # every other scale at least the fixed-p16 point (the default
+    # geometry must beat the curve's top fixed knob once nlist > 16·…
+    # — that is the whole defense for why falling fixed-nprobe
+    # mid-curve points are not a recall regression).
+    dflt = rows("ann_ivfpq_recall_default", min_scales=2)
+    d_pts = {k: v.get("rows", -1) for k, v in dflt.items()}
+    if d_pts:
+        smallest = sorted(d_pts)[0]
+        if d_pts[smallest] < 8000:
+            failures.append(
+                f"BENCH_stress.json: ann_ivfpq_recall_default at {smallest} "
+                f"= {d_pts[smallest]} bp < the 8000 bp floor")
+    for sc, bp in d_pts.items():
+        p16 = q.get("ann_ivfpq_recall_p16", {}).get(sc, {}).get("rows", -1)
+        if p16 >= 0 and bp >= 0 and bp + 200 < p16:
+            failures.append(
+                f"BENCH_stress.json: ann_ivfpq_recall_default {bp} bp at "
+                f"{sc} is below the fixed-p16 point {p16} (beyond 200 bp "
+                f"tolerance) — the growing-nprobe defense fails")
     np_pts = {np: rows(f"ann_ivfpq_recall_p{np}", min_scales=1)
               for np in (2, 4, 8, 16)}
     # The curve's claim is the KNOB, not an absolute: recall must rise
@@ -243,7 +268,8 @@ if ball is not None:
                    "sample_weighted", "event_attribution",
                    "curate_temperature_mix", "agg_hll_partitioned",
                    "ann_mrl", "event_holt", "dedup_spantrim",
-                   "text_quality_gate", "knn_graph", "knn_graph_blocked"):
+                   "text_quality_gate", "knn_graph", "knn_graph_blocked",
+                   "knn_graph_refine", "knn_graph_blocked_verdict"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
