@@ -383,11 +383,15 @@ object Similarity {
    * probed fraction shrinks with, and deliberately NOT the
    * single-cluster n^1.5 (that geometry measured 0.24 edge recall
    * here: multi-probe buys its recall by paying an nprobe factor).
-   * Committed stress fit s1→s3 e_time 1.18 (constants dominate small
-   * scales); a one-off s10 probe at 509 s implies ≈ 1.6 over the
-   * longer span, approaching the analytic class. LlmSpec gates edge
-   * recall vs the exact graph. Non-oracle (k-means centroids),
-   * rows-only check.
+   * Committed r11 stress fit s1→s3 e_time 1.246 at s1 8.5 s / s3
+   * 33.3 s — the codegen'd bucket-choice kernel cut the constants
+   * 24–29% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
+   * costs expose more of the analytic exponent, which a one-off r10
+   * s10 probe at 509 s had already put at ≈ 1.6 over the longer
+   * span). LlmSpec gates edge recall vs the exact graph. Non-oracle
+   * (k-means centroids), rows-only check. For workloads that need the
+   * full graph cheaper, [[knnGraphRefine]] seeds here and refines at
+   * linear n·k² per round (r11 fit: e_time 1.08).
    */
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)
