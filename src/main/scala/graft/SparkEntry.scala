@@ -76,12 +76,16 @@ object SparkEntry {
     * connectedComponents. A diff touching only the callee file must
     * re-time the CALLER's rows too, or bench_changed.json reads as
     * "no regression" for rows the change governs. Key = changed file,
-    * value = family files whose rows are also affected. */
+    * value = family files whose rows are also affected.
+    * (Multimodal computes vec_norm via Similarity.sumSq —
+    * Multimodal.scala:85 — hence the Similarity edge.) */
   private[graft] val familyDeps: Map[String, Seq[String]] = {
     val base = "src/main/scala/graft/"
     Map(
       base + "llm/Dedup.scala" -> Seq(
-        base + "llm/Curate.scala", base + "llm/Similarity.scala"),
-      base + "llm/TextOps.scala" -> Seq(base + "llm/Curate.scala"))
+        base + "llm/Curate.scala", base + "llm/Similarity.scala",
+        base + "llm/Multimodal.scala"),
+      base + "llm/TextOps.scala" -> Seq(base + "llm/Curate.scala"),
+      base + "llm/Similarity.scala" -> Seq(base + "llm/Multimodal.scala"))
   }
 }

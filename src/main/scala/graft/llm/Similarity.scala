@@ -508,10 +508,11 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("dst"))
     var r = 0
     while (r < rounds) {
-      // Degree-capped undirected adjacency: ≤ 2k rows per node. The
-      // same (cos desc, dst) ranking as the top-k keep, so out-edges
-      // (already ≤ k, high-cos) survive alongside the BEST reverse
-      // edges — hubs keep their strongest 2k in-pointers, not all.
+      // Degree-capped undirected adjacency: ≤ 2k rows per node, ranked
+      // by (cos desc, dst) — a node in a hub-dense region CAN have its
+      // own out-edges outranked by ≥ 2k stronger in-pointers, which is
+      // why the candidate pool below re-includes the uncapped current
+      // edges; the cap's job is only to bound the closure join.
       val und = graft.Q.ownPersist(edges.df
         .union(edges.df.select(col("dst").as("src"), col("src").as("dst"),
           col("cos_sim")))
@@ -520,11 +521,20 @@ object Similarity {
         .filter(col("cr") <= 2 * k)
         .select(col("src"), col("dst")))
       und.df.count()
+      // Candidate pool = the capped closure ∪ the capped adjacency ∪
+      // the UNCAPPED current edges: the cap may evict a node's own
+      // out-edges (≥ 2k stronger in-pointers outrank its weakest
+      // out-edge), so re-including edges.df — only n·k rows — makes
+      // each round's per-src top-k a superset selection over its
+      // current edges: per-src recall is MONOTONE non-decreasing
+      // across rounds by construction, not just in aggregate (r11
+      // review pass).
       val cand = und.df.as("x").join(und.df.as("y"),
           col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
         .union(und.df)
+        .union(edges.df.select(col("src"), col("dst")))
         .distinct()
       val scored = cand
         .join(eOwned.df.select(col("vec_id").as("src"),

@@ -10,6 +10,7 @@ here). Exit 0 = every cited row exists; non-zero lists what's missing.
 Usage: python3 tools/artifact_check.py [repo_root]
 """
 import json
+import re
 import sys
 
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "."
@@ -57,7 +58,11 @@ def heavy_breach_fingerprint(bench):
     if mean_share is not None and mean_share < 0.7:
         return (f"host stall (time-weighted heavy cpu_share "
                 f"{mean_share:.2f} — workers descheduled by external load)")
-    if gc_total is None and mean_share is None:
+    if mean_share is None:
+        # gc/spill said "not a JVM stall" but there is no cpu_share
+        # evidence to separate host stall from plan regression —
+        # partially-observable artifact, attribute nothing (and never
+        # crash formatting a None share).
         return ""
     return ("plan regression (task_sec grew with gc/spill flat and "
             f"cpu_share {mean_share:.2f} — an arm's plan got slower)")
@@ -149,9 +154,11 @@ if stress is not None:
     # — that is the whole defense for why falling fixed-nprobe
     # mid-curve points are not a recall regression).
     dflt = rows("ann_ivfpq_recall_default", min_scales=2)
-    d_pts = {k: v.get("rows", -1) for k, v in dflt.items()}
+    d_pts = {k: v.get("rows", -1) for k, v in dflt.items()
+             if re.fullmatch(r"s\d+", k)}  # drop sec_per_mrow etc.
     if d_pts:
-        smallest = sorted(d_pts)[0]
+        # numeric scale order — lexicographic would put s10 before s3
+        smallest = sorted(d_pts, key=lambda s: int(s[1:]))[0]
         if d_pts[smallest] < 8000:
             failures.append(
                 f"BENCH_stress.json: ann_ivfpq_recall_default at {smallest} "
@@ -230,13 +237,21 @@ if bench is not None:
         # only ever DIVIDES by a factor > 1 (an idle-or-faster host never
         # shrinks the gate), and the raw total still rides in the artifact.
         hhf = bench.get("heavy_host_factor")
-        effective = total / hhf if (hhf is not None and hhf > 1.0) else total
+        # VERDICT r9 item 3 + r10 #2: a breach must self-attribute, in
+        # evidence order (spill/gc, then cpu_share, then plan). The
+        # fingerprint is computed BEFORE the normalization decision:
+        # a JVM memory stall is SELF-inflicted, and its heap pressure
+        # also inflates the post-tier probe pass — normalizing by that
+        # inflated factor would launder the regression into "host
+        # load". Only an externally-attributed breach gets the
+        # tier-local host normalization.
+        attrib = heavy_breach_fingerprint(bench)
+        self_inflicted = attrib.startswith("JVM memory stall")
+        normalize = hhf is not None and hhf > 1.0 and not self_inflicted
+        effective = total / hhf if normalize else total
         if effective > budget:
-            # VERDICT r9 item 3 + r10 #2: a breach must self-attribute,
-            # in evidence order (spill/gc, then cpu_share, then plan).
-            attrib = heavy_breach_fingerprint(bench)
             norm = (f" (normalized {effective:.1f}s at heavy_host_factor "
-                    f"{hhf:.2f})" if hhf is not None else "")
+                    f"{hhf:.2f})" if normalize else "")
             failures.append(
                 f"bench.json: heavy_total {total:.1f}s{norm} breaches its "
                 f"{budget:.0f}s budget — an arm regressed (Bench.scala "

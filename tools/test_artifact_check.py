@@ -83,6 +83,14 @@ check("plan-regression", fp(plan), "plan regression")
 # 6. Observability absent (pre-r10 artifact): no attribution, no crash.
 check("no-columns", fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0}), "")
 
+# 6b. Partially observable: gc present (and unalarming) but no
+#     cpu_share/secs — must return "" rather than crash formatting a
+#     None mean share (found by the r11 review pass).
+got6b = fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0,
+            "heavy_gc_total": 2.0})
+if got6b != "":
+    failures.append(f"partial-columns: expected '', got '{got6b}'")
+
 # 7. Weighting matters: many fast healthy entries must not wash out the
 #    slow descheduled ones — the mean is time-weighted.
 wt = bench(100.0, 90.0, 2.0, 0,
