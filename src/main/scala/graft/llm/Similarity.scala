@@ -383,15 +383,15 @@ object Similarity {
    * probed fraction shrinks with, and deliberately NOT the
    * single-cluster n^1.5 (that geometry measured 0.24 edge recall
    * here: multi-probe buys its recall by paying an nprobe factor).
-   * Committed r11 stress fit s1→s3 e_time 1.246 at s1 8.5 s / s3
-   * 33.3 s — the codegen'd bucket-choice kernel cut the constants
-   * 24–29% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
+   * Committed r11 stress fit s1→s3 e_time 1.268 at s1 9.2 s / s3
+   * 37.2 s — the codegen'd bucket-choice kernel cut the constants
+   * 15–23% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
    * costs expose more of the analytic exponent, which a one-off r10
    * s10 probe at 509 s had already put at ≈ 1.6 over the longer
    * span). LlmSpec gates edge recall vs the exact graph. Non-oracle
    * (k-means centroids), rows-only check. For workloads that need the
    * full graph cheaper, [[knnGraphRefine]] seeds here and refines at
-   * linear n·k² per round (r11 fit: e_time 1.08).
+   * linear n·k² per round (r11 fit: e_time 0.877).
    */
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)
@@ -460,6 +460,76 @@ object Similarity {
        |      element_at(cbi, j) AS cl))), 1, $nprobe),
        |  s -> s.cl)""".stripMargin
 
+  /** The (vec_id, embedding, sq) projection every refine round joins
+    * against — squared norms computed once per vector, shared across
+    * rounds via one persist. */
+  private[graft] def refineEmbFrame(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      dotFast(col("embedding"), col("embedding")).as("sq"))
+
+  /** One NN-descent round: degree-capped undirected adjacency →
+    * shared-endpoint closure join → exact re-score → per-src top-k.
+    * `eOwned` is the persisted [[refineEmbFrame]]; `edges` the current
+    * persisted edge frame (NOT released here — the caller owns it).
+    * Returns the next round's persisted, materialized edge frame.
+    * Package-visible so LlmSpec can drive rounds incrementally off ONE
+    * blocked seed: the seed's k-means nondeterminism makes recall
+    * comparisons across separate knnGraphRefine invocations invalid,
+    * and the monotonicity property below is within-seed by nature. */
+  private[graft] def refineRound(eOwned: graft.Q.Owned, edges: graft.Q.Owned,
+      k: Int): graft.Q.Owned = {
+    val wCap = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    // Degree-capped undirected adjacency: ≤ 2k rows per node, ranked
+    // by (cos desc, dst) — a node in a hub-dense region CAN have its
+    // own out-edges outranked by ≥ 2k stronger in-pointers, which is
+    // why the candidate pool below re-includes the uncapped current
+    // edges; the cap's job is only to bound the closure join.
+    val und = graft.Q.ownPersist(edges.df
+      .union(edges.df.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos_sim")))
+      .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
+      .withColumn("cr", row_number().over(wCap))
+      .filter(col("cr") <= 2 * k)
+      .select(col("src"), col("dst")))
+    und.df.count()
+    // Candidate pool = the capped closure ∪ the capped adjacency ∪
+    // the UNCAPPED current edges: the cap may evict a node's own
+    // out-edges (≥ 2k stronger in-pointers outrank its weakest
+    // out-edge), so re-including edges.df — only n·k rows — makes
+    // each round's per-src top-k a superset selection over its
+    // current edges. Displacement then implies membership: the exact
+    // top-k is the k best under the same (cos desc, dst) total order,
+    // so anything that outranks a kept exact-top-k row is itself
+    // exact-top-k — per-src recall is MONOTONE non-decreasing across
+    // rounds by construction (r11 review pass; pinned by LlmSpec's
+    // per-src monotonicity test).
+    val cand = und.df.as("x").join(und.df.as("y"),
+        col("x.dst") === col("y.src"))
+      .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(und.df)
+      .union(edges.df.select(col("src"), col("dst")))
+      .distinct()
+    val scored = cand
+      .join(eOwned.df.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
+      .join(eOwned.df.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    val next = graft.Q.ownPersist(scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim")))
+    next.df.count()
+    und.release()
+    next
+  }
+
   /**
    * NN-DESCENT refinement of the kNN graph (round 11, VERDICT r10 #5)
    * — the standard CPU route BELOW [[knnGraphBlocked]]'s n^1.75
@@ -498,60 +568,13 @@ object Similarity {
    * not just move cost.
    */
   def knnGraphRefine(emb: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
-      dotFast(col("embedding"), col("embedding")).as("sq"))
-    val eOwned = graft.Q.ownPersist(e)
+    val eOwned = graft.Q.ownPersist(refineEmbFrame(emb))
     var edges = graft.Q.ownPersist(knnGraphBlocked(emb, k)
       .select(col("src"), col("dst"), col("cos_sim")))
     edges.df.count()
-    val wCap = Window.partitionBy(col("src"))
-      .orderBy(col("cos_sim").desc, col("dst"))
     var r = 0
     while (r < rounds) {
-      // Degree-capped undirected adjacency: ≤ 2k rows per node, ranked
-      // by (cos desc, dst) — a node in a hub-dense region CAN have its
-      // own out-edges outranked by ≥ 2k stronger in-pointers, which is
-      // why the candidate pool below re-includes the uncapped current
-      // edges; the cap's job is only to bound the closure join.
-      val und = graft.Q.ownPersist(edges.df
-        .union(edges.df.select(col("dst").as("src"), col("src").as("dst"),
-          col("cos_sim")))
-        .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
-        .withColumn("cr", row_number().over(wCap))
-        .filter(col("cr") <= 2 * k)
-        .select(col("src"), col("dst")))
-      und.df.count()
-      // Candidate pool = the capped closure ∪ the capped adjacency ∪
-      // the UNCAPPED current edges: the cap may evict a node's own
-      // out-edges (≥ 2k stronger in-pointers outrank its weakest
-      // out-edge), so re-including edges.df — only n·k rows — makes
-      // each round's per-src top-k a superset selection over its
-      // current edges: per-src recall is MONOTONE non-decreasing
-      // across rounds by construction, not just in aggregate (r11
-      // review pass).
-      val cand = und.df.as("x").join(und.df.as("y"),
-          col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .union(und.df)
-        .union(edges.df.select(col("src"), col("dst")))
-        .distinct()
-      val scored = cand
-        .join(eOwned.df.select(col("vec_id").as("src"),
-          col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
-        .join(eOwned.df.select(col("vec_id").as("dst"),
-          col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
-        .select(col("src"), col("dst"),
-          cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
-            .as("cos_sim"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos_sim").desc, col("dst"))
-      val next = graft.Q.ownPersist(scored
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= k)
-        .select(col("src"), col("dst"), col("cos_sim")))
-      next.df.count()
-      und.release()
+      val next = refineRound(eOwned, edges, k)
       edges.release()
       edges = next
       r += 1

@@ -392,6 +392,51 @@ class LlmSpec extends SparkSpec {
       s"refined kNN edge recall $recall < 0.85 (|edges|=${edges.size})")
   }
 
+  test("knn_graph_refine: per-src recall vs the exact graph never decreases across rounds (sf0.001)") {
+    // Each round's candidate pool is a SUPERSET of the current edges,
+    // re-scored exactly under the same (cos desc, dst) total order the
+    // exact graph ranks by — so a kept exact-top-k edge can only be
+    // displaced by another exact-top-k edge, and per-src recall is
+    // monotone non-decreasing by construction. Driven off ONE blocked
+    // seed via refineRound: separate knnGraphRefine invocations
+    // re-train k-means, so cross-invocation comparisons are invalid.
+    val k = 3
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.knnGraph(emb, k)
+      .select("src", "dst").collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    def recallBySrc(df: org.apache.spark.sql.DataFrame): Map[Long, Double] = {
+      val got = df.select("src", "dst").collect()
+        .groupBy(_.getLong(0))
+        .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (s, ex) =>
+        s -> (ex & got.getOrElse(s, Set.empty[Long])).size.toDouble / ex.size }
+    }
+    val eOwned = graft.Q.ownPersist(Similarity.refineEmbFrame(emb))
+    var edges = graft.Q.ownPersist(Similarity.knnGraphBlocked(emb, k)
+      .select(col("src"), col("dst"), col("cos_sim")))
+    edges.df.count()
+    var prev = recallBySrc(edges.df)
+    (1 to 2).foreach { r =>
+      val next = Similarity.refineRound(eOwned, edges, k)
+      edges.release()
+      edges = next
+      val cur = recallBySrc(edges.df)
+      val drops = exact.keys.filter(s => cur(s) < prev(s) - 1e-12).toSeq.sorted
+      assert(drops.isEmpty,
+        s"round $r: per-src recall dropped at src ${drops.take(5)} " +
+          s"(first: ${drops.headOption.map(s => (prev(s), cur(s)))})")
+      // and the aggregate must not be vacuous: round recall strictly
+      // covers the seed's misses somewhere on this corpus
+      prev = cur
+    }
+    assert(prev.values.sum / prev.size >= 0.85,
+      "post-refinement mean per-src recall below the family gate")
+    edges.release()
+    eOwned.release()
+  }
+
   test("ann_mrl: prefix-scan + exact rerank recall vs exact top-k (sf0.01)") {
     // Even on this UNTRAINED synthetic corpus (the 16-dim prefix holds
     // only 1/4 of the vector energy) the 64×k rerank window absorbs the
