@@ -146,6 +146,21 @@ if stress is not None:
     # seed — so its wall time should grow no faster than the seed's).
     rows("knn_graph_blocked")
     rows("knn_graph_refine")
+    # The refinement's whole point is a LOWER growth class than its
+    # n^1.75 seed (linear n·k² rounds), so gate the fits RELATIVELY:
+    # both arms are co-measured in one sweep under the same host
+    # conditions, making the comparison robust to the absolute-number
+    # noise that moves either fit a few hundredths between sweeps.
+    # +0.15 tolerance covers fit noise over the short s1→s3 span
+    # (idle r11 sweep: refine 0.877 vs seed 1.268).
+    _be = q.get("knn_graph_blocked", {}).get("e_time")
+    _re = q.get("knn_graph_refine", {}).get("e_time")
+    if _be is not None and _re is not None and _re > _be + 0.15:
+        failures.append(
+            f"BENCH_stress.json: knn_graph_refine e_time {_re} grows "
+            f"faster than its blocked seed {_be} + 0.15 — the NN-descent "
+            f"rounds lost their linear candidate class (check the 2k "
+            f"reverse-neighbor degree cap survived refactoring)")
     # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
     # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
     # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
