@@ -503,7 +503,12 @@ object Bench {
         // Tier-local host factor: mean of the pre/post probe passes
         // over the warm anchors. Consumers (tools/artifact_check.py)
         // normalize the budget gate by this ONLY when it exceeds 1 —
-        // a fast host never shrinks the gate.
+        // a fast host never shrinks the gate. NOTE heavy_total_normalized
+        // below is ILLUSTRATIVE (unconditional division): the gate that
+        // counts is artifact_check's, which refuses to normalize
+        // self-inflicted breaches (JVM stall / plan regression) because
+        // their own heap/plan pressure inflates the post-tier probe pass
+        // — read that field next to heavy_total, never instead of it.
         val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
         val hHostFactor = (heavyProbePre + heavyProbePost) / hProbeBaseline
         s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +

@@ -403,7 +403,10 @@ object StressBench {
       // is that the default nprobe ≈ 1.5·√nlist (which GROWS with the
       // corpus) holds recall as n grows. Recorded as
       // ann_ivfpq_recall_default, gated in artifact_check (≥ 0.8 at the
-      // smallest scale; ≥ the fixed-p16 point wherever both exist).
+      // smallest scale; within 200 bp of the fixed-p16 point wherever
+      // both exist — the tolerance absorbs k-means build jitter between
+      // the two independently-trained indexes; measured margin is
+      // +1200 bp at s10, nowhere near it).
       val npCurve =
         try {
           val exact = llm.Similarity.bruteTopK(spark, dir, 5)

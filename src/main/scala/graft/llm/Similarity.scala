@@ -641,8 +641,7 @@ object Similarity {
       .select(col("vec_id"), col("pid"))
     val probesF = ranked.filter(col("r") <= FixedPivotNprobe)
       .select(col("vec_id"), col("pid"))
-    val sides = emb.select(col("vec_id"), col("embedding"),
-      dotFast(col("embedding"), col("embedding")).as("sq"))
+    val sides = refineEmbFrame(emb)
     val wTop = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
     probesF.select(col("vec_id").as("src"), col("pid"))

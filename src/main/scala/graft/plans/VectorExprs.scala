@@ -532,6 +532,10 @@ case class NearestCentroidF32(child: Expression, centroids: Array[Float],
  * worst case but O(m) amortized once the window fills; the centroid
  * matrix rides into codegen as the same ≤ 1 MB plan-constant reference
  * object as the argmin kernel's.
+ *
+ * The parity contract holds for WELL-FORMED (length == dim) vectors;
+ * a mis-sized vector returns null instead of a truncated-distance
+ * bucket list (r11 review pass — see `nullable` below).
  */
 case class NearestCentroidsF32(child: Expression, centroids: Array[Float],
     clIds: Array[Long], dim: Int, nprobe: Int) extends UnaryExpression {
@@ -550,6 +554,23 @@ case class NearestCentroidsF32(child: Expression, centroids: Array[Float],
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Mis-sized input (vector length ≠ centroid dim) returns NULL rather
+  // than silently truncating the distance sum: the HOF oracle spelling
+  // zip_withs to the longer length and nulls its distances there, so a
+  // truncated-but-confident bucket list would diverge from it unseen.
+  // A null array feeds the downstream explode() as zero rows — the
+  // malformed vector simply gets no candidates (KernelSpec pins both
+  // the well-formed parity and this null-out).
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return null
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    nullSafeEval(a)
+  }
 
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
@@ -592,28 +613,32 @@ case class NearestCentroidsF32(child: Expression, centroids: Array[Float],
       val base = ctx.freshName("base"); val j = ctx.freshName("j")
       val diff = ctx.freshName("diff"); val p = ctx.freshName("p")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $dim);
-         |double[] $bd = new double[$np];
-         |long[] $bi = new long[$np];
-         |int $filled = 0;
-         |for (int $c = 0; $c < $m; $c++) {
-         |  double $d = 0.0;
-         |  int $base = $c * $dim;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    double $diff = ((double) $a.getFloat($j)) - ((double) $centRef[$base + $j]);
-         |    $d += $diff * $diff;
-         |  }
-         |  if ($filled < $np || $d < $bd[$filled - 1]) {
-         |    int $p = ($filled < $np) ? $filled : $np - 1;
-         |    while ($p > 0 && $bd[$p - 1] > $d) {
-         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $dim;
+         |  double[] $bd = new double[$np];
+         |  long[] $bi = new long[$np];
+         |  int $filled = 0;
+         |  for (int $c = 0; $c < $m; $c++) {
+         |    double $d = 0.0;
+         |    int $base = $c * $dim;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      double $diff = ((double) $a.getFloat($j)) - ((double) $centRef[$base + $j]);
+         |      $d += $diff * $diff;
          |    }
-         |    $bd[$p] = $d; $bi[$p] = $idsRef[$c];
-         |    if ($filled < $np) $filled++;
+         |    if ($filled < $np || $d < $bd[$filled - 1]) {
+         |      int $p = ($filled < $np) ? $filled : $np - 1;
+         |      while ($p > 0 && $bd[$p - 1] > $d) {
+         |        $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |      }
+         |      $bd[$p] = $d; $bi[$p] = $idsRef[$c];
+         |      if ($filled < $np) $filled++;
+         |    }
          |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray(java.util.Arrays.copyOf($bi, $filled));
        """.stripMargin
     })
 

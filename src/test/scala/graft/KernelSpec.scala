@@ -191,6 +191,19 @@ class KernelSpec extends SparkSpec {
         cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 64, 999).as("a"))
       .collect()
     all.foreach(r => assert(r.getSeq[Long](0).length === cents.size))
+    // A MIS-SIZED vector (length != dim) nulls out instead of returning
+    // a truncated-distance bucket list (r11 review pass): the HOF
+    // oracle's zip_with nulls its distances there, so "confident but
+    // truncated" would be a silent parity break. Null feeds a
+    // downstream explode() as zero rows.
+    val short = Seq((1L, Seq.fill(10)(0.25f)), (2L, (0 until 64).map(_ => 0.25f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", VectorExprs.nearestCentroids(
+        $"embedding".cast("array<float>"),
+        cents.flatMap(_._2).toArray, cents.map(_._1).toArray, 64, 5).as("a"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(short(1L) === true, "mis-sized vector must null out")
+    assert(short(2L) === false, "well-formed vector must not null out")
   }
 
   test("kernels stay inside whole-stage codegen") {

@@ -53,7 +53,8 @@ def heavy_breach_fingerprint(bench):
     mean_share = (sum(s * c for s, c in weighted) / wall) if wall > 0 else None
     if spill > 0 or (gc_total is not None and excess > 0
                      and gc_total >= max(0.5 * excess, 0.1 * total)):
-        return (f"JVM memory stall (gc {gc_total:.1f}s / spill {spill} B "
+        gc_str = f"{gc_total:.1f}s" if gc_total is not None else "n/a"
+        return (f"JVM memory stall (gc {gc_str} / spill {spill} B "
                 f"against {excess:.1f}s excess)")
     if mean_share is not None and mean_share < 0.7:
         return (f"host stall (time-weighted heavy cpu_share "
@@ -258,10 +259,15 @@ if bench is not None:
         # a JVM memory stall is SELF-inflicted, and its heap pressure
         # also inflates the post-tier probe pass — normalizing by that
         # inflated factor would launder the regression into "host
-        # load". Only an externally-attributed breach gets the
-        # tier-local host normalization.
+        # load". A plan regression is self-inflicted too (the arm got
+        # slower at healthy gc/cpu; a transient probe hiccup must not
+        # normalize it away). Only a host-stall-attributed breach — or
+        # an unattributable pre-observability artifact, where the
+        # factor's slow anchors are the only evidence there is — gets
+        # the tier-local host normalization.
         attrib = heavy_breach_fingerprint(bench)
-        self_inflicted = attrib.startswith("JVM memory stall")
+        self_inflicted = (attrib.startswith("JVM memory stall")
+                          or attrib.startswith("plan regression"))
         normalize = hhf is not None and hhf > 1.0 and not self_inflicted
         effective = total / hhf if normalize else total
         if effective > budget:

@@ -81,7 +81,11 @@ plan = bench(120.0, 90.0, 2.0, 0,
 check("plan-regression", fp(plan), "plan regression")
 
 # 6. Observability absent (pre-r10 artifact): no attribution, no crash.
-check("no-columns", fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0}), "")
+#    Equality, not substring — "" is a substring of everything, so a
+#    substring check here could never fail (r11 review pass).
+got6 = fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0})
+if got6 != "":
+    failures.append(f"no-columns: expected '', got '{got6}'")
 
 # 6b. Partially observable: gc present (and unalarming) but no
 #     cpu_share/secs — must return "" rather than crash formatting a
@@ -91,12 +95,55 @@ got6b = fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0,
 if got6b != "":
     failures.append(f"partial-columns: expected '', got '{got6b}'")
 
+# 6c. Spill present but gc column absent: the spill branch fires alone
+#     and must not crash formatting a missing gc total (r11 review
+#     pass — f"{None:.1f}" raises TypeError).
+check("spill-no-gc",
+      fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0,
+          "heavy_spill_bytes": {"a": 1 << 20}}),
+      "JVM memory stall")
+
 # 7. Weighting matters: many fast healthy entries must not wash out the
 #    slow descheduled ones — the mean is time-weighted.
 wt = bench(100.0, 90.0, 2.0, 0,
            [0.55, 0.98, 0.98, 0.98, 0.98],
            {"slow": 70.0, "f1": 2.0, "f2": 2.0, "f3": 2.0, "f4": 2.0})
 check("time-weighted", fp(wt), "host stall")
+
+# 8. End-to-end normalization policy (r11 review pass): run the whole
+#    checker against a doctored repo root. A breach the fingerprint
+#    attributes to the PLAN must fail even when heavy_host_factor > 1
+#    would bring it under budget (self-inflicted regressions are never
+#    normalized away); the identical numbers attributed to a HOST
+#    stall must normalize and pass.
+import json
+import shutil
+import subprocess
+import tempfile
+
+repo = os.path.join(os.path.dirname(__file__), "..")
+for label, shares, want_rc in (("plan-not-normalized", [0.97, 0.95], 1),
+                               ("host-stall-normalized", [0.55, 0.60], 0)):
+    tmp = tempfile.mkdtemp()
+    try:
+        for f in ("BENCH_stress.json", "bench_all.json"):
+            shutil.copy(os.path.join(repo, f), os.path.join(tmp, f))
+        doct = json.load(open(os.path.join(repo, "bench.json")))
+        doct.update(bench(95.0, 90.0, 1.0, 0, shares,
+                          {"a": 60.0, "b": 35.0}))
+        doct["heavy_host_factor"] = 1.12  # 95/1.12 = 84.8 < 90
+        json.dump(doct, open(os.path.join(tmp, "bench.json"), "w"))
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "artifact_check.py"),
+             tmp],
+            capture_output=True, text=True)
+        if r.returncode != want_rc:
+            failures.append(
+                f"{label}: expected exit {want_rc}, got {r.returncode} "
+                f"({r.stdout.strip().splitlines()[-1] if r.stdout else ''})")
+    finally:
+        shutil.rmtree(tmp)
 
 if failures:
     print("FINGERPRINT FIXTURES FAILED:")
