@@ -84,6 +84,15 @@ object StressBench {
     * which is the design claim (the exact arm is n²). */
   val knnGraphScales = 2
 
+  /** r11: the end-to-end LINEAR graph build (knn_graph_nnd: LSH+ring
+    * seed, NN-descent rounds at working degree 12) rides ONE scale
+    * further than its super-linear siblings — its n·K² rounds are
+    * linear in n, so the s10 point the n^1.75 blocked arm priced at
+    * 509 s in round 10 costs ~60 s here. The committed s10 row is the
+    * demonstration that the linear arm reaches corpus sizes the
+    * blocked-seeded pipeline cannot. */
+  val nndScales = 3
+
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
     * answer it computes is itself near-quadratic in size (~40 M pairs at
@@ -348,6 +357,14 @@ object StressBench {
         measure(() => SparkEntry.queries("knn_graph_blocked")(spark, dir)))
       record("knn_graph_refine", scale,
         measure(() => SparkEntry.queries("knn_graph_refine")(spark, dir)))
+    }
+
+    // The linear arm reaches one scale further — see [[nndScales]].
+    for ((scale, _) <- uniformScales.take(nndScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("knn_graph_nnd", scale,
+        measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
     }
 
     // ---- ann_pq recall-vs-rerank-width curve (VERDICT r8 item 5) ----

@@ -392,6 +392,26 @@ class LlmSpec extends SparkSpec {
       s"refined kNN edge recall $recall < 0.85 (|edges|=${edges.size})")
   }
 
+  test("knn_graph_nnd: linear-seed NN-descent edge recall >= 0.85 vs the exact graph (sf0.01)") {
+    // End-to-end LINEAR pipeline: hyperplane-LSH + hash-ring seed, then
+    // three NN-descent rounds — no n^1.75 blocked stage anywhere. The
+    // gate matches refine's 0.85: replacing the expensive seed with a
+    // linear one must not cost the family's recall floor.
+    val exact = Similarity.queries("knn_graph")(spark, sf001)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nnd = Similarity.queries("knn_graph_nnd")(spark, sf001).collect()
+    nnd.groupBy(_.getLong(0)).foreach { case (s, rows) =>
+      val rns = rows.map(_.getLong(3)).sorted.toSeq
+      assert(rns === (1L to rns.size).toSeq, s"src $s ranks $rns")
+      assert(rows.length <= 3)
+    }
+    val edges = nnd.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & edges).size.toDouble / exact.size
+    assert(recall >= 0.85,
+      s"nnd kNN edge recall $recall < 0.85 (|edges|=${edges.size})")
+  }
+
   test("knn_graph_refine: per-src recall vs the exact graph never decreases across rounds (sf0.001)") {
     // Each round's candidate pool is a SUPERSET of the current edges,
     // re-scored exactly under the same (cos desc, dst) total order the

@@ -162,6 +162,19 @@ if stress is not None:
             f"faster than its blocked seed {_be} + 0.15 — the NN-descent "
             f"rounds lost their linear candidate class (check the 2k "
             f"reverse-neighbor degree cap survived refactoring)")
+    # r11b: the end-to-end linear build (LSH+ring seed + NN-descent at
+    # working degree 12 — no n^1.75 stage anywhere) must carry its s10
+    # point (the scale the blocked arm priced at 509 s) and keep a fit
+    # meaningfully below the seed class: 1.0 is generous headroom over
+    # the measured ~0.45 (fixed per-round stage latency dominates these
+    # scales) while still refuting any super-linear regression.
+    rows("knn_graph_nnd", min_scales=3)
+    _nn = q.get("knn_graph_nnd", {}).get("e_time")
+    if _nn is not None and _nn > 1.0:
+        failures.append(
+            f"BENCH_stress.json: knn_graph_nnd e_time {_nn} > 1.0 — the "
+            f"linear-build claim broke (check the working-degree cap and "
+            f"the per-round localCheckpoint both survived refactoring)")
     # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
     # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
     # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
@@ -305,7 +318,8 @@ if ball is not None:
                    "curate_temperature_mix", "agg_hll_partitioned",
                    "ann_mrl", "event_holt", "dedup_spantrim",
                    "text_quality_gate", "knn_graph", "knn_graph_blocked",
-                   "knn_graph_refine", "knn_graph_blocked_verdict"):
+                   "knn_graph_refine", "knn_graph_blocked_verdict",
+                   "knn_graph_nnd"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
