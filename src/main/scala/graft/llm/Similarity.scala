@@ -383,15 +383,15 @@ object Similarity {
    * probed fraction shrinks with, and deliberately NOT the
    * single-cluster n^1.5 (that geometry measured 0.24 edge recall
    * here: multi-probe buys its recall by paying an nprobe factor).
-   * Committed r11 stress fit s1→s3 e_time 1.268 at s1 9.2 s / s3
-   * 37.2 s — the codegen'd bucket-choice kernel cut the constants
-   * 15–23% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
+   * Committed r11 stress fit s1→s3 e_time 1.237 at s1 9.2 s / s3
+   * 36.0 s — the codegen'd bucket-choice kernel cut the constants
+   * 18–23% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
    * costs expose more of the analytic exponent, which a one-off r10
    * s10 probe at 509 s had already put at ≈ 1.6 over the longer
    * span). LlmSpec gates edge recall vs the exact graph. Non-oracle
    * (k-means centroids), rows-only check. For workloads that need the
    * full graph cheaper, [[knnGraphRefine]] seeds here and refines at
-   * linear n·k² per round (r11 fit: e_time 0.877).
+   * linear n·k² per round (r11 fit: e_time 0.859).
    */
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)
@@ -640,10 +640,17 @@ object Similarity {
   def knnGraphNnd(emb: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
     val eOwned = graft.Q.ownPersist(refineEmbFrame(emb))
     eOwned.df.count()
-    // Seed part 1: LSH locality pairs off ONE persisted signature scan
-    // (the band self-join reads it twice; hyperplanePairs persists for
-    // the same reason).
-    val sigs = graft.Q.ownPersist(hyperplaneSigs(emb))
+    // Seed part 1: LSH locality pairs. Band keys are DERIVED from the
+    // already-cached eOwned frame and persisted NARROW — (vec_id,
+    // bands) only — so the corpus embedding/sq columns are cached once,
+    // not twice, and the band self-join's two sides share one band
+    // computation (hyperplanePairs persists for the same reason; stats
+    // for the band-width sizing still come from the source frame).
+    val bits = bitsPerBandFor(emb)
+    val sigs = graft.Q.ownPersist(eOwned.df.select(col("vec_id"),
+      graft.plans.VectorExprs.hyperplaneBands(
+        col("embedding"), hyperplanesFlat.take(HplBands * bits * 64),
+        bits, 64).as("bands")))
     val lshPairs = hyperplaneCandidatePairs(sigs.df)
     // Seed part 2: hash-ring exploration edges, normalized to the
     // vec_a < vec_b invariant lshPairs carries so the union dedupes.
@@ -659,17 +666,21 @@ object Similarity {
       .filter(col("nxt").isNotNull)
       .select(least(col("vec_id"), col("nxt")).as("vec_a"),
         greatest(col("vec_id"), col("nxt")).as("vec_b"))
-    val scored = lshPairs.union(ring).distinct()
+    // Persisted before the symmetrizing union: both union branches read
+    // the whole seed-scoring subtree (distinct + two embedding joins +
+    // the cosine kernel), and ReuseExchange dedupes only the exchanges
+    // below it — unpersisted, the seed scoring would execute twice.
+    val scored = graft.Q.ownPersist(lshPairs.union(ring).distinct()
       .join(eOwned.df.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("sq").as("sqa")), Seq("vec_a"))
       .join(eOwned.df.select(col("vec_id").as("vec_b"),
         col("embedding").as("eb"), col("sq").as("sqb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
-          .as("cos_sim"))
-    val sym = scored
+          .as("cos_sim")))
+    val sym = scored.df
       .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("cos_sim"))
-      .union(scored
+      .union(scored.df
         .select(col("vec_b").as("src"), col("vec_a").as("dst"),
           col("cos_sim")))
     val kWork = math.max(12, 4 * k)
@@ -686,6 +697,7 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos_sim"))
       .localCheckpoint(true)
     sigs.release()
+    scored.release()
     var r = 0
     while (r < rounds) {
       val next = refineRound(eOwned, graft.Q.Owned(edges, owned = false),

@@ -169,6 +169,12 @@ if stress is not None:
     # the measured ~0.45 (fixed per-round stage latency dominates these
     # scales) while still refuting any super-linear regression.
     rows("knn_graph_nnd", min_scales=3)
+    if "s10" not in q.get("knn_graph_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: knn_graph_nnd lacks its s10 point — the "
+            "one-scale-further demonstration the docs cite (the corpus "
+            "the blocked arm priced at 509 s); re-run the sweep with the "
+            "s10 stressdata dir present")
     _nn = q.get("knn_graph_nnd", {}).get("e_time")
     if _nn is not None and _nn > 1.0:
         failures.append(
