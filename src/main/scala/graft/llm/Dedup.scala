@@ -160,7 +160,7 @@ object Dedup {
     * are exact-verified); only candidate volume moves. */
   val LshBandsKey = "spark.graft.minhash.bands"
 
-  private def lshBands(docs: DataFrame): Int = {
+  private[graft] def lshBands(docs: DataFrame): Int = {
     val b = docs.sparkSession.conf.get(LshBandsKey, LshBands.toString).toInt
     require(b > 0 && MinHashK % b == 0,
       s"$LshBandsKey=$b must positively divide MinHashK=$MinHashK")
@@ -277,28 +277,72 @@ object Dedup {
     // queries (round-1 ADVICE: nothing stays pinned across queries).
     val sigs = Q.ownPersist(signaturesInline(docs)).df
     val cands = lshCandidatePairs(sigs, lshBands(docs))
+    verifyPairs(cands, sigs, tokenArrays(docs), thresh)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Token sets as SORTED xxhash64 arrays: set cardinalities (and hence
+    * Jaccard) are preserved, verification becomes a codegen'd merge scan
+    * (graft.plans.JaccardSortedLong) instead of string-array set ops;
+    * the array itself comes from the TokenHashesSorted kernel (round 4 —
+    * the transform lambda + generic-comparator sort it replaces were
+    * interpreted). */
+  private[graft] def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.plans.VectorExprs.tokenHashesSorted(
+        array_distinct(split(col("text"), " "))).as("toks"))
+
+  /** Signature-estimate pre-filter + exact-Jaccard verification over
+    * PRECOMPUTED `sigs` (doc_id, sig) and `toks` (doc_id, toks) frames —
+    * the shared core of [[minhashLsh]] and the streaming near-dedup sink
+    * ([[graft.streaming.NearDedupStream]]): ONE code path, so the
+    * stream's cross-epoch verdicts are bit-parity with the batch
+    * operator by construction, not by re-implementation. Output:
+    * (doc_a, doc_b, jaccard round-4dp), unordered. */
+  private[graft] def verifyPairs(cands: DataFrame, sigs: DataFrame,
+      toks: DataFrame, thresh: Double): DataFrame = {
     val minMatches = math.ceil((thresh - 0.10) * MinHashK).toInt
     val estKeep = cands
       .join(Q.maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
       .join(Q.maybeBroadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
       .filter(graft.plans.VectorExprs.sigMatch(col("sig_a"), col("sig_b")) >= minMatches)
       .select(col("doc_a"), col("doc_b"))
-    // Token sets as SORTED xxhash64 arrays: set cardinalities (and hence
-    // Jaccard) are preserved, verification becomes a codegen'd merge scan
-    // (graft.plans.JaccardSortedLong) instead of string-array set ops;
-    // the array itself comes from the TokenHashesSorted kernel (round 4 —
-    // the transform lambda + generic-comparator sort it replaces were
-    // interpreted).
-    val tokArrays = docs.select(col("doc_id"),
-      graft.plans.VectorExprs.tokenHashesSorted(
-        array_distinct(split(col("text"), " "))).as("toks"))
     estKeep
-      .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
-      .join(Q.maybeBroadcast(tokArrays.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
+      .join(Q.maybeBroadcast(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), "doc_a")
+      .join(Q.maybeBroadcast(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), "doc_b")
       .withColumn("jaccard", graft.plans.VectorExprs.jaccardSorted(col("ta"), col("tb")))
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Keep/drop verdict per document from the [[minhashLsh]] pair
+    * relation: a document is DROPPED iff some smaller-id document is a
+    * verified near-dup (i.e. it appears as doc_b of a pair); dup_of =
+    * the smallest such partner, carrying that pair's jaccard. This is
+    * the BATCH TWIN of the streaming near-dedup sink
+    * ([[graft.streaming.NearDedupStream]]) — StreamingSpec asserts the
+    * stream's cross-epoch verdicts match this frame bit-for-bit under
+    * monotone doc_id delivery, the text_quality_gate pattern (one
+    * semantics, batch and stream). Rows-only registry row (sketch-based
+    * candidates, like minhash_lsh). */
+  def neardedupVerdicts(docs: DataFrame, thresh: Double): DataFrame =
+    verdictsFromPairs(docs.select(col("doc_id")), minhashLsh(docs, thresh))
+
+  /** (doc_id) frame + (doc_a, doc_b, jaccard) pairs → per-doc verdicts
+    * (doc_id, kept, dup_of, jaccard) ordered by doc_id — shared by
+    * [[neardedupVerdicts]] and the streaming sink's per-epoch verdict
+    * step (one spelling of "smallest dup partner wins"). */
+  private[graft] def verdictsFromPairs(ids: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val wv = Window.partitionBy(col("doc_b")).orderBy(col("doc_a"))
+    val dups = pairs
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("jaccard"))
+    ids.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"))
   }
 
   /** 64-bit SimHash per document (sketch-based near-dup at scale;
@@ -672,6 +716,11 @@ object Dedup {
     }),
 
     "minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d), 0.95)),
+
+    // Batch twin of the streaming near-dedup sink; rows-only (sketch
+    // candidates). StreamingSpec pins stream-vs-batch bit-parity.
+    "dedup_near_verdicts" -> ((s, d) =>
+      neardedupVerdicts(Tables.documents(s, d), 0.95)),
 
     "simhash" -> ((s, d) => simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
 

@@ -660,4 +660,69 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming near-dedup e2e: file-stream sink matches the batch dedup_near_verdicts twin bit-for-bit, is batching-invariant, and survives an injected crash + restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.NearDedupStream
+    val base = Files.createTempDirectory("graft_neardedup_e2e").toString
+    val (src, t1, cp1) = (s"$base/src", s"$base/t1", s"$base/cp1")
+    val (t2, cp2) = (s"$base/t2", s"$base/cp2")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    // Monotone delivery (the sink's parity contract): quartile files by
+    // doc_id RANGE, named so the file source's (mtime, path) order is
+    // the id order.
+    val mm = docs.selectExpr("min(doc_id)", "max(doc_id)").collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    Files.createDirectories(Paths.get(src))
+    for (q <- 0 to 3) {
+      val tmp = s"$base/tmp$q"
+      docs.filter(col("doc_id") >= lo + q * step &&
+          col("doc_id") < lo + (q + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(src, f"chunk-$q%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    // Run 1 "crashes" after epoch 1's data writes are applied but before
+    // the checkpoint commits it — the worst-case replay the per-epoch
+    // overwrite layout + ledger must absorb.
+    val q1 = stream.writeStream
+      .option("checkpointLocation", cp1).outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        NearDedupStream.neardedupBatch(t1, 0.95, 8)(df, id)
+        if (id == 1L) throw new RuntimeException("injected crash")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    val q2 = NearDedupStream.startNearDedup(stream, t1, 0.95, 8, cp1,
+      Some(Trigger.AvailableNow()))
+    q2.awaitTermination()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))
+    }.toMap
+    val streamed = asMap(NearDedupStream.readVerdicts(spark, t1))
+    val batch = asMap(
+      graft.llm.Dedup.queries("dedup_near_verdicts")(spark, sf0001))
+    assert(streamed === batch,
+      "4-epoch streamed verdicts diverged from the batch twin")
+    assert(streamed.values.exists(!_._1),
+      "corpus surfaced no dups — the parity assertion is vacuous")
+    // Batching invariance: the whole corpus in ONE epoch must produce
+    // the identical verdict frame (the pair relation must not see batch
+    // boundaries).
+    def stream1 = spark.readStream.schema(docs.schema).parquet(src)
+    val q3 = NearDedupStream.startNearDedup(stream1, t2, 0.95, 8, cp2,
+      Some(Trigger.AvailableNow()))
+    q3.awaitTermination()
+    assert(asMap(NearDedupStream.readVerdicts(spark, t2)) === batch,
+      "single-epoch verdicts diverged — the pair relation leaked batch boundaries")
+  }
 }
