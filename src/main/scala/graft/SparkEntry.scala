@@ -33,7 +33,8 @@ object SparkEntry {
     (llm.Dedup.queries, llm.Dedup.oracleSql),
     (llm.Curate.queries, llm.Curate.oracleSql),
     (llm.Similarity.queries, llm.Similarity.oracleSql),
-    (llm.Multimodal.queries, llm.Multimodal.oracleSql))
+    (llm.Multimodal.queries, llm.Multimodal.oracleSql),
+    (llm.Graph.queries, llm.Graph.oracleSql))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, QFn] = groups.map(_._1).reduce(_ ++ _)
@@ -60,7 +61,8 @@ object SparkEntry {
       llm.Dedup.queries -> (base + "llm/Dedup.scala"),
       llm.Curate.queries -> (base + "llm/Curate.scala"),
       llm.Similarity.queries -> (base + "llm/Similarity.scala"),
-      llm.Multimodal.queries -> (base + "llm/Multimodal.scala")
+      llm.Multimodal.queries -> (base + "llm/Multimodal.scala"),
+      llm.Graph.queries -> (base + "llm/Graph.scala")
     ).flatMap { case (qs, f) => qs.keys.map(_ -> f) }.toMap
   }
 
@@ -78,7 +80,8 @@ object SparkEntry {
     * "no regression" for rows the change governs. Key = changed file,
     * value = family files whose rows are also affected.
     * (Multimodal computes vec_norm via Similarity.sumSq —
-    * Multimodal.scala:85 — hence the Similarity edge.) */
+    * Multimodal.scala:85 — hence the Similarity edge; Graph's kNN
+    * pagerank runs Similarity.knnGraph, hence the Graph edge.) */
   private[graft] val familyDeps: Map[String, Seq[String]] = {
     val base = "src/main/scala/graft/"
     Map(
@@ -86,6 +89,7 @@ object SparkEntry {
         base + "llm/Curate.scala", base + "llm/Similarity.scala",
         base + "llm/Multimodal.scala"),
       base + "llm/TextOps.scala" -> Seq(base + "llm/Curate.scala"),
-      base + "llm/Similarity.scala" -> Seq(base + "llm/Multimodal.scala"))
+      base + "llm/Similarity.scala" -> Seq(
+        base + "llm/Multimodal.scala", base + "llm/Graph.scala"))
   }
 }

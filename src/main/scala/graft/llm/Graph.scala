@@ -1,0 +1,183 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import graft.Q.QFn
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph centrality for curation — the ranking half of graph-based data
+ * work that the CC/label side (dedup_components) doesn't cover.
+ * Large-scale pretraining pipelines rank their sources on a link-ish
+ * graph before sampling (CommonCrawl-style domain ranking; the harmonic
+ * centrality / PageRank pre-filters described around CCNet and
+ * RefinedWeb), and embedding-space curation ranks documents by
+ * PROTOTYPICALITY inside the kNN similarity graph (the SemDeDup/D4
+ * line of work). Both are the same operator: PageRank (Page et al.
+ * 1999) over an edge list.
+ *
+ * Determinism design — INTEGER PageRank. Float PageRank sums
+ * contributions in shuffle order, so the last ulp differs between
+ * engines and iterations amplify it; instead every rank is a scaled
+ * long ([[Scale]] = 10^12 per node) and one iteration is
+ *
+ *   contrib(s→d) = rank(s) div outdeg(s)
+ *   rank'(d)     = Teleport + (85 · (Σ contrib + dangling div n)) div 100
+ *
+ * — all floor divisions on non-negative longs, so the result is
+ * bit-identical regardless of execution order or engine (the
+ * event_holt integer-basis discipline applied to a fixpoint), and the
+ * DuckDB oracle hash-matches end-to-end. Dangling mass (nodes with no
+ * out-edges) is redistributed uniformly, the standard correction.
+ * Overflow headroom: total mass never exceeds n·Scale (teleport
+ * injects exactly 0.15·Scale per node, recycling keeps ≤ 0.85 of the
+ * rest), so the widest intermediate 85·(…) stays below 0.9·n·Scale·100
+ * — at n = 10^9 nodes that is ~10^23, past int64, so at that scale
+ * [[Scale]] drops to 10^6 (same code; the constant is the knob). At
+ * the test corpora (n ≤ 10^5) Scale = 10^12 keeps 12 significant
+ * digits through the floors.
+ *
+ * Scale shape (100 TB): one iteration = one shuffle of the O(n) rank
+ * frame keyed by node (join with the persisted degree table), one
+ * shuffle of contributions keyed by dst (map-side combined hash agg),
+ * and a 1-row dangling aggregate broadcast — the Pregel-by-DataFrames
+ * loop. The edge table is persisted once and re-read per round; ranks
+ * are `localCheckpoint(true)`-ed per round (the kmeans/CC loop
+ * discipline) so the 10-iteration plan never accumulates lineage. On
+ * a real cluster the edge table would be bucketed by src so the
+ * per-round rank join co-locates without re-shuffling edges.
+ */
+object Graph {
+
+  /** Per-node starting rank (scaled-integer basis). */
+  val Scale = 1000000000000L
+  /** 15% of [[Scale]] — the teleport term at damping 0.85. */
+  val Teleport = Scale * 15L / 100L
+  /** Fixed iteration count: deterministic output (a convergence test
+    * would make the row count data-dependent), and 10 rounds is past
+    * the point where top-rank ORDER stabilizes on these corpora. */
+  val Iters = 10
+
+  /** Integer-arithmetic PageRank over a distinct directed edge list
+    * (src, dst) — both long-typed node ids. Returns (node, rank) with
+    * rank on the [[Scale]] basis. See the object doc for the exact
+    * per-iteration spelling (shared with the DuckDB oracle). */
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = Q.ownPersist(edges.select(col("src"), col("dst")))
+    val outdeg = e.df.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val info = Q.ownPersist(
+      e.df.select(col("src").as("node"))
+        .union(e.df.select(col("dst").as("node"))).distinct()
+        .join(outdeg, Seq("node"), "left")
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    val n = info.df.count()
+    require(n > 0, "pagerank over an empty edge list")
+    var ranks = info.df.select(col("node"), lit(Scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(info.df, Seq("node"))
+      val dangling = withDeg.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = withDeg.filter(col("outdeg") > 0)
+        .join(e.df, col("node") === col("src"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      // Eager per-round localCheckpoint truncates the iterative lineage
+      // (else the 10-round plan explodes, as every fixpoint here learned).
+      ranks = info.df.select(col("node"))
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), (lit(Teleport) +
+          expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.release(); info.release()
+    ranks
+  }
+
+  /** The customer→supplier purchase digraph: an edge per distinct
+    * (customer, supplier) trade relation. Customer and supplier key
+    * spaces overlap numerically, so nodes are parity-encoded
+    * (cust → 2k, supp → 2k+1). Suppliers have no out-edges — the whole
+    * supplier side is dangling mass, which is exactly what makes this
+    * corpus a real test of the dangling correction. */
+  private def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  val queries: Map[String, QFn] = Map(
+    // Source-graph centrality: who the influential buyers/suppliers are
+    // under rank recycling — the domain-ranking shape on the TPC-H-ish
+    // corpus. Full DuckDB oracle (integer arithmetic hash-matches).
+    "graph_pagerank" -> ((s, d) =>
+      pagerank(purchaseEdges(s, d))
+        .select(col("node").as("node_id"),
+          when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+            .as("ntype"),
+          expr("node div 2").as("ref_id"), col("rank"))
+        .orderBy(col("node_id"))),
+
+    // Prototypicality over the EXACT kNN similarity digraph (k = 3,
+    // the oracle-checked knn_graph edges): rank flows toward vectors
+    // many others call "near", the centrality score SemDeDup/D4-style
+    // diversity selection consumes. Every node has outdeg k, so the
+    // dangling term is exercised as a structural zero here and a
+    // structural non-zero in graph_pagerank.
+    "graph_pagerank_knn" -> ((s, d) =>
+      pagerank(Similarity.knnGraph(Tables.embeddings(s, d), 3)
+          .select(col("src"), col("dst")))
+        .select(col("node").as("vec_id"), col("rank"))
+        .orderBy(col("vec_id"))))
+
+  /** Unrolled integer-PageRank CTE chain (DuckDB). CTEs must be
+    * MATERIALIZED: DuckDB inlines plain CTEs, and each iteration
+    * references the previous one three times, so the inlined tree is
+    * 3^iters — the materialization hint is what makes 10 unrolled
+    * rounds linear. `edgesSql` must yield distinct BIGINT (src, dst). */
+  private def pagerankSql(edgesSql: String, finalSelect: String): String = {
+    val iterCtes = (0 until Iters).map { t =>
+      s""" d$t AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dm
+         |   FROM r$t r JOIN info i ON r.node = i.node WHERE i.outdeg = 0),
+         | c$t AS MATERIALIZED (SELECT e.dst AS node,
+         |     CAST(SUM(r.rank // i.outdeg) AS BIGINT) AS s
+         |   FROM r$t r JOIN info i ON r.node = i.node AND i.outdeg > 0
+         |   JOIN edges e ON e.src = r.node GROUP BY e.dst),
+         | r${t + 1} AS MATERIALIZED (SELECT i.node,
+         |     $Teleport + (85 * (COALESCE(c.s, 0)
+         |       + (SELECT dm FROM d$t) // (SELECT n FROM nn))) // 100 AS rank
+         |   FROM info i LEFT JOIN c$t c ON i.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesSql),
+       | nodes AS (SELECT src AS node FROM edges
+       |           UNION SELECT dst FROM edges),
+       | od AS (SELECT src AS node, COUNT(*) AS outdeg
+       |        FROM edges GROUP BY src),
+       | info AS MATERIALIZED (SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
+       |   FROM nodes n LEFT JOIN od o ON n.node = o.node),
+       | nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM info),
+       | r0 AS MATERIALIZED (SELECT node, CAST($Scale AS BIGINT) AS rank
+       |   FROM info),
+       |$iterCtes
+       |$finalSelect""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(
+      """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+      s"""SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS ntype,
+         |  node // 2 AS ref_id, rank
+         |FROM r$Iters ORDER BY node""".stripMargin),
+
+    "graph_pagerank_knn" -> pagerankSql(
+      s"""WITH ${Similarity.knnGraphCtes}
+         |SELECT src, dst FROM r WHERE rn <= 3""".stripMargin,
+      s"SELECT node AS vec_id, rank FROM r$Iters ORDER BY node"))
+}

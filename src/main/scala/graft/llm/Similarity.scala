@@ -1620,26 +1620,33 @@ object Similarity {
       |        4) AS cos_sim
       |    FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id) t)""".stripMargin
 
+  /** All-pairs rounded cosine + per-src rank — the exact kNN-graph CTE
+    * chain (ends in `r` with (src, dst, cos_sim, rn)). Shared between
+    * the knn_graph oracle and [[Graph]]'s pagerank-over-kNN oracle so
+    * the edge relation has ONE DuckDB spelling. */
+  private[llm] val knnGraphCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings),
+      | n AS (SELECT vec_id, emb,
+      |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
+      |   FROM e),
+      | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    ROUND(
+      |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+      |      / (SQRT(a.sq) * SQRT(b.sq)), 4) AS cos_sim
+      |   FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      | r AS (SELECT src, dst, cos_sim,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY src
+      |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn
+      |   FROM p)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // All-pairs rounded cosine + per-src top-k — the shared spelling of
     // embCte generalized from the 10-probe frame to every vector.
     "knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings),
-        | n AS (SELECT vec_id, emb,
-        |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
-        |   FROM e),
-        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |    ROUND(
-        |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
-        |      / (SQRT(a.sq) * SQRT(b.sq)), 4) AS cos_sim
-        |   FROM n a JOIN n b ON a.vec_id <> b.vec_id),
-        | r AS (SELECT src, dst, cos_sim,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY src
-        |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn
-        |   FROM p)
-        |SELECT src, dst, cos_sim, rn FROM r
-        |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+      s"""WITH $knnGraphCtes
+         |SELECT src, dst, cos_sim, rn FROM r
+         |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
 
     // The fixed-pivot multi-probe graph, end-to-end: pivots = the
     // FixedPivotNlist smallest md5(vec_id) vectors; every vector joins

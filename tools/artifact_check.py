@@ -325,7 +325,8 @@ if ball is not None:
                    "ann_mrl", "event_holt", "dedup_spantrim",
                    "text_quality_gate", "knn_graph", "knn_graph_blocked",
                    "knn_graph_refine", "knn_graph_blocked_verdict",
-                   "knn_graph_nnd", "dedup_near_verdicts"):
+                   "knn_graph_nnd", "dedup_near_verdicts",
+                   "graph_pagerank", "graph_pagerank_knn"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
