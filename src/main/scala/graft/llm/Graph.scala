@@ -96,6 +96,74 @@ object Graph {
     ranks
   }
 
+  /** Node-order key base for [[triangles]]: ord = deg·OrdScale + node
+    * encodes the (degree, node) total order in ONE sortable BIGINT (the
+    * join key both engines compare identically). Node ids must stay
+    * below OrdScale — 10^12 leaves 10^6 of degree headroom in int64,
+    * the same headroom split [[Scale]] uses. */
+  val OrdScale = 1000000000000L
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected graph given as a (src, dst) edge list (direction and
+    * duplicates are erased first). The MapReduce-classic degree-ordered
+    * algorithm (Suri & Vassilvitskii, WWW 2011: orient every edge from
+    * its lower-(degree, id) endpoint to its higher one, so each
+    * triangle is counted exactly once from its lowest corner and no
+    * reducer sees more than the oriented out-neighborhood of one node
+    * — Σ d_out² stays near the m^1.5 optimum instead of the hub's d²).
+    * That orientation is what makes the op survive hubs at 100 TB: the
+    * wedge join fans out by oriented out-degree (bounded), never by raw
+    * in-degree (unbounded).
+    *
+    * Pure integer arithmetic end-to-end (counts, floor-div basis
+    * points), so the result is engine-exact and the registry row below
+    * hash-matches DuckDB. Output: (node, degree, tri_cnt, clust_bp)
+    * with clust_bp = 2·tri·10⁴ div (deg·(deg−1)) — the local clustering
+    * coefficient in basis points, the neighborhood-redundancy signal
+    * graph curation ranks on. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = Q.ownPersist(edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    // Undirected degree, then the (deg, node)-order key ord.
+    val info = Q.ownPersist(
+      und.df.select(col("a").as("node"))
+        .union(und.df.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .select(col("node"), col("deg"),
+          (col("deg") * OrdScale + col("node")).as("ord")))
+    val ia = info.df.select(col("node").as("a"), col("ord").as("oa"))
+    val ib = info.df.select(col("node").as("b"), col("ord").as("ob"))
+    val oriented = Q.ownPersist(
+      und.df.join(ia, "a").join(ib, "b")
+        .select(least(col("oa"), col("ob")).as("lo"),
+          greatest(col("oa"), col("ob")).as("hi")))
+    // Wedges from each lowest corner; a triangle iff the closing
+    // (h1, h2) pair — already in orientation order — is itself an edge.
+    val o1 = oriented.df.select(col("lo"), col("hi").as("h1"))
+    val o2 = oriented.df.select(col("lo"), col("hi").as("h2"))
+    val tris = o1.join(o2, Seq("lo")).filter(col("h1") < col("h2"))
+      .join(oriented.df.withColumnRenamed("lo", "h1")
+        .withColumnRenamed("hi", "h2"), Seq("h1", "h2"))
+    val perNode = tris.select(explode(array(col("lo"), col("h1"), col("h2")))
+        .as("ord"))
+      .select(expr(s"ord % ${OrdScale}L").as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    // und/info/oriented handles intentionally kept: the lazy result
+    // frame is built OVER the caches (oriented is read three times by
+    // the wedge + closing joins), so they must live until the caller
+    // materializes it — released by the runner's per-query clearCache
+    // (the knnGraphBlocked lifecycle).
+    info.df.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("deg") >= 2,
+          expr("(2 * coalesce(tri_cnt, 0L) * 10000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("clust_bp"))
+  }
+
   /** The customer→supplier purchase digraph: an edge per distinct
     * (customer, supplier) trade relation. Customer and supplier key
     * spaces overlap numerically, so nodes are parity-encoded
@@ -133,6 +201,18 @@ object Graph {
       pagerank(Similarity.knnGraph(Tables.embeddings(s, d), 3)
           .select(col("src"), col("dst")))
         .select(col("node").as("vec_id"), col("rank"))
+        .orderBy(col("vec_id"))),
+
+    // Local clustering over the same exact kNN digraph: how redundant
+    // each vector's neighborhood is (triangle-dense regions = near-dup
+    // clusters / over-represented modes — the complement of pagerank's
+    // prototypicality ranking). Pure integer output hash-matches the
+    // DuckDB spelling of the same degree-ordered algorithm.
+    "graph_triangles" -> ((s, d) =>
+      triangles(Similarity.knnGraph(Tables.embeddings(s, d), 3)
+          .select(col("src"), col("dst")))
+        .select(col("node").as("vec_id"), col("degree"), col("tri_cnt"),
+          col("clust_bp"))
         .orderBy(col("vec_id"))))
 
   /** Unrolled integer-PageRank CTE chain (DuckDB). CTEs must be
@@ -179,5 +259,41 @@ object Graph {
     "graph_pagerank_knn" -> pagerankSql(
       s"""WITH ${Similarity.knnGraphCtes}
          |SELECT src, dst FROM r WHERE rn <= 3""".stripMargin,
-      s"SELECT node AS vec_id, rank FROM r$Iters ORDER BY node"))
+      s"SELECT node AS vec_id, rank FROM r$Iters ORDER BY node"),
+
+    // Same degree-ordered orientation, spelled relationally: und →
+    // (deg, ord) → oriented lo→hi → wedge join closed by a third
+    // oriented edge; every term is a BIGINT count or floor division.
+    "graph_triangles" ->
+      s"""WITH ${Similarity.knnGraphCtes},
+         | ed AS (SELECT src, dst FROM r WHERE rn <= 3),
+         | und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |                GREATEST(src, dst) AS b
+         |         FROM ed WHERE src <> dst),
+         | dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM (SELECT a AS node FROM und
+         |              UNION ALL SELECT b FROM und) GROUP BY node),
+         | info AS (SELECT node, deg,
+         |          deg * $OrdScale + node AS ord FROM dg),
+         | orient AS (SELECT LEAST(ia.ord, ib.ord) AS lo,
+         |                   GREATEST(ia.ord, ib.ord) AS hi
+         |            FROM und u
+         |            JOIN info ia ON u.a = ia.node
+         |            JOIN info ib ON u.b = ib.node),
+         | tri AS (SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z
+         |         FROM orient o1
+         |         JOIN orient o2 ON o1.lo = o2.lo AND o1.hi < o2.hi
+         |         JOIN orient o3 ON o3.lo = o1.hi AND o3.hi = o2.hi),
+         | tn AS (SELECT x % $OrdScale AS node FROM tri
+         |        UNION ALL SELECT y % $OrdScale FROM tri
+         |        UNION ALL SELECT z % $OrdScale FROM tri),
+         | tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+         |        FROM tn GROUP BY node)
+         |SELECT i.node AS vec_id, i.deg AS degree,
+         |  COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+         |  CASE WHEN i.deg >= 2 THEN
+         |    (2 * COALESCE(tc.tri_cnt, 0) * 10000) // (i.deg * (i.deg - 1))
+         |  ELSE 0 END AS clust_bp
+         |FROM info i LEFT JOIN tc ON i.node = tc.node
+         |ORDER BY vec_id""".stripMargin)
 }

@@ -85,4 +85,66 @@ class GraphSpec extends SparkSpec {
     assert(out.count() === n)
     assert(out.select(countDistinct(col("vec_id"))).collect()(0).getLong(0) === n)
   }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graph.triangles(edgesDf(edges)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangles: 4-clique with a pendant matches hand counts") {
+    // Clique {1,2,3,4} (each node in C(3,2)=3 triangles, clust 10000),
+    // pendant 5 hanging off 1 (deg 1 → clust 0; node 1's deg rises to 4
+    // → clust = 2·3·10⁴ div (4·3) = 5000).
+    val clique = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val res = runTriangles(clique :+ (1L, 5L))
+    assert(res(1L) === ((4L, 3L, 5000L)))
+    assert(res(2L) === ((3L, 3L, 10000L)))
+    assert(res(3L) === ((3L, 3L, 10000L)))
+    assert(res(4L) === ((3L, 3L, 10000L)))
+    assert(res(5L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangles: bipartite graphs have none (purchase-graph shape)") {
+    val edges = for (c <- 0L to 3L; s <- 10L to 13L) yield (c, s)
+    val res = runTriangles(edges)
+    assert(res.nonEmpty)
+    assert(res.values.forall { case (_, tri, bp) => tri === 0L && bp === 0L })
+  }
+
+  test("triangles: direction and duplicate edges are erased before counting") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = tri ++ tri.map(_.swap) ++ tri // both directions + dups
+    assert(runTriangles(noisy) === runTriangles(tri))
+  }
+
+  test("triangles match a brute-force triple scan on a seeded random graph") {
+    // Deterministic Erdős–Rényi-ish graph; reference counts every
+    // {a,b,c} triple directly, written against the definition.
+    val rnd = new scala.util.Random(42)
+    val n = 30
+    val edges = (for (a <- 0L until n; b <- a + 1 until n
+      if rnd.nextDouble() < 0.2) yield (a, b)).toSeq
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupMap(_._1)(_._2)
+      .view.mapValues(_.toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val ref = nodes.map { v =>
+      val nb = adj(v).toSeq
+      val tri = (for (i <- nb.indices; j <- i + 1 until nb.size
+        if adj(nb(i)).contains(nb(j))) yield 1).size.toLong
+      val d = nb.size.toLong
+      v -> ((d, tri, if (d >= 2) 2L * tri * 10000L / (d * (d - 1)) else 0L))
+    }.toMap
+    assert(runTriangles(edges) === ref)
+  }
+
+  test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
+    val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(out.length === n.toInt)
+    assert(out.forall { r =>
+      val (deg, tri, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      deg >= 3 && tri >= 0 && bp >= 0 && bp <= 10000 &&
+        tri <= deg * (deg - 1) / 2
+    })
+  }
 }
