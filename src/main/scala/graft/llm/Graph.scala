@@ -213,6 +213,20 @@ object Graph {
           .select(col("src"), col("dst")))
         .select(col("node").as("vec_id"), col("degree"), col("tri_cnt"),
           col("clust_bp"))
+        .orderBy(col("vec_id"))),
+
+    // The 100 TB arm of kNN-graph centrality: the SAME integer
+    // PageRank over the end-to-end LINEAR NN-descent graph
+    // (knn_graph_nnd's edges, 0.94 edge recall vs exact at sf0.01)
+    // instead of the n² exact graph that backs the two oracle rows
+    // above. The oracle arms pin the OPERATOR; this row prices the
+    // composition a cluster would actually run. Rows-only like its
+    // edge source (band widths are stats-sized); GraphSpec gates
+    // top-decile rank agreement against the exact-graph arm.
+    "graph_pagerank_nnd" -> ((s, d) =>
+      pagerank(Similarity.knnGraphNnd(Tables.embeddings(s, d), 3)
+          .select(col("src"), col("dst")))
+        .select(col("node").as("vec_id"), col("rank"))
         .orderBy(col("vec_id"))))
 
   /** Unrolled integer-PageRank CTE chain (DuckDB). CTEs must be

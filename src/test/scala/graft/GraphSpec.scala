@@ -137,6 +137,30 @@ class GraphSpec extends SparkSpec {
     assert(runTriangles(edges) === ref)
   }
 
+  test("graph_pagerank_nnd: linear-arm ranks agree with the exact-graph arm (sf0.001)") {
+    val exact = Graph.queries("graph_pagerank_knn")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nnd = Graph.queries("graph_pagerank_nnd")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every vector is ranked (each has outdeg k in both graphs).
+    assert(nnd.keySet === exact.keySet)
+    // Mass conservation: teleport injects 0.15·Scale per node per
+    // round and recycling keeps ≤ 0.85 of the rest, so the total sits
+    // just under n·Scale (integer floors only ever lose mass).
+    val n = exact.size
+    assert(nnd.values.sum <= n.toLong * Graph.Scale)
+    assert(nnd.values.sum >= n.toLong * Graph.Scale * 97L / 100L)
+    // Top-decile agreement with the exact-graph prototypicality
+    // ranking — the property diversity selection actually consumes.
+    // Deterministic given catalog stats (the nnd arm's contract), so
+    // this is a fixed value per corpus, gated with margin under the
+    // measured point.
+    def top(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (id, r) => (-r, id) }.take(n / 10).map(_._1).toSet
+    val overlap = (top(exact) & top(nnd)).size.toDouble / (n / 10)
+    assert(overlap >= 0.6, s"top-decile overlap $overlap")
+  }
+
   test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
     val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
     val n = Tables.embeddings(spark, sf0001).count()
