@@ -367,6 +367,33 @@ object StressBench {
         measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
     }
 
+    // r11 graph family. graph_pagerank = 10 fixed integer-PageRank
+    // rounds over the customer→supplier digraph. In THIS corpus the
+    // replicated orders reuse the s1 customer/supplier key spaces
+    // (StressGen shifts order keys only), so the distinct edge set
+    // saturates toward the bipartite limit while the lineitem⋈orders
+    // derivation scan grows ×factor — the row prices the linear scan
+    // plus a bounded-node fixpoint (e_time ≲ 1 is the pass bar; per
+    // round the cost stays one rank-by-node shuffle join + one
+    // map-side-combined contribution agg, the 100 TB round shape).
+    // graph_pagerank_nnd rides nndScales: the composed 100 TB arm of
+    // kNN-graph centrality — knn_graph_nnd's LINEAR edge build over a
+    // node set that DOES grow ×factor (embeddings replicate with
+    // fresh ids) + the same 10 rounds; its fit should sit near its
+    // edge source's (the rounds add O(n·k) work per round).
+    for ((scale, _) <- uniformScales) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("graph_pagerank", scale,
+        measure(() => SparkEntry.queries("graph_pagerank")(spark, dir)))
+    }
+    for ((scale, _) <- uniformScales.take(nndScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("graph_pagerank_nnd", scale,
+        measure(() => SparkEntry.queries("graph_pagerank_nnd")(spark, dir)))
+    }
+
     // ---- ann_pq recall-vs-rerank-width curve (VERDICT r8 item 5) ----
     // Ground truth is the exact bruteTopK per width; recall is recorded
     // in BASIS POINTS in the rows field (10000 = 1.00) so the curve

@@ -383,15 +383,17 @@ object Similarity {
    * probed fraction shrinks with, and deliberately NOT the
    * single-cluster n^1.5 (that geometry measured 0.24 edge recall
    * here: multi-probe buys its recall by paying an nprobe factor).
-   * Committed r11 stress fit s1→s3 e_time 1.237 at s1 9.2 s / s3
-   * 36.0 s — the codegen'd bucket-choice kernel cut the constants
-   * 18–23% vs the r10 HOF sweep (11.9/43.7 s, e 1.18; smaller fixed
+   * Committed r11 stress fit s1→s3 e_time 1.25 at s1 10.8 s / s3
+   * 42.7 s (final-HEAD sweep; an earlier idle-window sweep measured
+   * 9.2/36.0, e 1.237) — the codegen'd bucket-choice kernel cut the
+   * constants 18–23% vs the r10 HOF sweep (11.9/43.7 s, e 1.18,
+   * idle-to-idle; smaller fixed
    * costs expose more of the analytic exponent, which a one-off r10
    * s10 probe at 509 s had already put at ≈ 1.6 over the longer
    * span). LlmSpec gates edge recall vs the exact graph. Non-oracle
    * (k-means centroids), rows-only check. For workloads that need the
    * full graph cheaper, [[knnGraphRefine]] seeds here and refines at
-   * linear n·k² per round (r11 fit: e_time 0.859).
+   * linear n·k² per round (r11 final-HEAD fit: e_time 0.896).
    */
   def knnGraphBlocked(emb: DataFrame, k: Int): DataFrame = {
     val (nlist, nprobe) = ivfGeometry(emb, 1)

@@ -181,6 +181,30 @@ if stress is not None:
             f"BENCH_stress.json: knn_graph_nnd e_time {_nn} > 1.0 — the "
             f"linear-build claim broke (check the working-degree cap and "
             f"the per-round localCheckpoint both survived refactoring)")
+    # r11c: the graph family. graph_pagerank's corpus saturates its
+    # distinct edge set (StressGen reuses the s1 customer/supplier key
+    # spaces), so the row prices the linear lineitem⋈orders derivation
+    # scan + a bounded fixpoint — anything clearly super-linear means a
+    # round stopped being one shuffle+agg. graph_pagerank_nnd composes
+    # the LINEAR knn_graph_nnd edge build with the same 10 rounds over
+    # a node set that does grow — gate it RELATIVE to its co-measured
+    # edge source (the rounds add O(n·k) per round), same discipline as
+    # the refine-vs-blocked relative gate above.
+    rows("graph_pagerank")
+    _pe = q.get("graph_pagerank", {}).get("e_time")
+    if _pe is not None and _pe > 1.2:
+        failures.append(
+            f"BENCH_stress.json: graph_pagerank e_time {_pe} > 1.2 — the "
+            f"saturating-edge-set corpus should price the linear scan "
+            f"(check the edge/info persists and the per-round "
+            f"localCheckpoint survived refactoring)")
+    rows("graph_pagerank_nnd", min_scales=3)
+    _pn = q.get("graph_pagerank_nnd", {}).get("e_time")
+    if _pn is not None and _nn is not None and _pn > _nn + 0.3:
+        failures.append(
+            f"BENCH_stress.json: graph_pagerank_nnd e_time {_pn} grows "
+            f"faster than its knn_graph_nnd edge source {_nn} + 0.3 — "
+            f"the PageRank rounds stopped being O(n·k) per round")
     # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
     # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
     # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
