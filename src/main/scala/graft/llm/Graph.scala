@@ -227,14 +227,58 @@ object Graph {
       pagerank(Similarity.knnGraphNnd(Tables.embeddings(s, d), 3)
           .select(col("src"), col("dst")))
         .select(col("node").as("vec_id"), col("rank"))
-        .orderBy(col("vec_id"))))
+        .orderBy(col("vec_id"))),
+
+    // D4-style diversity selection (Tirumala et al. 2023: SemDeDup
+    // then drop the most PROTOTYPICAL items) composed from this
+    // round's oracle-checked pieces: (1) near-dup drop — a vector is
+    // dropped iff a smaller-id partner has rounded cos ≥ 0.35
+    // (embed_neardup's exact predicate, the canonical-survivor rule);
+    // (2) prototype drop — the top ⌊m/4⌋ SURVIVORS by kNN-PageRank
+    // (ties by vec_id) are the over-represented modes diversity
+    // selection removes. Every term is a long or a deterministic
+    // window, so the composed PIPELINE hash-matches DuckDB end-to-end
+    // — not just its parts. The global row_number/count windows are
+    // the oracle arm's price (bounded here by the n² exact-kNN base
+    // it already sits on); the scale arm swaps in knn_graph_nnd edges
+    // + an approx-quantile rank threshold, both measured elsewhere.
+    "graph_diversity_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val pr = pagerank(Similarity.knnGraph(emb, 3)
+          .select(col("src"), col("dst")))
+        .select(col("node").as("vec_id"), col("rank"))
+      val dup = Similarity.exactPairs(emb, 0.35)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("dup", lit(1L))
+      val base = pr.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("rank"),
+          coalesce(col("dup"), lit(0L)).as("is_dup"))
+      val surv = base.filter(col("is_dup") === 0)
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("rank").desc, col("vec_id")))
+            .cast("long"))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+        .select(col("vec_id"),
+          (col("rn") <= expr("m div 4")).cast("long").as("is_proto"))
+      base.join(surv, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("rank"), col("is_dup"),
+          coalesce(col("is_proto"), lit(0L)).as("is_proto"),
+          (col("is_dup") === 0 &&
+            coalesce(col("is_proto"), lit(0L)) === 0)
+            .cast("long").as("selected"))
+        .orderBy(col("vec_id"))
+    }))
 
   /** Unrolled integer-PageRank CTE chain (DuckDB). CTEs must be
     * MATERIALIZED: DuckDB inlines plain CTEs, and each iteration
     * references the previous one three times, so the inlined tree is
     * 3^iters — the materialization hint is what makes 10 unrolled
-    * rounds linear. `edgesSql` must yield distinct BIGINT (src, dst). */
-  private def pagerankSql(edgesSql: String, finalSelect: String): String = {
+    * rounds linear. `edgesSql` must yield distinct BIGINT (src, dst).
+    * `extraCtes` (optional) are appended after the rank chain so
+    * composed oracles (diversity selection) can post-process r$Iters. */
+  private def pagerankSql(edgesSql: String, finalSelect: String,
+      extraCtes: String = ""): String = {
     val iterCtes = (0 until Iters).map { t =>
       s""" d$t AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dm
          |   FROM r$t r JOIN info i ON r.node = i.node WHERE i.outdeg = 0),
@@ -257,7 +301,7 @@ object Graph {
        | nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM info),
        | r0 AS MATERIALIZED (SELECT node, CAST($Scale AS BIGINT) AS rank
        |   FROM info),
-       |$iterCtes
+       |$iterCtes${if (extraCtes.nonEmpty) ",\n" + extraCtes else ""}
        |$finalSelect""".stripMargin
   }
 
@@ -309,5 +353,42 @@ object Graph {
          |    (2 * COALESCE(tc.tri_cnt, 0) * 10000) // (i.deg * (i.deg - 1))
          |  ELSE 0 END AS clust_bp
          |FROM info i LEFT JOIN tc ON i.node = tc.node
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+
+    // The composed selection: the pagerank chain post-processed by the
+    // near-dup drop (embed_neardup's rounded-cosine predicate, fresh
+    // nested CTEs — knnGraphCtes' names are scoped inside the edges
+    // CTE) and the survivor-quartile prototype drop (row_number/count
+    // windows, ties by vec_id — identical spelling on both engines).
+    "graph_diversity_select" -> pagerankSql(
+      s"""WITH ${Similarity.knnGraphCtes}
+         |SELECT src, dst FROM r WHERE rn <= 3""".stripMargin,
+      s"""SELECT b.vec_id, b.rank, b.is_dup,
+         |  CAST(CASE WHEN s.rn IS NOT NULL AND s.rn <= s.m // 4
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_proto,
+         |  CAST(CASE WHEN b.is_dup = 0 AND s.rn > s.m // 4
+         |       THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM basev b LEFT JOIN sv s ON b.vec_id = s.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
+      extraCtes =
+        s""" dupv AS MATERIALIZED (
+           |   WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |               FROM embeddings),
+           |    n2 AS (SELECT vec_id, emb,
+           |      LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i]))
+           |        AS sq
+           |     FROM e2)
+           |   SELECT DISTINCT b.vec_id AS vec_id
+           |   FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
+           |   WHERE ROUND(
+           |     LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
+           |     / (SQRT(a.sq) * SQRT(b.sq)), 4) >= 0.35),
+           | basev AS (SELECT r.node AS vec_id, r.rank,
+           |     CASE WHEN d.vec_id IS NULL THEN CAST(0 AS BIGINT)
+           |          ELSE CAST(1 AS BIGINT) END AS is_dup
+           |   FROM r$Iters r LEFT JOIN dupv d ON r.node = d.vec_id),
+           | sv AS (SELECT vec_id,
+           |     ROW_NUMBER() OVER (ORDER BY rank DESC, vec_id) AS rn,
+           |     COUNT(*) OVER () AS m
+           |   FROM basev WHERE is_dup = 0)""".stripMargin))
 }

@@ -161,6 +161,27 @@ class GraphSpec extends SparkSpec {
     assert(overlap >= 0.6, s"top-decile overlap $overlap")
   }
 
+  test("graph_diversity_select: D4 selection invariants (sf0.001)") {
+    val out = Graph.queries("graph_diversity_select")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(out.length === n.toInt)
+    // selected ⟺ survived BOTH drops; proto-drop applies to survivors only.
+    assert(out.forall { case (_, _, d, p, s) =>
+      s === (if (d == 0 && p == 0) 1L else 0L) && !(d == 1 && p == 1)
+    })
+    // The prototype cut is exactly the top-⌊m/4⌋ survivors by
+    // (rank desc, vec_id) — the documented deterministic order.
+    val surv = out.filter(_._3 == 0).sortBy(t => (-t._2, t._1))
+    val m = surv.length
+    assert(out.count(_._4 == 1) === m / 4)
+    assert(surv.take(m / 4).forall(_._4 == 1))
+    assert(surv.drop(m / 4).forall(_._4 == 0))
+    // The clustered corpus really exercises the near-dup arm.
+    assert(out.count(_._3 == 1) > 0)
+  }
+
   test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
     val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
     val n = Tables.embeddings(spark, sf0001).count()
