@@ -373,7 +373,8 @@ object StressBench {
     // (StressGen shifts order keys only), so the distinct edge set
     // saturates toward the bipartite limit while the lineitem⋈orders
     // derivation scan grows ×factor — the row prices the linear scan
-    // plus a bounded-node fixpoint (e_time ≲ 1 is the pass bar; per
+    // plus a bounded-node fixpoint (artifact_check gates e_time ≤ 1.2:
+    // the ≈1 analytic bar for the scan plus host-noise margin; per
     // round the cost stays one rank-by-node shuffle join + one
     // map-side-combined contribution agg, the 100 TB round shape).
     // graph_pagerank_nnd rides nndScales: the composed 100 TB arm of

@@ -134,6 +134,16 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .select(col("node"), col("deg"),
           (col("deg") * OrdScale + col("node")).as("ord")))
+    // Enforce the documented id domain (0 ≤ node < OrdScale): outside
+    // it, ord stops encoding the (deg, node) order and `% OrdScale`
+    // recovers a WRONG node — every tri_cnt would silently read 0 via
+    // the failed join-back rather than erroring. One cheap agg over
+    // the already-cached info frame (the pagerank require() precedent).
+    val dom = info.df.agg(min(col("node")), max(col("node"))).head()
+    require(dom.isNullAt(0) ||
+        (dom.getLong(0) >= 0L && dom.getLong(1) < OrdScale),
+      s"triangles: node ids must lie in [0, $OrdScale) — got " +
+        s"[${dom.get(0)}, ${dom.get(1)}]")
     val ia = info.df.select(col("node").as("a"), col("ord").as("oa"))
     val ib = info.df.select(col("node").as("b"), col("ord").as("ob"))
     val oriented = Q.ownPersist(
@@ -248,12 +258,18 @@ object Graph {
       val pr = pagerank(Similarity.knnGraph(emb, 3)
           .select(col("src"), col("dst")))
         .select(col("node").as("vec_id"), col("rank"))
-      val dup = Similarity.exactPairs(emb, 0.35)
+      val dup = Similarity.exactPairs(emb, Similarity.NeardupCos)
         .select(col("vec_b").as("vec_id")).distinct()
         .withColumn("dup", lit(1L))
-      val base = pr.join(dup, Seq("vec_id"), "left")
+      // Persisted: the final join reads `base` in BOTH branches (the
+      // verdict spine and the survivor window), and relying on
+      // ReuseExchange to dedupe the O(n²) exactPairs subplan would be
+      // plan-shape-dependent. Handle intentionally leaked to the
+      // runner's per-query clearCache (the knnGraphBlocked lifecycle:
+      // the lazy result frame is built over the cache).
+      val base = Q.ownPersist(pr.join(dup, Seq("vec_id"), "left")
         .select(col("vec_id"), col("rank"),
-          coalesce(col("dup"), lit(0L)).as("is_dup"))
+          coalesce(col("dup"), lit(0L)).as("is_dup"))).df
       val surv = base.filter(col("is_dup") === 0)
         .withColumn("rn",
           row_number().over(Window.orderBy(col("rank").desc, col("vec_id")))
@@ -382,7 +398,7 @@ object Graph {
            |   FROM n2 a JOIN n2 b ON a.vec_id < b.vec_id
            |   WHERE ROUND(
            |     LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
-           |     / (SQRT(a.sq) * SQRT(b.sq)), 4) >= 0.35),
+           |     / (SQRT(a.sq) * SQRT(b.sq)), 4) >= ${Similarity.NeardupCos}),
            | basev AS (SELECT r.node AS vec_id, r.rank,
            |     CASE WHEN d.vec_id IS NULL THEN CAST(0 AS BIGINT)
            |          ELSE CAST(1 AS BIGINT) END AS is_dup

@@ -49,6 +49,13 @@ object Similarity {
   def cos4(a: Column, b: Column): Column =
     round(dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b))), 4)
 
+  /** The calibrated exact near-dup cosine threshold — ONE knob shared by
+    * every Spark arm and every oracle spelling that claims "embed_neardup's
+    * predicate" (embed_neardup, simjoin_auto, dedup_semantic[_verdict],
+    * Graph.graph_diversity_select). Recalibrating it here moves all of
+    * them together; a drifted copy was the review-pass risk this removes. */
+  val NeardupCos = 0.35
+
   /** cosine from a pairwise dot and per-side precomputed squared norms —
     * norms are attached to each side BEFORE the pair join, saving 2/3 of
     * the kernel work on O(n²) pair streams. Same arithmetic, same value. */
@@ -1531,7 +1538,7 @@ object Similarity {
     "embed_neardup" -> ((s, d) =>
       // Exact near-dup pairs in embedding space (threshold calibrated on
       // the corpus: cos >= 0.35 keeps a few hundred pairs at sf0.01).
-      exactPairs(Tables.embeddings(s, d), 0.35)
+      exactPairs(Tables.embeddings(s, d), NeardupCos)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "simjoin_auto" -> ((s, d) =>
@@ -1542,7 +1549,7 @@ object Similarity {
       // PlanShapeSpec pins both expansions' plan shapes.
       graft.plans.SimilarityJoin.cosineSelfJoin(
           Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", 0.35)
+          "vec_id", "embedding", NeardupCos)
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
@@ -1583,13 +1590,13 @@ object Similarity {
       // SemDeDup verdicts at embed_neardup's calibrated threshold —
       // sketch row (cluster assignment isn't SQL-expressible); precision
       // 1.0 by construction, recall property-gated in LlmSpec.
-      semanticDedup(Tables.embeddings(s, d), 0.35)),
+      semanticDedup(Tables.embeddings(s, d), NeardupCos)),
 
     "dedup_semantic_verdict" -> ((s, d) =>
       // Oracle arm of dedup_semantic: the same components-and-keep
       // verdict over the exact pair frame (deterministic, recursive-CTE
       // expressible) — hash-matched in DuckDB.
-      semanticVerdictExact(Tables.embeddings(s, d), 0.35)),
+      semanticVerdictExact(Tables.embeddings(s, d), NeardupCos)),
 
     "embed_lshpairs" -> ((s, d) => {
       // Strongest verified near-dup candidates surfaced by the
@@ -1756,7 +1763,7 @@ object Similarity {
          |ORDER BY probe_id""".stripMargin,
 
     "embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | ROUND(
@@ -1769,14 +1776,14 @@ object Similarity {
         |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
         |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
         |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
-        |   4) >= 0.35
+        |   4) >= $NeardupCos
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // The exact-arm SemDeDup verdict: embed_neardup's pair predicate
     // feeding dedup_components' recursive-CTE reachability, then the
     // canonical-member keep flag over EVERY corpus vector.
     "dedup_semantic_verdict" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |       FROM embeddings),
         | pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -1785,7 +1792,7 @@ object Similarity {
         |     LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
         |     / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
         |      * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
-        |     4) >= 0.35),
+        |     4) >= $NeardupCos),
         | ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
         | r(a, b) AS (SELECT a, b FROM ed
@@ -1803,7 +1810,7 @@ object Similarity {
     // simjoin_auto expands to the exact plan at verify scale (stats-based
     // auto), so its oracle is the same exact-cosine SQL.
     "simjoin_auto" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         | ROUND(
@@ -1816,7 +1823,7 @@ object Similarity {
         |   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * b.emb[i]))
         |   / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> a.emb[i] * a.emb[i])))
         |    * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> b.emb[i] * b.emb[i])))),
-        |   4) >= 0.35
+        |   4) >= $NeardupCos
         |ORDER BY vec_a, vec_b""".stripMargin
     // ann_ivf: approximate (bucketed) → rows-only gate; recall vs sim_topk
     // is property-tested in LlmSpec.

@@ -86,10 +86,14 @@ class GraphSpec extends SparkSpec {
     assert(out.select(countDistinct(col("vec_id"))).collect()(0).getLong(0) === n)
   }
 
-  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
-    Graph.triangles(edgesDf(edges)).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] = {
+    val rows = Graph.triangles(edgesDf(edges)).collect()
+    // One row per node BEFORE the Map collapse — a duplicate-emitting
+    // regression must fail here, not vanish into last-write-wins.
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
+  }
 
   test("triangles: 4-clique with a pendant matches hand counts") {
     // Clique {1,2,3,4} (each node in C(3,2)=3 triangles, clust 10000),

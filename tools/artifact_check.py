@@ -190,7 +190,7 @@ if stress is not None:
     # a node set that does grow — gate it RELATIVE to its co-measured
     # edge source (the rounds add O(n·k) per round), same discipline as
     # the refine-vs-blocked relative gate above.
-    rows("graph_pagerank")
+    rows("graph_pagerank", min_scales=4)
     _pe = q.get("graph_pagerank", {}).get("e_time")
     if _pe is not None and _pe > 1.2:
         failures.append(
