@@ -73,6 +73,17 @@ object Graph {
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     val n = info.df.count()
     require(n > 0, "pagerank over an empty edge list")
+    // Enforce the documented int64 headroom at runtime (the triangles
+    // OrdScale precedent): the widest intermediate 85·(Σ contrib +
+    // dangling div n) is bounded by 85·n·Scale, and Spark long sums
+    // WRAP silently outside ANSI mode — past this bound the op would
+    // return garbage ranks, not an error. At Scale = 10^12 the bound
+    // is ~1.08e5 nodes; for a larger corpus drop Scale (the constant
+    // is the knob — 10^6 clears 10^11 nodes).
+    val maxNodes = Long.MaxValue / (85L * Scale)
+    require(n <= maxNodes,
+      s"pagerank: $n nodes exceeds the int64 headroom $maxNodes at " +
+        s"Scale=$Scale — lower Scale for this corpus")
     var ranks = info.df.select(col("node"), lit(Scale).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {

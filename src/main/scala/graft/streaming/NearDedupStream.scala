@@ -111,7 +111,19 @@ object NearDedupStream {
     // the band buckets this batch actually touches. doc_a < doc_b keeps
     // the "smaller id wins" total order even if delivery was not
     // monotone (see the delivery contract above).
-    val havePast = fs.exists(new Path(bandsDir))
+    // BOTH store halves must exist before the cross-epoch path runs: a
+    // crash between the bands write and the payload write on the FIRST
+    // data-bearing epoch leaves bands without payload, and a replay
+    // that trusted bands alone would read a payload dir that does not
+    // exist — a permanent crash loop. Bands-without-payload can only
+    // hold the crashed epoch's own rows (the payload dir, once created
+    // by any completed epoch, never disappears, and an uncommitted
+    // epoch replays with the same batchId), so treating that state as
+    // "no past" is bit-correct: the batch's own docs are re-covered by
+    // the within-batch banding and the per-epoch overwrite replaces
+    // the partial bands data.
+    val havePast = fs.exists(new Path(bandsDir)) &&
+      fs.exists(new Path(payloadDir))
     val crossPairs =
       if (!havePast) None
       else {

@@ -16,6 +16,11 @@ import sys
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "."
 failures = []
 
+# Spill only selects the JVM-memory-stall fingerprint when it is a
+# material fraction of the heavy tier's working set (see the function
+# doc). 64 MiB ~= one shuffle partition of the sf0.1 tier.
+SPILL_MATERIAL_BYTES = 64 << 20
+
 
 def heavy_breach_fingerprint(bench):
     """Ordered attribution for a heavy-tier budget breach (VERDICT r10 #2).
@@ -24,12 +29,18 @@ def heavy_breach_fingerprint(bench):
     own cpu_share columns said the workers were descheduled — it looked
     at gc alone. The diagnosis now reads the evidence in order:
 
-      1. spill > 0, or gc both >= half the budget excess AND >= 10% of
-         the tier wall time                            -> JVM memory stall
+      1. MATERIAL spill (>= SPILL_MATERIAL_BYTES), or gc both >= half
+         the budget excess AND >= 10% of the tier wall time
+                                                       -> JVM memory stall
          (the excess-alone test is degenerate when total barely clears
          budget: r10's 1.2 s excess made its routine 4.3 s of gc — 4.7%
          of the tier — read as a "stall"; a real collector stall is a
-         material fraction of the tier itself)
+         material fraction of the tier itself. Likewise spill: a few
+         stray MB on one entry is incidental, not memory pressure — a
+         genuinely host-stalled run with a tiny spill must not be
+         misattributed as self-inflicted and lose its normalization
+         (ADVICE r11). The sf0.1 heavy tier's working set is O(100 MB);
+         spill below ~a tier partition's worth is noise.)
       2. time-weighted mean heavy cpu_share < 0.7      -> host stall
          (the OS descheduled the worker threads; external load)
       3. otherwise                                     -> plan regression
@@ -51,7 +62,7 @@ def heavy_breach_fingerprint(bench):
                 if secs.get(k, -1) >= 0]
     wall = sum(s for s, _ in weighted)
     mean_share = (sum(s * c for s, c in weighted) / wall) if wall > 0 else None
-    if spill > 0 or (gc_total is not None and excess > 0
+    if spill >= SPILL_MATERIAL_BYTES or (gc_total is not None and excess > 0
                      and gc_total >= max(0.5 * excess, 0.1 * total)):
         gc_str = f"{gc_total:.1f}s" if gc_total is not None else "n/a"
         return (f"JVM memory stall (gc {gc_str} / spill {spill} B "

@@ -97,11 +97,21 @@ if got6b != "":
 
 # 6c. Spill present but gc column absent: the spill branch fires alone
 #     and must not crash formatting a missing gc total (r11 review
-#     pass — f"{None:.1f}" raises TypeError).
+#     pass — f"{None:.1f}" raises TypeError). Spill must be MATERIAL
+#     (>= SPILL_MATERIAL_BYTES) for the branch to fire at all.
 check("spill-no-gc",
       fp({"heavy_total": 95.0, "heavy_budget_sec": 90.0,
-          "heavy_spill_bytes": {"a": 1 << 20}}),
+          "heavy_spill_bytes": {"a": 1 << 30}}),
       "JVM memory stall")
+
+# 6d. ADVICE r11: a genuinely host-stalled run (cpu_share 0.55/0.60)
+#     with INCIDENTAL spill (1 MiB on one entry, far below the material
+#     threshold) must read as a host stall — the old spill>0 test
+#     misattributed it as self-inflicted and blocked normalization.
+tiny = bench(100.0, 90.0, 2.0, 0,
+             [0.55, 0.60], {"a": 60.0, "b": 40.0})
+tiny["heavy_spill_bytes"] = {"a": 1 << 20, "b": 0}
+check("tiny-spill-host-stall", fp(tiny), "host stall")
 
 # 7. Weighting matters: many fast healthy entries must not wash out the
 #    slow descheduled ones — the mean is time-weighted.
