@@ -93,6 +93,15 @@ object StressBench {
     * blocked-seeded pipeline cannot. */
   val nndScales = 3
 
+  /** r12 (VERDICT r11 #7): the linear BUILD's headline claim gets one
+    * more half-decade — an s30 point (600 k vectors) either confirms
+    * e_time stays ≤ 1.0 past the constant-dominated regime or catches
+    * the bend early. The composed rows (pagerank / triangles /
+    * diversity over the NND edges) stay at [[nndScales]] to contain
+    * sweep cost; their gates are fits RELATIVE to the co-measured
+    * source, which now spans the wider range. */
+  val nndBuildScales = 4
+
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
     * the 0.8 recall floor auto correctly refuses LSH, and the exact
     * answer it computes is itself near-quadratic in size (~40 M pairs at
@@ -359,12 +368,38 @@ object StressBench {
         measure(() => SparkEntry.queries("knn_graph_refine")(spark, dir)))
     }
 
-    // The linear arm reaches one scale further — see [[nndScales]].
-    for ((scale, _) <- uniformScales.take(nndScales)) {
+    // The linear arm reaches further than its super-linear siblings —
+    // see [[nndScales]] / [[nndBuildScales]].
+    for ((scale, _) <- uniformScales.take(nndBuildScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("knn_graph_nnd", scale,
         measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
+    }
+
+    // r12: the composed NND-family rows (VERDICT r11 #1/#3) — local
+    // clustering and D4 diversity selection priced over the SAME
+    // linear edge build the rest of the family rides.
+    // graph_triangles_nnd is the one-line composition
+    // triangles(knnGraphNnd edges): the wedge join fans by oriented
+    // out-degree (bounded by the graph's k), so its growth class
+    // should be its edge source's — this row measures the m^1.5
+    // wedge-fan claim at the scales the NND family reaches.
+    // graph_diversity_select_nnd is the registry row (NND edges →
+    // pagerank → edge-derived near-dup drop → approx-quantile
+    // cutoff). Both gated RELATIVE to the co-measured knn_graph_nnd
+    // source in artifact_check (≤ source + 0.3, the
+    // graph_pagerank_nnd precedent).
+    for ((scale, _) <- uniformScales.take(nndScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("graph_triangles_nnd", scale,
+        measure(() => llm.Graph.triangles(
+          llm.Similarity.knnGraphNnd(Tables.embeddings(spark, dir), 3)
+            .select(col("src"), col("dst")))))
+      record("graph_diversity_select_nnd", scale,
+        measure(() =>
+          SparkEntry.queries("graph_diversity_select_nnd")(spark, dir)))
     }
 
     // r11 graph family. graph_pagerank = 10 fixed integer-PageRank

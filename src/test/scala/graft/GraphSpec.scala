@@ -186,6 +186,34 @@ class GraphSpec extends SparkSpec {
     assert(out.count(_._3 == 1) > 0)
   }
 
+  test("graph_diversity_select_nnd: linear arm agrees with the oracle arm's selection (sf0.001)") {
+    def sets(name: String) = {
+      val rows = Graph.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // selected ⟺ survived BOTH drops (shared output contract).
+      assert(rows.forall { case (_, d, p, s) =>
+        s === (if (d == 0 && p == 0) 1L else 0L) && !(d == 1 && p == 1)
+      })
+      (rows.map(_._1).toSet, rows.filter(_._4 == 1).map(_._1).toSet)
+    }
+    val (oracleIds, oracleSel) = sets("graph_diversity_select")
+    val (nndIds, nndSel) = sets("graph_diversity_select_nnd")
+    // Same corpus coverage: every vector gets a verdict in both arms.
+    assert(nndIds === oracleIds)
+    // The linear arm must make materially the same selection as the
+    // hash-matched oracle arm — the divergences are the LSH near-dup
+    // recall (vs exactPairs), the NND edge recall (0.94 at sf0.01),
+    // and the approx-quantile cutoff (vs the exact m/4 order). The
+    // arms' contract is the SELECTED SET, so that is what's gated.
+    // Deterministic given catalog stats (the nnd family contract);
+    // gate with margin under the measured point (see the info line).
+    val jac = (oracleSel & nndSel).size.toDouble / (oracleSel | nndSel).size
+    info(f"selected-set Jaccard $jac%.3f " +
+      s"(|oracle|=${oracleSel.size}, |nnd|=${nndSel.size})")
+    assert(jac >= 0.7, s"selected-set Jaccard $jac < 0.7 " +
+      s"(|oracle|=${oracleSel.size}, |nnd|=${nndSel.size})")
+  }
+
   test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
     val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
     val n = Tables.embeddings(spark, sf0001).count()

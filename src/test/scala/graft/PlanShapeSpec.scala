@@ -269,20 +269,38 @@ class PlanShapeSpec extends SparkSpec {
         "probe must stay inside whole-stage codegen")
   }
 
-  test("pack/dsir offset windows keep a partition key after optimization (zero unpartitioned WindowExec, VERDICT r8)") {
-    // The two-phase prefix-sum ops run their P-row offset window under a
-    // constant key purely for warning hygiene; EliminateWindowPartitions
-    // strips FOLDABLE keys, so this pins that the key survives the
-    // optimizer — a regression here floods the sweep with
-    // `WindowExec: No Partition Defined` noise again.
+  test("zero unpartitioned windows across the ENTIRE registry (VERDICT r11 #2)") {
+    // r8 pinned this for pipeline_pack/curate_dsir only (their P-row
+    // offset windows run under a constant key that
+    // EliminateWindowPartitions must not strip) — which is exactly why
+    // the two global windows in graph_diversity_select's oracle arm
+    // landed in r11 without a test failing. The sweep now collects
+    // Window nodes from EVERY registry row's optimized plan: an
+    // unpartitioned window is a single-partition global sort at scale,
+    // so a new one must be an explicit, allowlisted oracle-arm choice
+    // with a registered scale arm — never an accident.
+    // Note the sweep sees the RETURNED frame's plan; stages an
+    // operator runs eagerly (fixpoint rounds behind localCheckpoint)
+    // are covered by their own family plan tests.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (q <- Seq("pipeline_pack", "curate_dsir")) {
-      val bad = SparkEntry.queries(q)(spark, sf0001)
-        .queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-      assert(bad.isEmpty, s"$q plans ${bad.size} unpartitioned window(s)")
+    val allowed = Set(
+      // The hash-matched oracle arm of D4 selection: the exact top
+      // ⌊m/4⌋ prototype cut is a total order BY CONSTRUCTION (the
+      // whole point is hash parity with DuckDB's ROW_NUMBER OVER
+      // (ORDER BY ...)); bounded by the n² exact-pair base it already
+      // sits on. The scale arm is graph_diversity_select_nnd
+      // (approx-quantile cutoff, zero global windows — swept here).
+      "graph_diversity_select")
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.optimizedPlan
+      val n = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      spark.catalog.clearCache()
+      if (n > 0 && !allowed.contains(name)) Some(s"$name ($n)") else None
     }
+    assert(bad.isEmpty, s"unpartitioned window(s) in: ${bad.mkString(", ")}")
   }
 
   test("ann_pq/ann_ivfpq: the ADC window's input is the narrow (probe_id, vec_id, adc) stream (ADVICE r9)") {
