@@ -59,8 +59,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
  * cost is O(batch + candidates), the same class as one batch-operator
  * run over the batch, regardless of how much history the store holds.
  * Like every epoch-directory sink, buckets accumulate O(epochs) files;
- * the compaction chore is [[StreamPipelines.compactUpsertTarget]]'s
- * pattern applied per store (operational note, not implemented twice).
+ * [[compactStore]] is the between-epochs chore that folds committed
+ * epoch directories into one consolidated epoch per side, keeping the
+ * `_bucket`/`_pbucket` pruning property (for a continuously-ingesting
+ * store this is load-bearing, VERDICT r11 #4 — the per-epoch reads
+ * degrade via file listing long before data volume matters).
  */
 object NearDedupStream {
 
@@ -192,9 +195,103 @@ object NearDedupStream {
   }
 
   /** All verdicts accumulated so far, in the batch twin's shape and
-    * order (doc_id, kept, dup_of, jaccard). */
+    * order (doc_id, kept, dup_of, jaccard). dropDuplicates guards the
+    * one [[compactStore]] crash window (sources deleted mid-way after
+    * the consolidated write — duplicate IDENTICAL rows until the next
+    * compaction heals them); duplicates are full-row equal, so the
+    * dedup is deterministic. */
   def readVerdicts(spark: SparkSession, target: String): DataFrame =
     spark.read.parquet(s"$target/verdicts")
       .select(col("doc_id"), col("kept"), col("dup_of"), col("jaccard"))
+      .dropDuplicates("doc_id")
       .orderBy(col("doc_id"))
+
+  /**
+   * Between-epochs store compaction (VERDICT r11 #4) — the sink's
+   * twin of [[StreamPipelines.compactUpsertTarget]], adapted to the
+   * epoch-directory layout: each side (bands / payload / verdicts)
+   * accumulates one directory per epoch, so cross-epoch reads pay
+   * O(epochs × buckets) file listings; this folds every COMMITTED
+   * epoch directory (ledger-markered — an uncommitted epoch's dirs
+   * belong to its replay, which will overwrite them) plus any prior
+   * consolidated directory into ONE fresh consolidated epoch, written
+   * `partitionBy` the side's bucket column so the `_bucket`/`_pbucket`
+   * partition pruning the per-epoch reads rely on survives compaction
+   * (epoch stays the outer partition level; pruning on the bucket
+   * column prunes inside every epoch subtree).
+   *
+   * Crash safety, write-first protocol: the consolidated epoch gets a
+   * fresh NEGATIVE id (real batchIds are ≥ 0, so no collision, and
+   * the reads never consult the epoch value), is fully written before
+   * any source directory is deleted, and each side deduplicates its
+   * rows (bands/verdicts are relations; payload is keyed by doc_id) —
+   * so every partial state is harmless and self-healing:
+   *   - crash mid-write: only `_temporary` turds under the new dir
+   *     (invisible to readers); a re-run recomputes the same id and
+   *     overwrites them;
+   *   - crash mid-delete: some rows exist twice (consolidated + an
+   *     undeleted source) — duplicate doc_ids are verdict-parity
+   *     harmless through verifyPairs (verdictsFromPairs' row_number
+   *     window picks the same smallest partner) and the next
+   *     compaction's dedup removes them.
+   * Ledger markers are kept: a late replay of an absorbed epoch must
+   * still hit the marker and no-op. Same single-writer contract as
+   * the sink — run it between epochs, never concurrently with one.
+   * Returns the number of epoch directories folded away (0 = nothing
+   * to do). Verdict bit-parity across compact + further epochs, file
+   * reduction, and double-compaction idempotence are asserted in
+   * StreamingSpec.
+   */
+  def compactStore(spark: SparkSession, target: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(target).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ledger = new Path(target, "_epochs")
+    if (!fs.exists(ledger)) return 0
+    val committed = fs.listStatus(ledger)
+      .map(_.getPath.getName).flatMap(_.toLongOption).toSet
+    var folded = 0
+    for ((side, bucketCol) <- Seq(("bands", Some("_bucket")),
+        ("payload", Some("_pbucket")), ("verdicts", None))) {
+      val sideDir = new Path(target, side)
+      if (fs.exists(sideDir)) {
+        val epochDirs = fs.listStatus(sideDir).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("epoch="))
+          .flatMap(st => st.getPath.getName.stripPrefix("epoch=")
+            .toLongOption.map(_ -> st.getPath))
+        // Sources: committed epochs + prior consolidated (negative)
+        // dirs. < 2 sources = nothing to fold on this side.
+        val srcs = epochDirs.filter { case (e, _) =>
+          e < 0 || committed.contains(e) }
+        if (srcs.size >= 2) {
+          val newId = math.min(srcs.map(_._1).min, 0L) - 1
+          // basePath anchors partition discovery at the side root (the
+          // epoch dirs alone otherwise read as conflicting roots);
+          // `epoch` then surfaces as a column and is dropped — the
+          // consolidated dir supplies its own.
+          val merged = spark.read.option("basePath", sideDir.toString)
+            .parquet(srcs.map(_._2.toString): _*)
+            .drop("epoch")
+          val deduped = bucketCol match {
+            case Some(_) if side == "bands" => merged.distinct()
+            case _ => merged.dropDuplicates("doc_id")
+          }
+          // Hash-repartition on the write key so each bucket dir gets
+          // ~one file (AQE coalesces the small-store case down to a
+          // handful of tasks) — the compaction point.
+          val w = bucketCol match {
+            case Some(b) => deduped.repartition(col(b))
+            case None => deduped.repartition(col("doc_id"))
+          }
+          val writer = w.write.mode("overwrite")
+          bucketCol.fold(writer)(b => writer.partitionBy(b))
+            .parquet(new Path(sideDir, s"epoch=$newId").toString)
+          srcs.foreach { case (_, p) => fs.delete(p, true) }
+          folded += srcs.size
+        }
+      }
+    }
+    folded
+  }
 }
