@@ -520,11 +520,21 @@ object Similarity {
       .union(und.df)
       .union(edges.df.select(col("src"), col("dst")))
       .distinct()
+    // Embedding attach via Q.maybeBroadcast (r12, found at stress s30):
+    // the per-vector side (~300 B/row) outgrows Spark's auto-broadcast
+    // estimate from ~30 k vectors, so unhinted these joins sort-merge —
+    // each round then SORTS the ≤ 4·n·k² candidate stream twice (its
+    // widest frames), and at 600 k vectors (s30) the round drowns in
+    // sort spill: 829 s vs 63 s at s10, gc only 1.2% of wall. With the
+    // conf-gated broadcast (8M-row threshold, falling back to the
+    // shuffle join a cluster-scale corpus needs) the candidate stream
+    // never sorts for the attach — only the per-src top-k window
+    // shuffles it, as (src, dst, cos) narrow rows.
     val scored = cand
-      .join(eOwned.df.select(col("vec_id").as("src"),
-        col("embedding").as("ea"), col("sq").as("sqa")), Seq("src"))
-      .join(eOwned.df.select(col("vec_id").as("dst"),
-        col("embedding").as("eb"), col("sq").as("sqb")), Seq("dst"))
+      .join(Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("sq").as("sqa"))), Seq("src"))
+      .join(Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("sq").as("sqb"))), Seq("dst"))
       .select(col("src"), col("dst"),
         cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
           .as("cos_sim"))
@@ -647,6 +657,14 @@ object Similarity {
    * LlmSpec gates edge recall vs the exact graph at sf0.01.
    */
   def knnGraphNnd(emb: DataFrame, k: Int, rounds: Int = 5): DataFrame = {
+    val nEst = graft.plans.StatsEst.estimatedRows(
+        emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
+      .max(BigInt(1)).toLong
+    knnGraphNndBody(emb, k, rounds, nEst)
+  }
+
+  private def knnGraphNndBody(emb: DataFrame, k: Int, rounds: Int,
+      nEst: Long): DataFrame = {
     val eOwned = graft.Q.ownPersist(refineEmbFrame(emb))
     eOwned.df.count()
     // Seed part 1: LSH locality pairs. Band keys are DERIVED from the
@@ -663,9 +681,8 @@ object Similarity {
     val lshPairs = hyperplaneCandidatePairs(sigs.df)
     // Seed part 2: hash-ring exploration edges, normalized to the
     // vec_a < vec_b invariant lshPairs carries so the union dedupes.
-    val nEst = graft.plans.StatsEst.estimatedRows(
-        emb.queryExecution.optimizedPlan, graft.plans.StatsEst.EstRowBytesVec)
-      .max(BigInt(1)).toLong
+    // (nEst comes from the wrapper — one stats estimate serves both
+    // the ring-bucket sizing and the partition scaling.)
     val nBuckets = math.max(1L, nEst / 64)
     val wRing = Window.partitionBy(col("bk")).orderBy(col("vec_id"))
     val ring = emb
@@ -679,11 +696,18 @@ object Similarity {
     // the whole seed-scoring subtree (distinct + two embedding joins +
     // the cosine kernel), and ReuseExchange dedupes only the exchanges
     // below it — unpersisted, the seed scoring would execute twice.
+    // Embedding sides go through Q.maybeBroadcast (r12, found at
+    // stress s30): the per-vector frame (~300 B/row) exceeds Spark's
+    // 10 MB auto-broadcast estimate from ~30 k vectors, so unhinted,
+    // every attach join SORT-MERGE-joins — i.e. fully sorts — the
+    // candidate stream; see the refineRound comment for the measured
+    // cost. Conf-gated: past the 8M-row threshold it falls back to the
+    // shuffle join a >billion-vector cluster corpus genuinely needs.
     val scored = graft.Q.ownPersist(lshPairs.union(ring).distinct()
-      .join(eOwned.df.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("sq").as("sqa")), Seq("vec_a"))
-      .join(eOwned.df.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("sq").as("sqb")), Seq("vec_b"))
+      .join(Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("sq").as("sqa"))), Seq("vec_a"))
+      .join(Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("sq").as("sqb"))), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
           .as("cos_sim")))
