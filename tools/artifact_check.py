@@ -216,6 +216,38 @@ if stress is not None:
             f"BENCH_stress.json: graph_pagerank_nnd e_time {_pn} grows "
             f"faster than its knn_graph_nnd edge source {_nn} + 0.3 — "
             f"the PageRank rounds stopped being O(n·k) per round")
+    # r12 (VERDICT r11 #7): the linear-build claim's s30 point — one
+    # more half-decade past the constant-dominated regime.
+    if "s30" not in q.get("knn_graph_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: knn_graph_nnd lacks its s30 point "
+            "(VERDICT r11 #7) — re-run the sweep with nndBuildScales=4")
+    # r12 (VERDICT r11 #1/#3): the composed NND-family rows — local
+    # clustering (triangles) and D4 diversity selection over the linear
+    # edge build — gated RELATIVE to the co-measured edge source, the
+    # graph_pagerank_nnd discipline: triangles' wedge join fans by the
+    # graph's bounded k and diversity adds pagerank rounds + one
+    # edge-derived dup drop + one quantile agg, all O(n·k)-class.
+    for comp, claim in (("graph_triangles_nnd",
+                         "the oriented wedge fan left the m^1.5 class"),
+                        ("graph_diversity_select_nnd",
+                         "a selection stage stopped being linear")):
+        rows(comp, min_scales=3)
+        _ce = q.get(comp, {}).get("e_time")
+        if _ce is not None and _nn is not None and _ce > _nn + 0.3:
+            failures.append(
+                f"BENCH_stress.json: {comp} e_time {_ce} grows faster "
+                f"than its knn_graph_nnd edge source {_nn} + 0.3 — {claim}")
+    # r12 (VERDICT r11 #8): the rerank join is broadcast-PINNED on the
+    # bounded survivor frame — at s30 the optimizer's estimate used to
+    # cross the threshold and shuffle the whole embedding table into a
+    # SortMergeJoin (7.2 → 21.3 s). The strategy field is the witness.
+    for sc, v in q.get("ann_ivfpq", {}).items():
+        if isinstance(v, dict) and "SortMergeJoin" in (v.get("strategy") or ""):
+            failures.append(
+                f"BENCH_stress.json: ann_ivfpq at {sc} recorded "
+                f"'{v['strategy']}' — the rerank broadcast pin was lost "
+                f"(VERDICT r11 #8)")
     # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
     # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
     # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
@@ -361,11 +393,33 @@ if ball is not None:
                    "text_quality_gate", "knn_graph", "knn_graph_blocked",
                    "knn_graph_refine", "knn_graph_blocked_verdict",
                    "knn_graph_nnd", "dedup_near_verdicts",
-                   "graph_pagerank", "graph_pagerank_knn"):
+                   "graph_pagerank", "graph_pagerank_knn",
+                   "graph_pagerank_nnd", "graph_triangles",
+                   "graph_diversity_select", "graph_diversity_select_nnd"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
                 f"predates the op (re-run Bench --all at HEAD)")
+    # VERDICT r11 #5: the full-registry sweep grew +52% in one round
+    # (232 → 353 s raw); give it an explicit HOST-NORMALIZED envelope
+    # so growth is a deliberate re-budget, not silent drift toward a
+    # 10-minute sweep. 500 s ≈ the r12 sweep (~400 s normalized with
+    # the new graph/NND scale arms) + ~25% headroom for the ambient
+    # host windows the r11 memory documented (same-HEAD totals swung
+    # 275→368 s raw; normalization absorbs most but not all of that).
+    # Raising this number requires a sentence in SURVEY justifying
+    # what was added — that is the point of the gate.
+    tn = ball.get("total_normalized")
+    if tn is None:
+        failures.append(
+            "bench_all.json: total_normalized absent — the sweep "
+            "envelope gate (VERDICT r11 #5) needs the host-normalized "
+            "total")
+    elif tn > 500.0:
+        failures.append(
+            f"bench_all.json: total_normalized {tn:.0f}s breaches the "
+            f"500 s envelope (VERDICT r11 #5) — a row regressed or the "
+            f"registry outgrew the budget; re-budget deliberately")
 
 if failures:
     print("ARTIFACT CHECK FAILED:")
