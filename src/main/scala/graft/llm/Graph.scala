@@ -353,7 +353,65 @@ object Graph {
           (col("is_dup") === 0 && col("rank") <= col("cut"))
             .cast("long").as("selected"))
         .orderBy(col("vec_id"))
-    }))
+    }),
+
+    // Semantic ISLANDS (r12): connected components over the kNN
+    // similarity graph thresholded at embed_neardup's calibrated
+    // cosine — the cluster step of SemDeDup-style curation as a
+    // first-class GRAPH op (the CC machinery existed only behind the
+    // document near-dup pipeline, dedup_components; a user clustering
+    // an embedding corpus had no entry point). Every vector gets a
+    // verdict: members carry their component's min vec_id, vectors
+    // whose whole top-k falls below the threshold are singletons
+    // (component = self, size 1). The fixpoint is the SHARED
+    // [[Dedup.connectedComponents]] (one join+agg shuffle per round,
+    // rounds bounded by component DIAMETER — flat at 2 for near-dup
+    // graphs through s30 in BENCH_stress; honest caveat for THIS
+    // graph class: a thresholded kNN graph over a smeared manifold
+    // can form chains whose diameter grows with n, where min-label
+    // propagation pays O(diameter) rounds — the cluster-scale remedy
+    // is pointer-doubling/star-contraction at O(log diameter), noted
+    // here because this op is the first registry consumer whose
+    // input graph is not diameter-bounded by construction); the
+    // oracle is the same recursive-CTE transitive closure
+    // dedup_components hash-matches, over knnGraphCtes' edges.
+    "graph_components_knn" -> ((s, d) =>
+      componentsOver(
+        Similarity.knnGraph(Tables.embeddings(s, d), 3),
+        Tables.embeddings(s, d))),
+
+    // The linear arm: the same islands over knn_graph_nnd's edges —
+    // the composition a cluster actually runs (edge build linear,
+    // CC rounds linear, zero n² stages). Rows-only like its edge
+    // source; GraphSpec gates intra-component-pair agreement vs the
+    // exact arm at sf0.001.
+    "graph_components_nnd" -> ((s, d) =>
+      componentsOver(
+        Similarity.knnGraphNnd(Tables.embeddings(s, d), 3),
+        Tables.embeddings(s, d))))
+
+  /** Shared body of the graph_components_* rows: threshold the edge
+    * list at [[Similarity.NeardupCos]], run the shared CC fixpoint,
+    * and complete the verdict over EVERY vector (singletons = self).
+    * The size window partitions by component_id — never global. */
+  private def componentsOver(edges: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = edges
+      .filter(col("cos_sim") >= Similarity.NeardupCos)
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b"))
+      .distinct()
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component_id"))
+    emb.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("vec_id")).as("component_id"))
+      .select(col("vec_id"), col("component_id"),
+        count(lit(1)).over(Window.partitionBy(col("component_id")))
+          .as("component_size"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Unrolled integer-PageRank CTE chain (DuckDB). CTEs must be
     * MATERIALIZED: DuckDB inlines plain CTEs, and each iteration
@@ -475,5 +533,29 @@ object Graph {
            | sv AS (SELECT vec_id,
            |     ROW_NUMBER() OVER (ORDER BY rank DESC, vec_id) AS rn,
            |     COUNT(*) OVER () AS m
-           |   FROM basev WHERE is_dup = 0)""".stripMargin))
+           |   FROM basev WHERE is_dup = 0)""".stripMargin),
+
+    // Exact transitive closure (the dedup_components oracle pattern)
+    // over knnGraphCtes' thresholded edges, completed to every vector
+    // via the LEFT JOIN singleton fallback — DuckDB's recursive-CTE
+    // fixpoint must agree vector-for-vector with Spark's label
+    // propagation, sizes included.
+    "graph_components_knn" ->
+      s"""WITH RECURSIVE ${Similarity.knnGraphCtes},
+         | ed AS (SELECT DISTINCT LEAST(src, dst) AS a,
+         |                GREATEST(src, dst) AS b
+         |         FROM r WHERE rn <= 3 AND cos_sim >= ${Similarity.NeardupCos}),
+         | sym AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         | rc(a, b) AS (SELECT a, b FROM sym
+         |              UNION
+         |              SELECT rc.a, sym.b FROM rc JOIN sym ON rc.b = sym.a),
+         | lab AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS component_id
+         |         FROM rc GROUP BY a),
+         | fullv AS (SELECT v.vec_id,
+         |             COALESCE(l.component_id, v.vec_id) AS component_id
+         |           FROM (SELECT vec_id FROM embeddings) v
+         |           LEFT JOIN lab l ON v.vec_id = l.vec_id)
+         |SELECT vec_id, component_id,
+         |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
+         |FROM fullv ORDER BY vec_id""".stripMargin)
 }

@@ -214,6 +214,41 @@ class GraphSpec extends SparkSpec {
       s"(|oracle|=${oracleSel.size}, |nnd|=${nndSel.size})")
   }
 
+  test("graph_components: islands cover every vector with min-id labels and true sizes; linear arm agrees with the oracle arm (sf0.001)") {
+    def comps(name: String) = {
+      val rows = Graph.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val n = Tables.embeddings(spark, sf0001).count()
+      assert(rows.length === n.toInt, s"$name does not cover the corpus")
+      // component_id = the component's minimum member id; size = the
+      // actual member count (both arms share the output contract).
+      rows.groupBy(_._2).foreach { case (cid, members) =>
+        assert(members.map(_._1).min === cid, s"$name: label $cid not min")
+        assert(members.forall(_._3 == members.length),
+          s"$name: size mismatch in component $cid")
+      }
+      rows
+    }
+    val exact = comps("graph_components_knn")
+    val nnd = comps("graph_components_nnd")
+    assert(exact.exists(_._3 > 1),
+      "corpus surfaced no multi-vector island — agreement gate vacuous")
+    // Cluster agreement as intra-component PAIR Jaccard (label values
+    // are membership-dependent, so comparing ids directly would
+    // conflate a renamed component with a wrong one).
+    def pairSet(rows: Array[(Long, Long, Long)]) =
+      rows.groupBy(_._2).values.filter(_.length > 1).flatMap { ms =>
+        val ids = ms.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val (pe, pn) = (pairSet(exact), pairSet(nnd))
+    val jac = (pe & pn).size.toDouble / (pe | pn).size
+    info(f"intra-component pair Jaccard $jac%.3f " +
+      s"(|exact|=${pe.size}, |nnd|=${pn.size})")
+    assert(jac >= 0.7, s"intra-component pair Jaccard $jac < 0.7")
+  }
+
   test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
     val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
     val n = Tables.embeddings(spark, sf0001).count()

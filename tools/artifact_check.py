@@ -395,7 +395,8 @@ if ball is not None:
                    "knn_graph_nnd", "dedup_near_verdicts",
                    "graph_pagerank", "graph_pagerank_knn",
                    "graph_pagerank_nnd", "graph_triangles",
-                   "graph_diversity_select", "graph_diversity_select_nnd"):
+                   "graph_diversity_select", "graph_diversity_select_nnd",
+                   "graph_components_knn", "graph_components_nnd"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
