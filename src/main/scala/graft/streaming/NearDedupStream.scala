@@ -114,19 +114,37 @@ object NearDedupStream {
     // the band buckets this batch actually touches. doc_a < doc_b keeps
     // the "smaller id wins" total order even if delivery was not
     // monotone (see the delivery contract above).
-    // BOTH store halves must exist before the cross-epoch path runs: a
-    // crash between the bands write and the payload write on the FIRST
-    // data-bearing epoch leaves bands without payload, and a replay
-    // that trusted bands alone would read a payload dir that does not
-    // exist — a permanent crash loop. Bands-without-payload can only
-    // hold the crashed epoch's own rows (the payload dir, once created
-    // by any completed epoch, never disappears, and an uncommitted
-    // epoch replays with the same batchId), so treating that state as
-    // "no past" is bit-correct: the batch's own docs are re-covered by
+    // BOTH store halves must hold COMMITTED data before the
+    // cross-epoch path runs: a crash anywhere in the bands→payload
+    // write window on the FIRST data-bearing epoch leaves a store
+    // whose payload side is absent — or, worse, whose payload ROOT
+    // exists holding only a `_temporary` dir (the committer's
+    // setupJob mkdirs it before any file commits) — and a replay
+    // that trusted directory EXISTENCE would run schema inference
+    // over zero readable footers and throw on every restart: a
+    // permanent crash loop (found by the r12 review pass; the first
+    // fix checked fs.exists and still had the _temporary hole). The
+    // committed-content check below uses Spark's own visibility rule
+    // (`_`/`.`-prefixed names are hidden UNLESS they contain `=` —
+    // which is why the `_bucket=B` partition dirs are readable while
+    // `_temporary` is not): an epoch dir counts only if it holds at
+    // least one reader-visible child. Uncommitted-only state can
+    // hold nothing but the crashed epoch's own rows (an uncommitted
+    // epoch replays with the same batchId), so treating it as "no
+    // past" is bit-correct: the batch's own docs are re-covered by
     // the within-batch banding and the per-epoch overwrite replaces
-    // the partial bands data.
-    val havePast = fs.exists(new Path(bandsDir)) &&
-      fs.exists(new Path(payloadDir))
+    // the partial data.
+    def readerVisible(n: String): Boolean =
+      (!n.startsWith("_") && !n.startsWith(".")) || n.contains("=")
+    def hasCommittedData(dir: String): Boolean = {
+      val p = new Path(dir)
+      fs.exists(p) && fs.listStatus(p).exists { ep =>
+        ep.isDirectory &&
+          fs.listStatus(ep.getPath)
+            .exists(c => readerVisible(c.getPath.getName))
+      }
+    }
+    val havePast = hasCommittedData(bandsDir) && hasCommittedData(payloadDir)
     val crossPairs =
       if (!havePast) None
       else {
@@ -226,9 +244,13 @@ object NearDedupStream {
    * any source directory is deleted, and each side deduplicates its
    * rows (bands/verdicts are relations; payload is keyed by doc_id) —
    * so every partial state is harmless and self-healing:
-   *   - crash mid-write: only `_temporary` turds under the new dir
-   *     (invisible to readers); a re-run recomputes the same id and
-   *     overwrites them;
+   *   - crash mid-write: the partial new dir holds only `_temporary`
+   *     turds (invisible to readers). A re-run does NOT reuse its id:
+   *     the partial negative dir is admitted as a fold SOURCE (it
+   *     contributes zero visible rows — or, under a per-task
+   *     committer, a subset of rows the dedup absorbs), a FRESH more-
+   *     negative id is allocated, and the partial dir is deleted with
+   *     the other sources — convergent, just not by overwrite;
    *   - crash mid-delete: some rows exist twice (consolidated + an
    *     undeleted source) — duplicate doc_ids are verdict-parity
    *     harmless through verifyPairs (verdictsFromPairs' row_number

@@ -281,7 +281,12 @@ class PlanShapeSpec extends SparkSpec {
     // with a registered scale arm — never an accident.
     // Note the sweep sees the RETURNED frame's plan; stages an
     // operator runs eagerly (fixpoint rounds behind localCheckpoint)
-    // are covered by their own family plan tests.
+    // are covered by their own family plan tests. Building the frames
+    // EXECUTES the ~10 eager rows (NND builds, pagerank/CC fixpoints,
+    // PQ training) — ~1.5 min at sf0.001 — an accepted cost: the very
+    // row this sweep exists for (diversity_select, r11) was an eager
+    // one, so an eager-row exclusion list would reopen the exact
+    // blind spot.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val allowed = Set(
       // The hash-matched oracle arm of D4 selection: the exact top

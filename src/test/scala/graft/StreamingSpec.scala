@@ -754,6 +754,14 @@ class StreamingSpec extends SparkSpec {
     }
     rmTree(s"$t/payload")
     rmTree(s"$t/_epochs/0")
+    // The NASTIER variant of the same window (r12 review pass): the
+    // payload write crashed after the committer's setupJob mkdir'd
+    // the output tree but before any file committed — the payload
+    // ROOT exists holding only a `_temporary` dir. A guard that
+    // tests directory existence instead of committed content reads
+    // this as havePast=true and dies in schema inference on replay.
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$t/payload/epoch=0/_temporary"))
     // Replay epoch 0 (same batchId, as the uncommitted checkpoint
     // would), then deliver epoch 1 normally.
     NearDedupStream.neardedupBatch(t, 0.95, 8)(half1, 0L)

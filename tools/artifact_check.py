@@ -241,13 +241,17 @@ if stress is not None:
     # r12 (VERDICT r11 #8): the rerank join is broadcast-PINNED on the
     # bounded survivor frame — at s30 the optimizer's estimate used to
     # cross the threshold and shuffle the whole embedding table into a
-    # SortMergeJoin (7.2 → 21.3 s). The strategy field is the witness.
-    for sc, v in q.get("ann_ivfpq", {}).items():
-        if isinstance(v, dict) and "SortMergeJoin" in (v.get("strategy") or ""):
-            failures.append(
-                f"BENCH_stress.json: ann_ivfpq at {sc} recorded "
-                f"'{v['strategy']}' — the rerank broadcast pin was lost "
-                f"(VERDICT r11 #8)")
+    # SortMergeJoin (7.2 → 21.3 s). The strategy field is the witness;
+    # ann_pq carries the identical pin (same rerank shape), so both
+    # rows are gated (r12 review pass).
+    for pinned in ("ann_ivfpq", "ann_pq"):
+        for sc, v in q.get(pinned, {}).items():
+            if isinstance(v, dict) and \
+                    "SortMergeJoin" in (v.get("strategy") or ""):
+                failures.append(
+                    f"BENCH_stress.json: {pinned} at {sc} recorded "
+                    f"'{v['strategy']}' — the rerank broadcast pin was "
+                    f"lost (VERDICT r11 #8)")
     # r11 (VERDICT r10 #3): recall at the DEFAULT nprobe geometry
     # (≈ 1.5·√nlist, GROWS with the corpus) measured beside the
     # fixed-nprobe curve: ≥ 0.8 (8000 bp) at the smallest scale, and at
