@@ -62,7 +62,35 @@ object Graph {
     * (src, dst) — both long-typed node ids. Returns (node, rank) with
     * rank on the [[Scale]] basis. See the object doc for the exact
     * per-iteration spelling (shared with the DuckDB oracle). */
-  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame =
+    pagerankImpl(edges, iters, None)
+
+  /** PERSONALIZED integer PageRank (r12): the same fixpoint with the
+    * teleport mass and the dangling redistribution anchored on a SEED
+    * set instead of spread uniformly — rank flows outward from the
+    * seeds through the edges and decays with graph distance, the
+    * seeded-relevance expansion retrieval curation runs (rank a corpus
+    * by topical closeness to a probe set, then keep/weight by rank).
+    * Integer spelling: the TOTAL injected teleport per round equals
+    * the uniform variant's n·Teleport — tShare = (15·n·scale div 100)
+    * div n_seeds per seed per round, dangling mass returns to seeds as
+    * dm div n_seeds — so mass conservation (≤ n·scale) and therefore
+    * the n-derived overflow headroom are IDENTICAL to [[pagerank]]'s,
+    * and every term is a floor division on non-negative longs: the
+    * fixpoint hash-matches the unrolled DuckDB twin like its uniform
+    * sibling. Ranks start uniform at scale (not at the seeds): the
+    * fixed 10 rounds make the start state a bounded-influence choice,
+    * and a uniform start keeps r0 shared with the plain oracle chain.
+    * `seeds` is a one-column (node) frame, deduplicated here; seeds
+    * outside the graph's node set contribute nothing (inner-join
+    * semantics on the flag, their teleport share is still reserved —
+    * documented, matching the SQL twin's IN-subquery spelling). */
+  def pagerankSeeded(edges: DataFrame, seeds: DataFrame,
+      iters: Int = Iters): DataFrame =
+    pagerankImpl(edges, iters, Some(seeds))
+
+  private def pagerankImpl(edges: DataFrame, iters: Int,
+      seeds: Option[DataFrame]): DataFrame = {
     val e = Q.ownPersist(edges.select(col("src"), col("dst")))
     val outdeg = e.df.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
@@ -92,6 +120,35 @@ object Graph {
       s"pagerank: $n nodes exceeds the int64 headroom even at the " +
         s"minimum 10^3 basis")
     val teleport = scale * 15L / 100L
+    // Seeded variant: the seed flag rides the node spine (a broadcast
+    // join against the deduplicated seed frame), the per-seed teleport
+    // share preserves the uniform variant's total injected mass, and
+    // the dangling mass returns to seeds instead of everyone.
+    val seedInfo = seeds.map { sd =>
+      val sdDistinct = sd.select(col(sd.columns.head).as("node")).distinct()
+      val nS = sdDistinct.count()
+      require(nS > 0, "pagerankSeeded with an empty seed set")
+      val tShare = (15L * n * scale / 100L) / nS
+      (Q.ownPersist(sdDistinct.withColumn("is_seed", lit(true))), nS, tShare)
+    }
+    val nodeSpine = seedInfo match {
+      case Some((sdOwned, _, _)) =>
+        info.df.select(col("node"))
+          .join(broadcast(sdOwned.df), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      case None => info.df.select(col("node"), lit(false).as("is_seed"))
+    }
+    val teleCol = seedInfo match {
+      case Some((_, _, tShare)) =>
+        when(col("is_seed"), lit(tShare)).otherwise(lit(0L))
+      case None => lit(teleport)
+    }
+    val dangExpr = seedInfo match {
+      case Some((_, nS, _)) =>
+        s"(CASE WHEN is_seed THEN dm div ${nS}L ELSE 0L END)"
+      case None => s"(dm div ${n}L)"
+    }
     var ranks = info.df.select(col("node"), lit(scale).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -104,13 +161,14 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
       // Eager per-round localCheckpoint truncates the iterative lineage
       // (else the 10-round plan explodes, as every fixpoint here learned).
-      ranks = info.df.select(col("node"))
+      ranks = nodeSpine
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), (lit(teleport) +
-          expr(s"(85 * (coalesce(s, 0L) + dm div ${n}L)) div 100")).as("rank"))
+        .select(col("node"), (teleCol +
+          expr(s"(85 * (coalesce(s, 0L) + $dangExpr)) div 100")).as("rank"))
         .localCheckpoint(true)
     }
+    seedInfo.foreach(_._1.release())
     e.release(); info.release()
     ranks
   }
@@ -214,6 +272,24 @@ object Graph {
     // corpus. Full DuckDB oracle (integer arithmetic hash-matches).
     "graph_pagerank" -> ((s, d) =>
       pagerank(purchaseEdges(s, d))
+        .select(col("node").as("node_id"),
+          when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+            .as("ntype"),
+          expr("node div 2").as("ref_id"), col("rank"))
+        .orderBy(col("node_id"))),
+
+    // PERSONALIZED PageRank over the purchase digraph (r12): rank
+    // every trade-graph participant by closeness to ten ANCHOR
+    // customers — the seeded-relevance expansion retrieval curation
+    // runs (anchor on a probe set, rank the corpus by topical
+    // proximity, keep/weight by rank). The all-dangling supplier side
+    // makes this corpus the real test of the SEEDED dangling
+    // redistribution (mass parked at suppliers returns to the anchors,
+    // not to everyone). Full DuckDB oracle via the seeded chain.
+    "graph_ppr" -> ((s, d) =>
+      pagerankSeeded(purchaseEdges(s, d),
+        Tables.customer(s, d).filter(col("c_custkey") <= 10)
+          .select((col("c_custkey") * 2).as("node")))
         .select(col("node").as("node_id"),
           when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
             .as("ntype"),
@@ -419,9 +495,32 @@ object Graph {
     * 3^iters — the materialization hint is what makes 10 unrolled
     * rounds linear. `edgesSql` must yield distinct BIGINT (src, dst).
     * `extraCtes` (optional) are appended after the rank chain so
-    * composed oracles (diversity selection) can post-process r$Iters. */
+    * composed oracles (diversity selection) can post-process r$Iters.
+    * `seedsSql` (optional, r12) switches the chain to the PERSONALIZED
+    * spelling [[pagerankSeeded]] mirrors: the teleport term becomes
+    * per-seed ((15·Scale·n div 100) div n_seeds, preserving the
+    * uniform variant's total injected mass) and the dangling term
+    * returns to seeds — both spelled with the same floor-division
+    * order the Spark arm computes driver-side. With seedsSql empty the
+    * generated SQL is byte-identical to the pre-r12 builder (asserted
+    * against the committed oracle hashes when the change landed). */
   private def pagerankSql(edgesSql: String, finalSelect: String,
-      extraCtes: String = ""): String = {
+      extraCtes: String = "", seedsSql: String = ""): String = {
+    val seeded = seedsSql.nonEmpty
+    val tele =
+      if (seeded) s"CASE WHEN sd.node IS NOT NULL THEN " +
+        s"((15 * $Scale * (SELECT n FROM nn)) // 100) // " +
+        s"(SELECT c FROM sdc) ELSE 0 END"
+      else s"$Teleport"
+    def dang(t: Int) =
+      if (seeded) s"CASE WHEN sd.node IS NOT NULL THEN " +
+        s"(SELECT dm FROM d$t) // (SELECT c FROM sdc) ELSE 0 END"
+      else s"(SELECT dm FROM d$t) // (SELECT n FROM nn)"
+    val seedJoin = if (seeded) " LEFT JOIN sds sd ON i.node = sd.node" else ""
+    val seedCtes =
+      if (seeded) s" sds AS MATERIALIZED (SELECT DISTINCT node FROM " +
+        s"($seedsSql)),\n sdc AS (SELECT COUNT(*) AS c FROM sds),\n"
+      else ""
     val iterCtes = (0 until Iters).map { t =>
       s""" d$t AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dm
          |   FROM r$t r JOIN info i ON r.node = i.node WHERE i.outdeg = 0),
@@ -430,9 +529,9 @@ object Graph {
          |   FROM r$t r JOIN info i ON r.node = i.node AND i.outdeg > 0
          |   JOIN edges e ON e.src = r.node GROUP BY e.dst),
          | r${t + 1} AS MATERIALIZED (SELECT i.node,
-         |     $Teleport + (85 * (COALESCE(c.s, 0)
-         |       + (SELECT dm FROM d$t) // (SELECT n FROM nn))) // 100 AS rank
-         |   FROM info i LEFT JOIN c$t c ON i.node = c.node)""".stripMargin
+         |     $tele + (85 * (COALESCE(c.s, 0)
+         |       + ${dang(t)})) // 100 AS rank
+         |   FROM info i LEFT JOIN c$t c ON i.node = c.node$seedJoin)""".stripMargin
     }.mkString(",\n")
     s"""WITH edges AS MATERIALIZED ($edgesSql),
        | nodes AS (SELECT src AS node FROM edges
@@ -442,7 +541,7 @@ object Graph {
        | info AS MATERIALIZED (SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
        |   FROM nodes n LEFT JOIN od o ON n.node = o.node),
        | nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM info),
-       | r0 AS MATERIALIZED (SELECT node, CAST($Scale AS BIGINT) AS rank
+       |$seedCtes r0 AS MATERIALIZED (SELECT node, CAST($Scale AS BIGINT) AS rank
        |   FROM info),
        |$iterCtes${if (extraCtes.nonEmpty) ",\n" + extraCtes else ""}
        |$finalSelect""".stripMargin
@@ -456,6 +555,16 @@ object Graph {
          |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS ntype,
          |  node // 2 AS ref_id, rank
          |FROM r$Iters ORDER BY node""".stripMargin),
+
+    "graph_ppr" -> pagerankSql(
+      """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+      s"""SELECT node AS node_id,
+         |  CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS ntype,
+         |  node // 2 AS ref_id, rank
+         |FROM r$Iters ORDER BY node""".stripMargin,
+      seedsSql =
+        "SELECT c_custkey * 2 AS node FROM customer WHERE c_custkey <= 10"),
 
     "graph_pagerank_knn" -> pagerankSql(
       s"""WITH ${Similarity.knnGraphCtes}

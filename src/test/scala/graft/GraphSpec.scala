@@ -36,6 +36,59 @@ class GraphSpec extends SparkSpec {
     Graph.pagerank(edgesDf(edges), iters).collect()
       .map(row => row.getLong(0) -> row.getLong(1)).toMap
 
+  /** Seeded twin of [[refPagerank]], written against pagerankSeeded's
+    * Scaladoc spec: teleport (15·n·Scale div 100) div n_seeds to seeds
+    * only, dangling mass dm div n_seeds to seeds only. */
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val tShare = (15L * n * Graph.Scale / 100L) / seeds.size
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outdeg.contains).map(r).sum
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((a, b) <- edges) s(b) += r(a) / outdeg(a)
+      r = nodes.map(nd => nd ->
+        ((if (seeds(nd)) tShare else 0L) +
+          85L * (s(nd) + (if (seeds(nd)) dm / seeds.size else 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerankSeeded matches the independent seeded reference exactly (dangling mass returns to seeds)") {
+    // Same hand graph as the uniform test: node 5 is dangling, so its
+    // mass must flow back to the seeds {1, 4}, not to everyone.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (3L, 5L))
+    val seeds = Set(1L, 4L)
+    import spark.implicits._
+    val got = Graph.pagerankSeeded(edgesDf(edges),
+        seeds.toSeq.toDF("node"), Graph.Iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPpr(edges, seeds, Graph.Iters))
+    // And it genuinely differs from the uniform variant (the seeded
+    // teleport is load-bearing, not a no-op rewrite).
+    assert(got !== run(edges))
+  }
+
+  test("graph_ppr registry row: anchors dominate, mass conserved, every node ranked (sf0.001)") {
+    val rows = Graph.queries("graph_ppr")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val uniform = Graph.queries("graph_pagerank")(spark, sf0001).count()
+    assert(rows.length === uniform.toInt, "node coverage differs from the uniform row")
+    val n = rows.length.toLong
+    assert(rows.map(_._3).sum <= n * Graph.Scale, "rank mass was created")
+    // The ten anchor customers receive the whole teleport budget, so
+    // they must sit far above the non-anchor customers that only
+    // collect recycled flow.
+    val (anchors, rest) = rows.filter(_._2 == "cust")
+      .partition(t => t._1 / 2 <= 10)
+    assert(anchors.nonEmpty && rest.nonEmpty)
+    assert(anchors.map(_._3).min > rest.map(_._3).max,
+      "an anchor ranked below a non-anchor customer")
+  }
+
   test("pagerank matches the independent integer reference exactly (cycle + feeder + dangling node)") {
     // 1↔3 cycle through 2, node 4 feeds in (in-degree 0), node 5 only
     // receives (dangling — exercises the redistribution term).
