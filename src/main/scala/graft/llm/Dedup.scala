@@ -473,6 +473,29 @@ object Dedup {
    * dropped as soon as its successor materializes, so live cache is one
    * label set + edges no matter how many rounds run; plan depth grows
    * one fixed layer per round, bounded by the same tiny diameter.
+   *
+   * O(log D) escape hatch (VERDICT r12 #1): the near-dup graphs this
+   * was built for have constant diameter, but graph_components_* feeds
+   * it a THRESHOLDED kNN graph over a smeared embedding manifold —
+   * a class that can form chains whose diameter grows with n, where
+   * pure min-label pays O(D) join+agg rounds. After
+   * `spark.graft.ccJumpAfter` rounds (default 4 — near-dup fixpoints
+   * measure 2 through s30, so production dedup plans are bit-identical
+   * to the pre-r13 builder) each round's union gains a POINTER-JUMP
+   * branch, `lbl(lbl(v))` via a self-join of the cached label frame —
+   * the Shiloach–Vishkin shortcut (Shiloach & Vishkin 1982; the same
+   * doubling that powers MapReduce CC à la Kiveris et al. 2014). The
+   * shortcut distance doubles per round, so a planted chain of length
+   * n converges in ~jumpAfter + log₂(n) rounds instead of n
+   * (LlmSpec's planted-chain test pins the measured count). The
+   * fixpoint predicate is unchanged — at convergence every label is
+   * stable under BOTH neighbor-min and jump, labels are equal across
+   * every (symmetric) edge, hence constant per component and equal to
+   * the component min — so the output is identical to the min-label
+   * arm for ANY input (parity-asserted in LlmSpec with the jump forced
+   * on from round 0), and every oracle hash is untouched. Each jump
+   * round is still ONE job: the extra branch joins two cached label
+   * leaves inside the same action.
    */
   /** Fixpoint rounds of the most recent [[connectedComponents]] run —
     * read by StressBench to record iteration count per scale (VERDICT
@@ -483,8 +506,17 @@ object Dedup {
     * driver-eager, so the value is final when the function returns. */
   @volatile var lastCcRounds: Int = -1
 
+  /** Conf key: rounds of pure min-label propagation before the
+    * pointer-jump branch is added to each round (see the Scaladoc
+    * above). Default 4; `0` forces jumping from the first round (the
+    * parity/chain tests), `Int.MaxValue` recovers the pure min-label
+    * arm. */
+  val CcJumpAfterKey = "spark.graft.ccJumpAfter"
+
   def connectedComponents(pairs0: DataFrame,
       inputPersisted: Boolean = false): DataFrame = {
+    val ccJumpAfter = pairs0.sparkSession.conf
+      .get(CcJumpAfterKey, "4").toInt
     // The symmetric edge union reads the pair frame twice — persist it
     // or the caller's whole pair pipeline (candidate join + verify)
     // executes once per union branch. Callers that already hold the
@@ -522,11 +554,23 @@ object Dedup {
       // scans it (and, in round 1, the initial label cache and edges
       // too), so each round costs exactly one job: one join+agg
       // shuffle plus a metadata-sized 1-row summary agg.
-      val next = edges.join(labels, col("dst") === col("doc"))
+      val base = edges.join(labels, col("dst") === col("doc"))
         .select(col("src").as("doc"), col("lbl"),
           lit(null).cast("long").as("old"))
         .union(labels.select(col("doc"), col("lbl"),
           col("lbl").as("old")))
+      // Pointer-jump branch (O(log D) doubling — Scaladoc above): the
+      // label frame is a flat cached leaf each round, so the self-join
+      // is two scans of one cache, driven by the same single action.
+      // Renamed projection keeps the join condition unambiguous.
+      val unioned = if (rounds < ccJumpAfter) base else {
+        val parents = labels
+          .select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
+        base.union(labels.join(parents, col("lbl") === col("p_doc"))
+          .select(col("doc"), col("p_lbl").as("lbl"),
+            lit(null).cast("long").as("old")))
+      }
+      val next = unioned
         .groupBy(col("doc"))
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .withColumn("chg", (col("lbl") < col("old")).cast("long"))

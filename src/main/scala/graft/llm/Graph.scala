@@ -442,13 +442,15 @@ object Graph {
     // (component = self, size 1). The fixpoint is the SHARED
     // [[Dedup.connectedComponents]] (one join+agg shuffle per round,
     // rounds bounded by component DIAMETER — flat at 2 for near-dup
-    // graphs through s30 in BENCH_stress; honest caveat for THIS
-    // graph class: a thresholded kNN graph over a smeared manifold
-    // can form chains whose diameter grows with n, where min-label
-    // propagation pays O(diameter) rounds — the cluster-scale remedy
-    // is pointer-doubling/star-contraction at O(log diameter), noted
-    // here because this op is the first registry consumer whose
-    // input graph is not diameter-bounded by construction); the
+    // graphs through s30 in BENCH_stress; for THIS graph class — a
+    // thresholded kNN graph over a smeared manifold can form chains
+    // whose diameter grows with n — the fixpoint self-bounds via the
+    // r13 pointer-jump arm: after `spark.graft.ccJumpAfter` rounds
+    // of pure min-label each round adds the Shiloach–Vishkin
+    // `lbl(lbl(v))` shortcut, so a planted 1024-chain converges in a
+    // measured 13 rounds instead of ~1024, output parity-identical
+    // to min-label — see the [[Dedup.connectedComponents]] Scaladoc
+    // and LlmSpec's planted-chain test); the
     // oracle is the same recursive-CTE transitive closure
     // dedup_components hash-matches, over knnGraphCtes' edges.
     "graph_components_knn" -> ((s, d) =>

@@ -850,6 +850,67 @@ class LlmSpec extends SparkSpec {
       === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("connectedComponents pointer-jump: planted chain converges in O(log n) rounds, parity with min-label (VERDICT r12 #1)") {
+    val s = spark
+    import s.implicits._
+    def withJumpAfter[T](v: String)(body: => T): T = {
+      val prev = s.conf.getOption(Dedup.CcJumpAfterKey)
+      s.conf.set(Dedup.CcJumpAfterKey, v)
+      try body finally prev match {
+        case Some(p) => s.conf.set(Dedup.CcJumpAfterKey, p)
+        case None => s.conf.unset(Dedup.CcJumpAfterKey)
+      }
+    }
+    def run(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    // Planted CHAIN — the adversarial graph class graph_components_*
+    // can receive (Graph.scala's own caveat): a path 0–1–…–1023 has
+    // diameter 1023, so pure min-label pays ~n rounds. The default
+    // arm (4 min-label rounds, then doubling: reach 4, 8, 16, …)
+    // must land the single component in ~4 + log2(n) rounds.
+    val n = 1024
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    val chainOut = run(chain)
+    val jumpRounds = Dedup.lastCcRounds
+    assert(chainOut.forall { case (_, comp, size) =>
+      comp === 0L && size === n.toLong },
+      "chain must collapse to one component labeled 0")
+    // reach after r rounds: r (min-label) then ×2 per jump round;
+    // 4 → 1024 is 8 doublings → converged at round 12, +1 to observe
+    // no change. Slack to 16 for schedule jitter, none expected.
+    assert(jumpRounds <= 16,
+      s"doubling arm took $jumpRounds rounds on a 1024-chain (expect ~13)")
+    info(s"1024-chain: doubling arm fixpoint in $jumpRounds rounds")
+
+    // Contrast: the pure min-label arm on a short chain measures its
+    // O(diameter) class — 32 nodes, ~32 rounds (31 to converge + 1).
+    val short = (0 until 31).map(i => (i.toLong, i.toLong + 1))
+      .toDF("doc_a", "doc_b")
+    withJumpAfter(Int.MaxValue.toString)(run(short))
+    val minLabelRounds = Dedup.lastCcRounds
+    assert(minLabelRounds >= 31,
+      s"min-label on a 32-chain should pay ~diameter rounds, got $minLabelRounds")
+    info(s"32-chain: min-label fixpoint in $minLabelRounds rounds")
+
+    // Parity: jump-from-round-0 output must be IDENTICAL to pure
+    // min-label on a graph with mixed topology (chain + random
+    // merges + islands) — the fixpoint predicate is the same, so
+    // every oracle hash downstream is untouched.
+    val rnd = new scala.util.Random(42)
+    val mixed = ((0 until 199).map(i => (i.toLong, i.toLong + 1)) ++
+      Seq.fill(80)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+        .filter { case (a, b) => a != b } ++
+      Seq((900L, 901L), (903L, 902L)))
+      .toDF("doc_a", "doc_b")
+    val viaJump = withJumpAfter("0")(run(mixed))
+    val viaMinLabel = withJumpAfter(Int.MaxValue.toString)(run(mixed))
+    assert(viaJump === viaMinLabel,
+      "pointer-jump arm diverged from min-label arm")
+  }
+
   test("connectedComponents runs exactly one job per propagation round (VERDICT r8)") {
     val s = spark
     import s.implicits._
