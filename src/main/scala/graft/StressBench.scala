@@ -397,9 +397,61 @@ object StressBench {
         measure(() => llm.Graph.triangles(
           llm.Similarity.knnGraphNnd(Tables.embeddings(spark, dir), 3)
             .select(col("src"), col("dst")))))
+    }
+    // r13 (VERDICT r12 #5): diversity selection follows its edge
+    // source to the s30 frontier — [[nndBuildScales]], one half-decade
+    // past the other composed rows; its gate in artifact_check is the
+    // fit RELATIVE to the co-measured knn_graph_nnd over the same span.
+    for ((scale, _) <- uniformScales.take(nndBuildScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("graph_diversity_select_nnd", scale,
         measure(() =>
           SparkEntry.queries("graph_diversity_select_nnd")(spark, dir)))
+    }
+
+    // r13 (VERDICT r12 #1): price the components family. The linear
+    // arm (thresholded NND edges → shared CC fixpoint) rides
+    // [[nndScales]] like the other composed rows; its artifact_check
+    // gate is relative to the co-measured knn_graph_nnd source. The
+    // fixpoint ROUND count per scale lands in cc_rounds under
+    // "knn_<scale>" (beside the near-dup series): with the r13
+    // pointer-jump arm the count is bounded ~ccJumpAfter + log₂(D)
+    // even if the thresholded graph chains, so the recorded series
+    // must stay single-digit — a growing series here is the exact
+    // regression the planted-chain test guards in miniature.
+    for ((scale, _) <- uniformScales.take(nndScales)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      llm.Dedup.lastCcRounds = -1
+      val compEntry = measure(() =>
+        SparkEntry.queries("graph_components_nnd")(spark, dir))
+      record("graph_components_nnd", scale, compEntry)
+      if (compEntry.rows >= 0)
+        ccRounds(s"knn_$scale") = llm.Dedup.lastCcRounds
+    }
+    // The exact arm anchors at s1 only: its edge build is the n² exact
+    // kNN graph — a larger point would re-price a known-quadratic
+    // stage (the knn_graph_blocked precedent), while the s1 row pins
+    // the absolute cost next to the linear arm's s1 for the
+    // exact-vs-linear read.
+    for ((scale, _) <- uniformScales.take(1)) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("graph_components_knn", scale,
+        measure(() =>
+          SparkEntry.queries("graph_components_knn")(spark, dir)))
+    }
+    // graph_ppr rides the priced graph_pagerank machinery (plan delta
+    // = the seed-anchored teleport/dangling terms on the node spine),
+    // so it spans the full uniform range like its parent; the pair of
+    // rows reading ~equal per scale IS the evidence the seeded
+    // variant adds no growth class.
+    for ((scale, _) <- uniformScales) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      record("graph_ppr", scale,
+        measure(() => SparkEntry.queries("graph_ppr")(spark, dir)))
     }
 
     // r11 graph family. graph_pagerank = 10 fixed integer-PageRank

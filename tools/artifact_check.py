@@ -238,6 +238,64 @@ if stress is not None:
             failures.append(
                 f"BENCH_stress.json: {comp} e_time {_ce} grows faster "
                 f"than its knn_graph_nnd edge source {_nn} + 0.3 — {claim}")
+    # r13 (VERDICT r12 #2): freshness — every registry row with a
+    # DECLARED stress arm must be present, the bench_all newest-row
+    # discipline applied to the stress ledger (the r12 sweep predated
+    # its own round's graph ops and the provenance note was the only
+    # witness). When a round adds a stress-armed row to StressBench,
+    # add it here in the same commit; a sweep predating the row then
+    # fails BY NAME instead of silently under-reporting scale coverage.
+    for armed in ("graph_components_nnd", "graph_components_knn",
+                  "graph_ppr"):
+        if armed not in q:
+            failures.append(
+                f"BENCH_stress.json: stress-armed registry row '{armed}' "
+                f"absent — sweep predates the op (VERDICT r12 #2); re-run "
+                f"graft.StressBench at HEAD")
+    # r13 (VERDICT r12 #1): the components family priced. The linear
+    # arm rides the relative discipline (≤ its co-measured
+    # knn_graph_nnd edge source + 0.3); the exact arm anchors at s1;
+    # graph_ppr spans the parent pagerank's range and must match its
+    # growth class (the seeded terms are per-node literals). The CC
+    # round series for the thresholded kNN graph (cc_rounds "knn_*",
+    # recorded beside the near-dup series) must stay single-digit —
+    # the r13 pointer-jump arm bounds rounds at ~ccJumpAfter +
+    # log₂(diameter), so a growing series means the jump branch was
+    # lost (the planted-chain test's regression in miniature).
+    rows("graph_components_nnd", min_scales=3)
+    _cce = q.get("graph_components_nnd", {}).get("e_time")
+    if _cce is not None and _nn is not None and _cce > _nn + 0.3:
+        failures.append(
+            f"BENCH_stress.json: graph_components_nnd e_time {_cce} grows "
+            f"faster than its knn_graph_nnd edge source {_nn} + 0.3 — "
+            f"the CC fixpoint stopped being one join+agg per bounded round")
+    rows("graph_components_knn", min_scales=1)
+    rows("graph_ppr", min_scales=4)
+    _ppre = q.get("graph_ppr", {}).get("e_time")
+    if _ppre is not None and _pe is not None and _ppre > _pe + 0.3:
+        failures.append(
+            f"BENCH_stress.json: graph_ppr e_time {_ppre} grows faster "
+            f"than graph_pagerank {_pe} + 0.3 — the seeded variant "
+            f"acquired a growth class its parent lacks")
+    knn_cc = {k: v for k, v in (stress.get("cc_rounds") or {}).items()
+              if k.startswith("knn_")}
+    if not knn_cc:
+        failures.append(
+            "BENCH_stress.json: cc_rounds has no knn_* series — the "
+            "thresholded-kNN-graph round counts (VERDICT r12 #1) are "
+            "unrecorded; re-run the sweep at HEAD")
+    cc_big = {k: v for k, v in knn_cc.items() if v >= 10}
+    if cc_big:
+        failures.append(
+            f"BENCH_stress.json: kNN-graph CC round counts reached "
+            f"double digits {cc_big} — the pointer-jump bound broke")
+    # r13 (VERDICT r12 #5): diversity selection's s30 point beside its
+    # edge source's (the relative fit above now spans s1–s30).
+    if "s30" not in q.get("graph_diversity_select_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: graph_diversity_select_nnd lacks its s30 "
+            "point (VERDICT r12 #5) — re-run the sweep with "
+            "nndBuildScales=4 covering it")
     # r12 (VERDICT r11 #8): the rerank join is broadcast-PINNED on the
     # bounded survivor frame — at s30 the optimizer's estimate used to
     # cross the threshold and shuffle the whole embedding table into a

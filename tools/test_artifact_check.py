@@ -155,6 +155,36 @@ for label, shares, want_rc in (("plan-not-normalized", [0.97, 0.95], 1),
     finally:
         shutil.rmtree(tmp)
 
+# 9. Stress-freshness gate (VERDICT r12 #2): a BENCH_stress.json whose
+#    sweep predates a stress-armed registry row must fail BY NAME —
+#    the silent-staleness class the bench_all newest-row pin already
+#    stops. Doctor the committed artifact by deleting one armed row.
+tmp = tempfile.mkdtemp()
+try:
+    for f in ("bench.json", "bench_all.json"):
+        shutil.copy(os.path.join(repo, f), os.path.join(tmp, f))
+    stale = json.load(open(os.path.join(repo, "BENCH_stress.json")))
+    stale.get("queries", {}).pop("graph_components_nnd", None)
+    # drop the recorded knn_* round series too — a pre-r13 sweep has
+    # neither, and both absences must be named
+    stale["cc_rounds"] = {k: v for k, v in stale.get("cc_rounds", {}).items()
+                          if not k.startswith("knn_")}
+    json.dump(stale, open(os.path.join(tmp, "BENCH_stress.json"), "w"))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "artifact_check.py"), tmp],
+        capture_output=True, text=True)
+    if r.returncode == 0:
+        failures.append("stale-stress: doctored artifact passed the check")
+    else:
+        for want in ("graph_components_nnd", "knn_*"):
+            if want not in r.stdout:
+                failures.append(
+                    f"stale-stress: failure output does not name '{want}':\n"
+                    f"{r.stdout}")
+finally:
+    shutil.rmtree(tmp)
+
 if failures:
     print("FINGERPRINT FIXTURES FAILED:")
     for f in failures:
