@@ -58,6 +58,13 @@ object Graph {
     * the point where top-rank ORDER stabilizes on these corpora. */
   val Iters = 10
 
+  /** Integer basis the most recent [[pagerank]]/[[pagerankSeeded]] run
+    * actually used — [[Scale]] unless the n-derived overflow guard
+    * dropped decades (ADVICE r12: the DuckDB twin always embeds the
+    * fixed [[Scale]], so oracle comparisons must assert this equals
+    * Scale; GraphSpec does). Driver-eager like Dedup.lastCcRounds. */
+  @volatile var lastPagerankBasis: Long = Scale
+
   /** Integer-arithmetic PageRank over a distinct directed edge list
     * (src, dst) — both long-typed node ids. Returns (node, rank) with
     * rank on the [[Scale]] basis. See the object doc for the exact
@@ -119,13 +126,35 @@ object Graph {
     require(scale <= Long.MaxValue / (85L * n),
       s"pagerank: $n nodes exceeds the int64 headroom even at the " +
         s"minimum 10^3 basis")
+    // ADVICE r12: the DuckDB twin (pagerankSql) always embeds the
+    // compile-time $Scale, so oracle hash-parity is CONDITIONAL on the
+    // basis not adapting (n ≤ ~108 510; every verify corpus is ≤16 k
+    // nodes). Make the divergence loud instead of a confusing future
+    // hash mismatch: record the basis for harnesses to assert on
+    // (GraphSpec pins Scale on the oracle-compared rows) and warn on
+    // the adapted path.
+    lastPagerankBasis = scale
+    if (scale != Scale)
+      System.err.println(
+        s"[graft] pagerank basis adapted to $scale for $n nodes — " +
+          s"output is NOT comparable to the fixed-$Scale DuckDB oracle")
     val teleport = scale * 15L / 100L
     // Seeded variant: the seed flag rides the node spine (a broadcast
     // join against the deduplicated seed frame), the per-seed teleport
     // share preserves the uniform variant's total injected mass, and
     // the dangling mass returns to seeds instead of everyone.
     val seedInfo = seeds.map { sd =>
-      val sdDistinct = sd.select(col(sd.columns.head).as("node")).distinct()
+      // ADVICE r12: taking columns.head of an arbitrary frame would
+      // silently read wrong seeds from a multi-column frame with the
+      // node elsewhere — require an unambiguous spelling: either a
+      // single column, or a column literally named "node".
+      val seedCol =
+        if (sd.columns.length == 1) sd.columns.head
+        else sd.columns.find(_ == "node").getOrElse(throw
+          new IllegalArgumentException(
+            "pagerankSeeded: seeds must be a single-column frame or " +
+              s"carry a column named 'node' (got ${sd.columns.mkString(", ")})"))
+      val sdDistinct = sd.select(col(seedCol).as("node")).distinct()
       val nS = sdDistinct.count()
       require(nS > 0, "pagerankSeeded with an empty seed set")
       val tShare = (15L * n * scale / 100L) / nS

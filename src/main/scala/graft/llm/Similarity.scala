@@ -1421,8 +1421,23 @@ object Similarity {
     (lutExpr, adcScore, sizes)
   }
 
+  /** Hard row bound for the UNCONDITIONAL rerank-survivor broadcast in
+    * [[annPq]]/[[annIvfPq]] (ADVICE r12): the pin deliberately bypasses
+    * Q.maybeBroadcast's stats gates — the optimizer cannot see the
+    * window-rank filter's selectivity, and its misestimate is exactly
+    * what flipped the join to SortMergeJoin at stress s30 — so the
+    * bound is enforced where it IS driver-known: nProbes (fixed 10) ×
+    * rerankFactor × k at the function boundary. 4 M narrow (long,long)
+    * rows ≈ 64 MB broadcast worst case, far under executor headroom
+    * and far over any sane rerank width. */
+  val MaxRerankBroadcastRows = 4000000L
+
   def annPq(s: SparkSession, d: String, k: Int,
       rerankFactor: Int = PqRerankFactor): DataFrame = {
+    require(10L * rerankFactor * k <= MaxRerankBroadcastRows,
+      s"annPq: rerank survivor bound 10*$rerankFactor*$k exceeds " +
+        s"$MaxRerankBroadcastRows rows — the pinned broadcast would " +
+        s"not be driver-safe (see MaxRerankBroadcastRows)")
     val emb = Tables.embeddings(s, d)
     val books = pqTrain(emb)
     val cbSeq = pqBookSeq(books)
@@ -1502,6 +1517,11 @@ object Similarity {
   def annIvfPq(s: SparkSession, d: String, k: Int,
       rerankFactor: Int = PqRerankFactor,
       nprobeOverride: Option[Int] = None): DataFrame = {
+    // Same boundary bound as [[annPq]] — see MaxRerankBroadcastRows.
+    require(10L * rerankFactor * k <= MaxRerankBroadcastRows,
+      s"annIvfPq: rerank survivor bound 10*$rerankFactor*$k exceeds " +
+        s"$MaxRerankBroadcastRows rows — the pinned broadcast would " +
+        s"not be driver-safe (see MaxRerankBroadcastRows)")
     val emb = Tables.embeddings(s, d)
     val (assigned, probeBuckets) = ivfParts(s, d, 3, nprobeOverride)
     val books = pqTrain(emb)

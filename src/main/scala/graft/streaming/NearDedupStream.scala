@@ -217,11 +217,16 @@ object NearDedupStream {
     * one [[compactStore]] crash window (sources deleted mid-way after
     * the consolidated write — duplicate IDENTICAL rows until the next
     * compaction heals them); duplicates are full-row equal, so the
-    * dedup is deterministic. */
+    * dedup is a FULL-ROW distinct (ADVICE r12): keying it on doc_id
+    * alone would pick an arbitrary row per key and silently mask a
+    * genuine verdict divergence (a future bug writing conflicting
+    * kept/dup_of for one doc), while distinct() heals the documented
+    * crash window equally and lets any real conflict surface as a
+    * duplicated doc_id downstream. */
   def readVerdicts(spark: SparkSession, target: String): DataFrame =
     spark.read.parquet(s"$target/verdicts")
       .select(col("doc_id"), col("kept"), col("dup_of"), col("jaccard"))
-      .dropDuplicates("doc_id")
+      .distinct()
       .orderBy(col("doc_id"))
 
   /**

@@ -70,6 +70,20 @@ class GraphSpec extends SparkSpec {
     // And it genuinely differs from the uniform variant (the seeded
     // teleport is load-bearing, not a no-op rewrite).
     assert(got !== run(edges))
+    // ADVICE r12: an ambiguous multi-column seed frame (no 'node'
+    // column) must fail fast, not silently read its first column.
+    val err = intercept[IllegalArgumentException] {
+      Graph.pagerankSeeded(edgesDf(edges),
+        Seq((9L, 1L)).toDF("weight", "seed_id"), Graph.Iters)
+    }
+    assert(err.getMessage.contains("single-column"))
+    // A multi-column frame WITH a 'node' column is unambiguous and uses
+    // exactly that column regardless of position.
+    val byName = Graph.pagerankSeeded(edgesDf(edges),
+        seeds.toSeq.map(s => (s * 100, s)).toDF("other", "node"),
+        Graph.Iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byName === got)
   }
 
   test("graph_ppr registry row: anchors dominate, mass conserved, every node ranked (sf0.001)") {
@@ -130,6 +144,12 @@ class GraphSpec extends SparkSpec {
     // Suppliers receive rank (customers point at them) — every supplier
     // rank strictly above the bare teleport floor.
     assert(byType("supp").forall(_.getLong(3) > Graph.Teleport))
+    // ADVICE r12: the DuckDB twin embeds the compile-time Scale, so an
+    // oracle-compared row must have run on EXACTLY that basis — if the
+    // n-derived overflow guard ever adapts it on a verify corpus, fail
+    // here loudly instead of as a confusing driver hash mismatch.
+    assert(Graph.lastPagerankBasis === Graph.Scale,
+      s"oracle-compared pagerank ran on adapted basis ${Graph.lastPagerankBasis}")
   }
 
   test("graph_pagerank_knn registry row covers every vector exactly once (sf0.001)") {
