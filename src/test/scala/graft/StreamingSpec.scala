@@ -826,4 +826,55 @@ class StreamingSpec extends SparkSpec {
     assert(compacted.values.exists(!_._1),
       "corpus surfaced no dups — the parity assertions are vacuous")
   }
+
+  test("streaming near-dedup: auto-compaction policy fires mid-stream at the conf threshold and keeps verdicts bit-parity (VERDICT r12 #3)") {
+    // The r12 compactStore was correct but a manual chore — nothing
+    // triggered it, so a continuously-ingesting sink still accumulated
+    // O(epochs) dirs. With the threshold at 2, four data epochs must
+    // fold the store down MID-STREAM (no manual call anywhere), and
+    // the post-compaction cross-epoch reads must keep the verdicts at
+    // bit-parity with the batch twin.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.NearDedupStream
+    val base = Files.createTempDirectory("graft_neardedup_autocompact").toString
+    val t = s"$base/t"
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val mm = docs.selectExpr("min(doc_id)", "max(doc_id)").collect()(0)
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    def quarter(q: Int) = docs.filter(col("doc_id") >= lo + q * step &&
+      col("doc_id") < lo + (q + 1) * step)
+    def epochDirs(side: String): Seq[String] = {
+      val f = new java.io.File(s"$t/$side")
+      if (!f.isDirectory) Nil
+      else f.listFiles.toSeq.map(_.getName).filter(_.startsWith("epoch="))
+    }
+    spark.conf.set(NearDedupStream.CompactAfterEpochsKey, "2")
+    try {
+      for (q <- 0 to 3)
+        NearDedupStream.neardedupBatch(t, 0.95, 8)(quarter(q), q.toLong)
+      // 4 epochs at threshold 2: the policy fired at least once (after
+      // epoch 2 the bands side held 3 > 2 dirs), so the store must now
+      // hold a NEGATIVE consolidated epoch and at most threshold + 1
+      // dirs per side — not the 4 an unpoliced run accumulates.
+      val bands = epochDirs("bands")
+      assert(bands.exists(_.startsWith("epoch=-")),
+        s"no consolidated (negative) epoch — policy never fired: $bands")
+      assert(bands.size <= 3,
+        s"bands side holds ${bands.size} epoch dirs at threshold 2: $bands")
+      // Ledger markers are all retained (absorbed-epoch replays no-op).
+      assert((0 to 3).forall(q =>
+        new java.io.File(s"$t/_epochs/$q").exists), "ledger marker lost")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+        r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2)), Option(r.get(3))))
+      }.toMap
+      val streamed = asMap(NearDedupStream.readVerdicts(spark, t))
+      assert(streamed === asMap(
+        graft.llm.Dedup.queries("dedup_near_verdicts")(spark, sf0001)),
+        "auto-compacted store verdicts diverged from the batch twin")
+      assert(streamed.values.exists(!_._1),
+        "corpus surfaced no dups — the parity assertion is vacuous")
+    } finally spark.conf.unset(NearDedupStream.CompactAfterEpochsKey)
+  }
 }
