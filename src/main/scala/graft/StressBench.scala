@@ -414,12 +414,14 @@ object StressBench {
     // arm (thresholded NND edges → shared CC fixpoint) rides
     // [[nndScales]] like the other composed rows; its artifact_check
     // gate is relative to the co-measured knn_graph_nnd source. The
-    // fixpoint ROUND count per scale lands in cc_rounds under
+    // fixpoint STEP count per scale lands in cc_rounds under
     // "knn_<scale>" (beside the near-dup series): with the r13
-    // pointer-jump arm the count is bounded ~ccJumpAfter + log₂(D)
-    // even if the thresholded graph chains, so the recorded series
-    // must stay single-digit — a growing series here is the exact
-    // regression the planted-chain test guards in miniature.
+    // Shiloach–Vishkin closure+hook arm the count is bounded
+    // ~ccJumpAfter + O(log n) even though this graph class chains
+    // with permuted ids (measured 21 at s1 vs 88 for naive
+    // member-propagate), so the series must stay under the 40-step
+    // artifact envelope — a linearly growing series here is the
+    // exact regression the planted-chain test guards in miniature.
     for ((scale, _) <- uniformScales.take(nndScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)

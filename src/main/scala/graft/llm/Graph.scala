@@ -474,10 +474,11 @@ object Graph {
     // graphs through s30 in BENCH_stress; for THIS graph class — a
     // thresholded kNN graph over a smeared manifold can form chains
     // whose diameter grows with n — the fixpoint self-bounds via the
-    // r13 pointer-jump arm: after `spark.graft.ccJumpAfter` rounds
-    // of pure min-label each round adds the Shiloach–Vishkin
-    // `lbl(lbl(v))` shortcut, so a planted 1024-chain converges in a
-    // measured 13 rounds instead of ~1024, output parity-identical
+    // r13 Shiloach–Vishkin arm: after `spark.graft.ccJumpAfter`
+    // rounds of pure min-label, pointer-jump-to-closure alternates
+    // with root-to-root hook rounds, so a planted 1024-chain
+    // converges in ~14 steps instead of ~1024 and the id-permuted
+    // stress s1 kNN graph in a measured 21, output parity-identical
     // to min-label — see the [[Dedup.connectedComponents]] Scaladoc
     // and LlmSpec's planted-chain test); the
     // oracle is the same recursive-CTE transitive closure

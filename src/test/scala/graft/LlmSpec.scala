@@ -868,8 +868,8 @@ class LlmSpec extends SparkSpec {
     // Planted CHAIN — the adversarial graph class graph_components_*
     // can receive (Graph.scala's own caveat): a path 0–1–…–1023 has
     // diameter 1023, so pure min-label pays ~n rounds. The default
-    // arm (4 min-label rounds, then doubling: reach 4, 8, 16, …)
-    // must land the single component in ~4 + log2(n) rounds.
+    // arm (4 min-label rounds, then Shiloach–Vishkin closure+hook)
+    // must land the single component in ~4 + O(log n) steps.
     val n = 1024
     val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
@@ -878,12 +878,14 @@ class LlmSpec extends SparkSpec {
     assert(chainOut.forall { case (_, comp, size) =>
       comp === 0L && size === n.toLong },
       "chain must collapse to one component labeled 0")
-    // reach after r rounds: r (min-label) then ×2 per jump round;
-    // 4 → 1024 is 8 doublings → converged at round 12, +1 to observe
-    // no change. Slack to 16 for schedule jitter, none expected.
+    // 4 propagate steps leave labels v → v-4 (a depth-256 path in
+    // label space); the first closure halves that depth per jump
+    // (8 productive jumps + 1 no-change), landing every label at 0,
+    // and the final hook observes no change: ~14 steps total. Slack
+    // to 16 for the id-layout-independent bound.
     assert(jumpRounds <= 16,
-      s"doubling arm took $jumpRounds rounds on a 1024-chain (expect ~13)")
-    info(s"1024-chain: doubling arm fixpoint in $jumpRounds rounds")
+      s"SV arm took $jumpRounds steps on a 1024-chain (expect ~14)")
+    info(s"1024-chain: SV closure+hook fixpoint in $jumpRounds steps")
 
     // Contrast: the pure min-label arm on a short chain measures its
     // O(diameter) class — 32 nodes, ~32 rounds (31 to converge + 1).

@@ -282,13 +282,18 @@ if stress is not None:
     if not knn_cc:
         failures.append(
             "BENCH_stress.json: cc_rounds has no knn_* series — the "
-            "thresholded-kNN-graph round counts (VERDICT r12 #1) are "
+            "thresholded-kNN-graph step counts (VERDICT r12 #1) are "
             "unrecorded; re-run the sweep at HEAD")
-    cc_big = {k: v for k, v in knn_cc.items() if v >= 10}
+    # The SV closure+hook arm bounds total steps near ccJumpAfter +
+    # O(log n) regardless of diameter/id layout (measured 21 at s1,
+    # 20k nodes; log₂ grows ~+5 to s30's 600k). 40 refutes any return
+    # to the O(diameter) class without flapping on log growth.
+    cc_big = {k: v for k, v in knn_cc.items() if v > 40}
     if cc_big:
         failures.append(
-            f"BENCH_stress.json: kNN-graph CC round counts reached "
-            f"double digits {cc_big} — the pointer-jump bound broke")
+            f"BENCH_stress.json: kNN-graph CC step counts exceeded the "
+            f"ccJumpAfter + O(log n) envelope (40): {cc_big} — the "
+            f"Shiloach–Vishkin hook/closure arm broke")
     # r13 (VERDICT r12 #5): diversity selection's s30 point beside its
     # edge source's (the relative fit above now spans s1–s30).
     if "s30" not in q.get("graph_diversity_select_nnd", {}):
