@@ -448,12 +448,25 @@ object StressBench {
     // = the seed-anchored teleport/dangling terms on the node spine),
     // so it spans the full uniform range like its parent; the pair of
     // rows reading ~equal per scale IS the evidence the seeded
-    // variant adds no growth class.
+    // variant adds no growth class. The stress corpus has no customer
+    // table (StressGen writes only the tables the sweep families
+    // read), so the seed frame anchors on the same ten customers via
+    // orders' o_custkey — identical seeds whenever custkeys 1..10
+    // have orders (they do in this corpus), and the registry plan
+    // shape either way (the decontBloom local-composition precedent).
     for ((scale, _) <- uniformScales) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("graph_ppr", scale,
-        measure(() => SparkEntry.queries("graph_ppr")(spark, dir)))
+        measure(() => llm.Graph.pagerankSeeded(
+            llm.Graph.purchaseEdges(spark, dir),
+            Tables.orders(spark, dir).filter(col("o_custkey") <= 10)
+              .select((col("o_custkey") * 2).as("node")))
+          .select(col("node").as("node_id"),
+            when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+              .as("ntype"),
+            expr("node div 2").as("ref_id"), col("rank"))
+          .orderBy(col("node_id"))))
     }
 
     // r11 graph family. graph_pagerank = 10 fixed integer-PageRank

@@ -286,7 +286,7 @@ object Graph {
     * (cust → 2k, supp → 2k+1). Suppliers have no out-edges — the whole
     * supplier side is dangling mass, which is exactly what makes this
     * corpus a real test of the dangling correction. */
-  private def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+  private[graft] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),

@@ -259,9 +259,11 @@ class GraphSpec extends SparkSpec {
     assert(out.count(_._3 == 1) > 0)
   }
 
-  test("graph_diversity_select_nnd: linear arm agrees with the oracle arm's selection (sf0.001)") {
+  test("graph_diversity_select_nnd: linear arm agrees with the oracle arm's selection (sf0.01)") {
+    // VERDICT r12 #4: gated at sf0.01 (20 k vectors) — the scale the
+    // oracle arm is hash-checked at — not just the 2 k fast corpus.
     def sets(name: String) = {
-      val rows = Graph.queries(name)(spark, sf0001).collect()
+      val rows = Graph.queries(name)(spark, sf001).collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
       // selected ⟺ survived BOTH drops (shared output contract).
       assert(rows.forall { case (_, d, p, s) =>
@@ -287,11 +289,13 @@ class GraphSpec extends SparkSpec {
       s"(|oracle|=${oracleSel.size}, |nnd|=${nndSel.size})")
   }
 
-  test("graph_components: islands cover every vector with min-id labels and true sizes; linear arm agrees with the oracle arm (sf0.001)") {
+  test("graph_components: islands cover every vector with min-id labels and true sizes; linear arm agrees with the oracle arm (sf0.01)") {
+    // VERDICT r12 #4: agreement gated at the verify scale (sf0.01,
+    // 20 k vectors), matching the kNN recall gates in LlmSpec.
     def comps(name: String) = {
-      val rows = Graph.queries(name)(spark, sf0001).collect()
+      val rows = Graph.queries(name)(spark, sf001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val n = Tables.embeddings(spark, sf0001).count()
+      val n = Tables.embeddings(spark, sf001).count()
       assert(rows.length === n.toInt, s"$name does not cover the corpus")
       // component_id = the component's minimum member id; size = the
       // actual member count (both arms share the output contract).
