@@ -513,7 +513,43 @@ object Graph {
     "graph_components_nnd" -> ((s, d) =>
       componentsOver(
         Similarity.knnGraphNnd(Tables.embeddings(s, d), 3),
-        Tables.embeddings(s, d))))
+        Tables.embeddings(s, d))),
+
+    // Co-purchase part clusters (r13): connected components over the
+    // graph of parts bought together in ≥ 2 DISTINCT orders — the
+    // bundle/substitute-cluster mining shape (frequent-co-occurrence
+    // graph → communities), and the third graph FAMILY through the
+    // shared CC fixpoint (token near-dup, thresholded kNN, now
+    // transactional co-occurrence — at sf0.01 this one carries a
+    // 1 875-node near-giant component, real work for the
+    // Shiloach–Vishkin arm). Scale shape: the within-order pair
+    // self-join fans by order SIZE (bounded ~7 lineitems, so the pair
+    // stream is a constant factor of the lineitem scan, never n²);
+    // the distinct + HAVING agg shuffles by pair key with map-side
+    // partials; then the shared O(log n)-step fixpoint. Output covers
+    // exactly the parts with a kept edge (the dedup_components
+    // convention: the pair relation defines the node universe).
+    // Full DuckDB oracle: recursive-CTE transitive closure over the
+    // same thresholded edge set, hash-matched including sizes.
+    "graph_components_copurchase" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+        .distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("doc_id").as("part_id"), col("component_id"),
+          col("component_size"))
+        .orderBy(col("part_id"))
+    }))
 
   /** Shared body of the graph_components_* rows: threshold the edge
     * list at [[Similarity.NeardupCos]], run the shared CC fixpoint,
@@ -715,5 +751,27 @@ object Graph {
          |           LEFT JOIN lab l ON v.vec_id = l.vec_id)
          |SELECT vec_id, component_id,
          |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
-         |FROM fullv ORDER BY vec_id""".stripMargin)
+         |FROM fullv ORDER BY vec_id""".stripMargin,
+
+    // Same transitive-closure spelling over the co-purchase edge set:
+    // DISTINCT (order, pair) first so the threshold counts ORDERS, not
+    // line pairs (a part can ride two lineitems of one order).
+    "graph_components_copurchase" ->
+      """WITH RECURSIVE
+        | pp AS (SELECT DISTINCT a.l_orderkey AS ok,
+        |                a.l_partkey AS p1, b.l_partkey AS p2
+        |         FROM lineitem a JOIN lineitem b
+        |           ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey),
+        | te AS (SELECT p1 AS a, p2 AS b FROM pp
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        | sym AS (SELECT a, b FROM te UNION ALL SELECT b, a FROM te),
+        | rc(a, b) AS (SELECT a, b FROM sym
+        |              UNION
+        |              SELECT rc.a, sym.b FROM rc JOIN sym ON rc.b = sym.a),
+        | lab AS (SELECT a AS part_id, LEAST(a, MIN(b)) AS component_id
+        |         FROM rc GROUP BY a)
+        |SELECT part_id, component_id,
+        |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
+        |FROM lab ORDER BY part_id""".stripMargin)
 }

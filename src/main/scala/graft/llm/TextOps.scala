@@ -545,6 +545,50 @@ object TextOps {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    "text_bm25" -> ((s, d) => {
+      // Okapi BM25 top-3 characteristic terms per document —
+      // text_tfidf's retrieval-grade sibling (Robertson–Walker
+      // probabilistic idf, tf saturation, length normalization at the
+      // standard k1 = 1.2 / b = 0.75): the scoring a sparse-retrieval
+      // curation pass runs (rank corpus docs against probe terms,
+      // build BM25 features for retrieval-based data selection).
+      // Shape: the same two hash aggs as tfidf (tf per doc-term, df
+      // per term), per-doc length dl derived from tf (no second corpus
+      // scan), corpus stats (n_docs, avgdl) as ONE broadcast 1-row
+      // frame, window top-3 per doc — map-side partials everywhere,
+      // nothing driver-side. Determinism: both engines evaluate the
+      // TEXTUALLY IDENTICAL expression tree over identical integer
+      // operands (tf/df/dl/n_docs are longs; avgdl is one double
+      // division of exact longs; 1.2/0.75/2.2 parse to the same
+      // doubles) — IEEE ops on identical operands are bit-stable — and
+      // the top-3 ranks by the ROUNDED score with token tiebreak, the
+      // tfidf discipline.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))).df
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // Every doc has ≥ 1 token (the corpus has no empty text), so the
+      // dl frame's count IS the corpus count; one 1-row broadcast
+      // carries both stats.
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("tok"))
+      tf.join(Q.maybeBroadcast(dfreq), "tok")
+        .join(Q.maybeBroadcast(dl), "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25", expr(
+          "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)" +
+            " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("tok"), col("bm25"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     "pii_scrub" -> ((s, d) => {
       // PII redaction: emails → <EMAIL>, then long digit runs (≥7) →
       // <PHONE>, with per-row redaction counts for audit. The corpus has
@@ -785,6 +829,27 @@ object TextOps {
         |  SELECT doc_id, tok, tfidf,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
         |      ORDER BY tfidf DESC, tok) AS rn
+        |  FROM scored) x
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "text_bm25" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        | stats AS (SELECT COUNT(*) AS n_docs,
+        |             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        | scored AS (
+        |   SELECT tf.doc_id, tf.tok,
+        |     ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |   FROM tf JOIN df ON tf.tok = df.tok
+        |     JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+        |SELECT doc_id, rn, tok, bm25 FROM (
+        |  SELECT doc_id, tok, bm25,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY bm25 DESC, tok) AS rn
         |  FROM scored) x
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 

@@ -42,7 +42,8 @@ class CacheHygieneSpec extends SparkSpec {
       val fams = Seq("dedup_near", "dedup_components", "pipeline_curate",
         "minhash_lsh", "dedup_semantic", "dedup_semantic_verdict",
         "tokjoin_auto", "text_tfidf", "text_ngram_lm", "curate_dsir",
-        "dedup_ngram_cover", "dedup_spantrim", "embed_lshpairs")
+        "dedup_ngram_cover", "dedup_spantrim", "embed_lshpairs",
+        "text_bm25", "graph_components_copurchase")
       for (_ <- 1 to 2; q <- fams)
         SparkEntry.queries(q)(spark, sf0001).collect()
       val bad = appender.messages.filter(_.contains("already cached"))

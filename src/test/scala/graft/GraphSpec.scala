@@ -326,6 +326,39 @@ class GraphSpec extends SparkSpec {
     assert(jac >= 0.7, s"intra-component pair Jaccard $jac < 0.7")
   }
 
+  test("graph_components_copurchase: min-id labels, true sizes, threshold respected (sf0.001)") {
+    val rows = Graph.queries("graph_components_copurchase")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no co-purchase edges survived the threshold")
+    // Component labels are the member minimum; sizes are true counts.
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid, s"label $cid not the min member")
+      assert(members.forall(_._3 == members.length),
+        s"size mismatch in component $cid")
+    }
+    // Non-vacuous: the clustered corpus must surface a genuinely
+    // multi-part bundle (transitivity exercised, not just edge pairs).
+    assert(rows.map(_._3).max >= 3,
+      "no component of 3+ parts — the transitive closure is vacuous")
+    // The node universe is exactly the parts with a kept (>= 2 distinct
+    // orders) co-purchase edge — recompute the edge set independently
+    // with plain DataFrame ops and compare endpoints.
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val ends = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(array(col("pa"), col("pb"))).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet === ends,
+      "covered part set differs from the thresholded edge endpoints")
+  }
+
   test("graph_triangles registry row: one bounded row per vector (sf0.001)") {
     val out = Graph.queries("graph_triangles")(spark, sf0001).collect()
     val n = Tables.embeddings(spark, sf0001).count()

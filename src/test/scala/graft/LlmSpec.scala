@@ -850,6 +850,39 @@ class LlmSpec extends SparkSpec {
       === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("text_bm25 matches an independent driver-side Okapi fold (sf0.001)") {
+    // Reference written against the SPEC (Robertson–Walker idf, k1=1.2,
+    // b=0.75, round-4dp, rank by rounded score then token) over plain
+    // Scala Maps — agreement means the distributed plan computes the
+    // documented formula, not merely itself (the refPagerank pattern;
+    // the DuckDB oracle independently hash-checks sf0.01).
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, v) => t -> v.size.toLong } }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = tf.flatMap { case (id, m) =>
+      m.toSeq.map { case (t, f) =>
+        val idf = math.log(1 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+        (id, t, r4(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))))
+      }.sortBy { case (_, t, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((_, t, s), i) => (id, i + 1L, t, s) }
+    }.toSet
+    val got = llm.TextOps.queries("text_bm25")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected,
+      s"BM25 diverged from the reference fold (|got|=${got.size}, " +
+        s"|ref|=${expected.size}, diff sample=${(got diff expected).take(3)})")
+  }
+
   test("connectedComponents pointer-jump: planted chain converges in O(log n) rounds, parity with min-label (VERDICT r12 #1)") {
     val s = spark
     import s.implicits._

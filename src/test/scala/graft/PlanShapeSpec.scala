@@ -97,8 +97,8 @@ class PlanShapeSpec extends SparkSpec {
       "vocabulary top-k lost its TakeOrderedAndProject shape")
   }
 
-  test("text_tfidf and text_lm_score: corpus-count broadcast only; no shuffled cartesian anywhere") {
-    for (q <- Seq("text_tfidf", "text_lm_score")) {
+  test("text_tfidf, text_lm_score, text_bm25: corpus-count broadcast only; no shuffled cartesian anywhere") {
+    for (q <- Seq("text_tfidf", "text_lm_score", "text_bm25")) {
       val p = plan(q)
       // the 1-row corpus-count frame may broadcast (BNLJ build side of
       // one row); a ShuffledCartesian/CartesianProduct would mean the

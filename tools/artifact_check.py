@@ -464,7 +464,7 @@ if ball is not None:
                    "graph_pagerank_nnd", "graph_triangles",
                    "graph_diversity_select", "graph_diversity_select_nnd",
                    "graph_components_knn", "graph_components_nnd",
-                   "graph_ppr"):
+                   "graph_ppr", "text_bm25", "graph_components_copurchase"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
