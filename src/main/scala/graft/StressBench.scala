@@ -444,6 +444,25 @@ object StressBench {
         measure(() =>
           SparkEntry.queries("graph_components_knn")(spark, dir)))
     }
+    // r13b: the co-purchase components row rides the full uniform
+    // span — its lineitem-side cost is the linear within-order pair
+    // fan (order size bounded ~7), while the EDGE set saturates
+    // (StressGen reuses the s1 part key space, so co-occurrence
+    // counts inflate and the graph densifies toward one giant
+    // component) — the graph_pagerank corpus shape: the row prices a
+    // linear scan + the SV fixpoint on a growing-density graph. Step
+    // counts land in cc_rounds under "cp_<scale>" beside the knn_*
+    // series, same 40-step envelope.
+    for ((scale, _) <- uniformScales) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      llm.Dedup.lastCcRounds = -1
+      val cpEntry = measure(() =>
+        SparkEntry.queries("graph_components_copurchase")(spark, dir))
+      record("graph_components_copurchase", scale, cpEntry)
+      if (cpEntry.rows >= 0)
+        ccRounds(s"cp_$scale") = llm.Dedup.lastCcRounds
+    }
     // graph_ppr rides the priced graph_pagerank machinery (plan delta
     // = the seed-anchored teleport/dangling terms on the node spine),
     // so it spans the full uniform range like its parent; the pair of

@@ -246,7 +246,7 @@ if stress is not None:
     # add it here in the same commit; a sweep predating the row then
     # fails BY NAME instead of silently under-reporting scale coverage.
     for armed in ("graph_components_nnd", "graph_components_knn",
-                  "graph_ppr"):
+                  "graph_ppr", "graph_components_copurchase"):
         if armed not in q:
             failures.append(
                 f"BENCH_stress.json: stress-armed registry row '{armed}' "
@@ -278,8 +278,8 @@ if stress is not None:
             f"than graph_pagerank {_pe} + 0.3 — the seeded variant "
             f"acquired a growth class its parent lacks")
     knn_cc = {k: v for k, v in (stress.get("cc_rounds") or {}).items()
-              if k.startswith("knn_")}
-    if not knn_cc:
+              if k.startswith("knn_") or k.startswith("cp_")}
+    if not any(k.startswith("knn_") for k in knn_cc):
         failures.append(
             "BENCH_stress.json: cc_rounds has no knn_* series — the "
             "thresholded-kNN-graph step counts (VERDICT r12 #1) are "
@@ -287,7 +287,8 @@ if stress is not None:
     # The SV closure+hook arm bounds total steps near ccJumpAfter +
     # O(log n) regardless of diameter/id layout (measured 21 at s1,
     # 20k nodes; log₂ grows ~+5 to s30's 600k). 40 refutes any return
-    # to the O(diameter) class without flapping on log growth.
+    # to the O(diameter) class without flapping on log growth. The
+    # cp_* (co-purchase) series rides the same envelope.
     cc_big = {k: v for k, v in knn_cc.items() if v > 40}
     if cc_big:
         failures.append(
