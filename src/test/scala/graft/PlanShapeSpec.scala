@@ -108,6 +108,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("graph_components_copurchase: within-order pair join is hash/merge on l_orderkey, never a cartesian") {
+    // The registry row's RESULT plan is re-rooted on the CC fixpoint's
+    // cache (an ExistingRDD leaf), so the pair build must be pinned on
+    // its own subplan — the exact spelling the query feeds
+    // connectedComponents. The pair fan must ride the order-key equi
+    // join (bounded by order size); a CartesianProduct or BNLJ here
+    // would mean the a.l_partkey < b.l_partkey conjunct displaced the
+    // equi key and the plan went lineitem × lineitem.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val p = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"co-purchase pair join lost its equi key:\n$p")
+    assert(p.contains("HashAggregate"),
+      "threshold count lost its hash aggregation")
+    assert(p.contains("l_orderkey"),
+      "pair join no longer keyed on the order key")
+  }
+
   test("embed_quantize is pure scan shape: projection only, no data exchange") {
     val p = plan("embed_quantize")
     // the only exchange allowed is the final verify ORDER BY's rangepartitioning
