@@ -90,6 +90,33 @@ object Q {
     if (org.apache.spark.sql.GraftShims.isCached(df)) Owned(df, owned = false)
     else Owned(df.persist(), owned = true)
 
+  /** Session-scoped ledger of the FINAL `localCheckpoint`-ed frame of
+    * each iterative fixpoint (ADVICE r13). Checkpoint RDD blocks live
+    * outside the CacheManager, so the runners' per-query
+    * `spark.catalog.clearCache()` cannot reap them; fixpoints whose
+    * RESULT may still read their last checkpoint register it here
+    * instead of unpersisting blind, and runners call
+    * [[drainCheckpoints]] right after clearCache — once the query's
+    * result is materialized — so nothing checkpoint-shaped outlives
+    * its query. Intermediate checkpoints are unpersisted inline by the
+    * fixpoints themselves as soon as their successor materializes. */
+  private val sessionCheckpoints =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Record a final fixpoint checkpoint for the runner to reap. */
+  def registerCheckpoint(df: DataFrame): DataFrame = synchronized {
+    sessionCheckpoints += df; df
+  }
+
+  /** Unpersist every registered checkpoint frame's RDD blocks. Safe to
+    * call only once the registering queries' results are materialized
+    * (the runners' per-query boundary). */
+  def drainCheckpoints(): Unit = synchronized {
+    sessionCheckpoints.foreach(
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd)
+    sessionCheckpoints.clear()
+  }
+
   def maybeBroadcast(side: DataFrame): DataFrame = {
     val conf = side.sparkSession.conf
     val rowThreshold = conf.get(BroadcastSideThresholdKey, "8000000").toLong

@@ -60,6 +60,7 @@ object TimeOne {
           f"cpu=${m.cpuShare}%5.2f  $strat")
       }
       spark.catalog.clearCache()
+      Q.drainCheckpoints()
       System.gc()
     }
     once(None) // untimed warmup

@@ -65,8 +65,11 @@ object Verify {
         metricsListener.snapshotAndReset())
       // Operators may persist() self-join intermediates (minhash_lsh,
       // embed_lshpairs); the runner owns cache lifecycle — nothing stays
-      // pinned past its query.
+      // pinned past its query. Checkpoint blocks live OUTSIDE the
+      // CacheManager (ADVICE r13), so the fixpoints' final label/rank
+      // checkpoints are drained separately.
       spark.catalog.clearCache()
+      Q.drainCheckpoints()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -500,7 +500,15 @@ object Dedup {
    * the component min — so the output is identical to the min-label
    * arm for ANY input (parity-asserted in LlmSpec with the jump forced
    * on from round 0), and every oracle hash is untouched. Each step
-   * (propagate or jump) is still exactly ONE job.
+   * (propagate or jump) is exactly ONE job, PLUS one extra
+   * materialization job on every 8th step — the eager localCheckpoint
+   * that truncates the physical RDD lineage (ADVICE r13: the
+   * one-job-per-round accounting must count it). Checkpoint blocks
+   * live outside the CacheManager, so each checkpoint is unpersisted
+   * as soon as its successor checkpoint materializes, and the final
+   * one is registered in [[graft.Q.registerCheckpoint]] for the
+   * runner's post-materialization drain — no label frame outlives its
+   * query (ADVICE r13's session-lifetime leak).
    */
   /** Fixpoint STEPS (propagate + jump actions, = jobs) of the most
     * recent [[connectedComponents]] run — read by StressBench to
@@ -551,6 +559,10 @@ object Dedup {
         .withColumn("lbl", col("doc")))
     var labels = cachedOwned.df
     var steps = 0
+    // Most recent localCheckpoint-ed label frame (every 8th step) —
+    // unpersisted when its successor checkpoint materializes; the last
+    // one is registered for the runner's drain (ADVICE r13).
+    var pendingCkpt: org.apache.spark.sql.DataFrame = null
     // One fixpoint step: build the round's candidate-label union via
     // `branches`, hash-agg the min per doc, count how many labels
     // strictly decreased, and swap the label cache. The old label
@@ -588,7 +600,18 @@ object Dedup {
       steps += 1
       val flat = org.apache.spark.sql.GraftShims.flattenToLeaf(next)
         .select(col("doc"), col("lbl"))
-      labels = if (steps % 8 == 0) flat.localCheckpoint(true) else flat
+      labels =
+        if (steps % 8 == 0) {
+          // Eager: one extra job (counted in the Scaladoc). The new
+          // checkpoint is a complete snapshot, so the previous one's
+          // blocks are dead — unpersist instead of leaking one label
+          // frame per 8 steps for the session lifetime (ADVICE r13).
+          val ck = flat.localCheckpoint(true)
+          if (pendingCkpt != null)
+            org.apache.spark.sql.GraftShims.unpersistLeafRdd(pendingCkpt)
+          pendingCkpt = ck
+          ck
+        } else flat
       chg
     }
     // Branch builders. Propagate: each doc pulls its neighbors' labels
@@ -656,6 +679,10 @@ object Dedup {
     lastCcRounds = steps
     edgesOwned.release()
     pairsOwned.release()
+    // The last checkpoint may back the returned (lazy) frame's
+    // recompute path — reaped by the runner's post-materialization
+    // drain, never here.
+    if (pendingCkpt != null) Q.registerCheckpoint(pendingCkpt)
     val bySize = Window.partitionBy(col("lbl"))
     labels
       .select(col("doc").as("doc_id"), col("lbl").as("component_id"),

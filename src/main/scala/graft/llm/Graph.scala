@@ -72,6 +72,25 @@ object Graph {
   def pagerank(edges: DataFrame, iters: Int = Iters): DataFrame =
     pagerankImpl(edges, iters, None)
 
+  /** WEIGHTED integer PageRank (r14 — VERDICT r13 #4): edges carry a
+    * positive long weight column `w` (co-occurrence counts, trade
+    * volumes) and each round splits a node's recycled rank across its
+    * out-edges IN PROPORTION to weight instead of uniformly:
+    *
+    *   contrib(s→d) = (rank(s) div outW(s)) · w(s→d),  outW = Σ w
+    *
+    * — floor-divide FIRST, then multiply: every term stays a
+    * non-negative long (engine-exact, like the uniform spelling), and
+    * per source the contributions sum to (rank div outW)·outW ≤ rank,
+    * so total mass conservation — and therefore the n-derived int64
+    * headroom guard — is IDENTICAL to [[pagerank]]'s. With all weights
+    * equal to 1 the recurrence degenerates to the uniform one term for
+    * term (outW = outdeg), which GraphSpec asserts as exact parity.
+    * The DuckDB twin ([[pagerankSql]] with weighted = true) spells the
+    * same floor-first product, so the fixpoint hash-matches end-to-end. */
+  def pagerankWeighted(edges: DataFrame, iters: Int = Iters): DataFrame =
+    pagerankImpl(edges, iters, None, weighted = true)
+
   /** PERSONALIZED integer PageRank (r12): the same fixpoint with the
     * teleport mass and the dangling redistribution anchored on a SEED
     * set instead of spread uniformly — rank flows outward from the
@@ -97,10 +116,29 @@ object Graph {
     pagerankImpl(edges, iters, Some(seeds))
 
   private def pagerankImpl(edges: DataFrame, iters: Int,
-      seeds: Option[DataFrame]): DataFrame = {
-    val e = Q.ownPersist(edges.select(col("src"), col("dst")))
-    val outdeg = e.df.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+      seeds: Option[DataFrame], weighted: Boolean = false): DataFrame = {
+    val e = Q.ownPersist(
+      if (weighted) edges.select(col("src"), col("dst"), col("w"))
+      else edges.select(col("src"), col("dst")))
+    // Weighted mode: outdeg becomes the node's total out-WEIGHT, and
+    // the per-edge contribution multiplies the floored per-weight-unit
+    // share by the edge weight. Positive weights are a correctness
+    // precondition (w = 0 would silently drop an edge from the rank
+    // split while still defining the node spine; w < 0 breaks the
+    // non-negative-long floor arithmetic) — enforced with one cheap
+    // driver-side agg on the already-persisted edge frame, the
+    // triangles id-domain require() precedent.
+    if (weighted) {
+      val wMin = e.df.agg(min(col("w"))).first()
+      require(!wMin.isNullAt(0) && wMin.getLong(0) >= 1L,
+        s"pagerankWeighted: edge weights must be positive longs — " +
+          s"got min ${wMin.get(0)}")
+    }
+    val outdeg =
+      if (weighted) e.df.groupBy(col("src").as("node"))
+        .agg(sum(col("w")).as("outdeg"))
+      else e.df.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
     val info = Q.ownPersist(
       e.df.select(col("src").as("node"))
         .union(e.df.select(col("dst").as("node"))).distinct()
@@ -186,20 +224,30 @@ object Graph {
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val contribs = withDeg.filter(col("outdeg") > 0)
         .join(e.df, col("node") === col("src"))
-        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .select(col("dst"), expr(
+          if (weighted) "(rank div outdeg) * w" else "rank div outdeg")
+          .as("c"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
       // Eager per-round localCheckpoint truncates the iterative lineage
       // (else the 10-round plan explodes, as every fixpoint here learned).
-      ranks = nodeSpine
+      val next = nodeSpine
         .join(contribs, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), (teleCol +
           expr(s"(85 * (coalesce(s, 0L) + $dangExpr)) div 100")).as("rank"))
         .localCheckpoint(true)
+      // `next` is eagerly materialized (a complete snapshot), so the
+      // previous round's checkpoint blocks are dead — unpersist them
+      // instead of leaking one rank frame per round for the session
+      // lifetime (ADVICE r13; clearCache can't see checkpoint blocks).
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(ranks)
+      ranks = next
     }
     seedInfo.foreach(_._1.release())
     e.release(); info.release()
-    ranks
+    // The FINAL checkpoint backs the returned (lazy) frame — reaped by
+    // the runner's post-materialization drain, not here.
+    Q.registerCheckpoint(ranks)
   }
 
   /** Node-order key base for [[triangles]]: ord = deg·OrdScale + node
@@ -295,6 +343,48 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
 
+  /** Shared body of the graph_ppr registry row (ADVICE r13): seeded
+    * PageRank over the purchase digraph with the given seed frame,
+    * projected to the row's output shape. The registry row and
+    * StressBench's stress arm (whose corpus has no customer table, so
+    * it derives the same ten anchors from orders) both call this — one
+    * spelling, so drift between what the registry runs and what the
+    * benchmark series prices fails to compile. */
+  def pprOver(s: org.apache.spark.sql.SparkSession, d: String,
+      seeds: DataFrame): DataFrame =
+    pagerankSeeded(purchaseEdges(s, d), seeds)
+      .select(col("node").as("node_id"),
+        when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+          .as("ntype"),
+        expr("node div 2").as("ref_id"), col("rank"))
+      .orderBy(col("node_id"))
+
+  /** Co-purchase edge list (r13/r14): one row per unordered part pair
+    * bought together in ≥ 2 DISTINCT orders, doc_a < doc_b, with the
+    * distinct-order count as the edge weight `w`. Shared by
+    * graph_components_copurchase (which thresholds and then drops the
+    * weight) and graph_pagerank_copurchase (which carries it into the
+    * weighted rank split) — one spelling of the pair fan for both rows.
+    * Scale shape: the within-order self-join fans by bounded order
+    * size (~7 lineitems), so the pair stream is a constant factor of
+    * the lineitem scan, never n²; the distinct + count agg shuffles by
+    * pair key with map-side partials (PlanShapeSpec pins hash/merge on
+    * l_orderkey, never a cartesian). */
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_orderkey").as("ok"),
+        col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+  }
+
   val queries: Map[String, QFn] = Map(
     // Source-graph centrality: who the influential buyers/suppliers are
     // under rank recycling — the domain-ranking shape on the TPC-H-ish
@@ -316,14 +406,9 @@ object Graph {
     // redistribution (mass parked at suppliers returns to the anchors,
     // not to everyone). Full DuckDB oracle via the seeded chain.
     "graph_ppr" -> ((s, d) =>
-      pagerankSeeded(purchaseEdges(s, d),
+      pprOver(s, d,
         Tables.customer(s, d).filter(col("c_custkey") <= 10)
-          .select((col("c_custkey") * 2).as("node")))
-        .select(col("node").as("node_id"),
-          when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
-            .as("ntype"),
-          expr("node div 2").as("ref_id"), col("rank"))
-        .orderBy(col("node_id"))),
+          .select((col("c_custkey") * 2).as("node")))),
 
     // Prototypicality over the EXACT kNN similarity digraph (k = 3,
     // the oracle-checked knn_graph edges): rank flows toward vectors
@@ -531,23 +616,36 @@ object Graph {
     // convention: the pair relation defines the node universe).
     // Full DuckDB oracle: recursive-CTE transitive closure over the
     // same thresholded edge set, hash-matched including sizes.
-    "graph_components_copurchase" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_orderkey").as("ok"),
-          col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
-        .distinct()
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= 2)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.connectedComponents(pairs)
+    "graph_components_copurchase" -> ((s, d) =>
+      Dedup.connectedComponents(
+          copurchaseEdges(s, d).select(col("doc_a"), col("doc_b")))
         .select(col("doc_id").as("part_id"), col("component_id"),
           col("component_size"))
+        .orderBy(col("part_id"))),
+
+    // Weighted co-purchase centrality (r14 — VERDICT r13 #4): the
+    // co-purchase graph's edge weights (distinct-order counts, which
+    // the components row thresholds and then discards) carried into
+    // PageRank — rank splits across a part's co-purchase partners in
+    // proportion to HOW OFTEN they co-occur, the weighted-centrality
+    // shape co-occurrence mining ranks bundles with. Edges are the
+    // symmetric closure of the undirected pair list (both directions,
+    // same weight), so the walk is the natural random walk on the
+    // weighted co-occurrence graph. Still all-long floor arithmetic
+    // (floor-first contribution split — see pagerankWeighted), so the
+    // unrolled-CTE oracle extends verbatim: full DuckDB hash match.
+    // The pair frame is persisted here because the symmetric union
+    // reads it twice and the pair fan is the expensive stage (handle
+    // leaked to the runner's per-query clearCache, the documented
+    // convention).
+    "graph_pagerank_copurchase" -> ((s, d) => {
+      val e = Q.ownPersist(copurchaseEdges(s, d)).df
+      val sym = e.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+          col("w"))
+        .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+          col("w")))
+      pagerankWeighted(sym)
+        .select(col("node").as("part_id"), col("rank"))
         .orderBy(col("part_id"))
     }))
 
@@ -588,10 +686,20 @@ object Graph {
     * returns to seeds — both spelled with the same floor-division
     * order the Spark arm computes driver-side. With seedsSql empty the
     * generated SQL is byte-identical to the pre-r12 builder (asserted
-    * against the committed oracle hashes when the change landed). */
+    * against the committed oracle hashes when the change landed).
+    * `weighted` (r14) switches to [[pagerankWeighted]]'s spelling:
+    * edgesSql must then also yield a positive BIGINT `w`, outdeg
+    * becomes SUM(w), and the contribution is the floor-first product
+    * (rank // outdeg) · w. With weighted = false the generated SQL is
+    * byte-identical to the r13 builder (the interpolated fragments
+    * reproduce the old text exactly — GraphSpec asserts it). */
   private def pagerankSql(edgesSql: String, finalSelect: String,
-      extraCtes: String = "", seedsSql: String = ""): String = {
+      extraCtes: String = "", seedsSql: String = "",
+      weighted: Boolean = false): String = {
     val seeded = seedsSql.nonEmpty
+    val odExpr = if (weighted) "CAST(SUM(w) AS BIGINT)" else "COUNT(*)"
+    val contribExpr =
+      if (weighted) "(r.rank // i.outdeg) * e.w" else "r.rank // i.outdeg"
     val tele =
       if (seeded) s"CASE WHEN sd.node IS NOT NULL THEN " +
         s"((15 * $Scale * (SELECT n FROM nn)) // 100) // " +
@@ -610,7 +718,7 @@ object Graph {
       s""" d$t AS MATERIALIZED (SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dm
          |   FROM r$t r JOIN info i ON r.node = i.node WHERE i.outdeg = 0),
          | c$t AS MATERIALIZED (SELECT e.dst AS node,
-         |     CAST(SUM(r.rank // i.outdeg) AS BIGINT) AS s
+         |     CAST(SUM($contribExpr) AS BIGINT) AS s
          |   FROM r$t r JOIN info i ON r.node = i.node AND i.outdeg > 0
          |   JOIN edges e ON e.src = r.node GROUP BY e.dst),
          | r${t + 1} AS MATERIALIZED (SELECT i.node,
@@ -621,7 +729,7 @@ object Graph {
     s"""WITH edges AS MATERIALIZED ($edgesSql),
        | nodes AS (SELECT src AS node FROM edges
        |           UNION SELECT dst FROM edges),
-       | od AS (SELECT src AS node, COUNT(*) AS outdeg
+       | od AS (SELECT src AS node, $odExpr AS outdeg
        |        FROM edges GROUP BY src),
        | info AS MATERIALIZED (SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
        |   FROM nodes n LEFT JOIN od o ON n.node = o.node),
@@ -752,6 +860,23 @@ object Graph {
          |SELECT vec_id, component_id,
          |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
          |FROM fullv ORDER BY vec_id""".stripMargin,
+
+    // Weighted chain over the symmetric co-purchase edge set: the same
+    // DISTINCT (order, pair) + HAVING >= 2 derivation as the components
+    // oracle, with the distinct-order count kept as w and both edge
+    // directions emitted (the Spark arm's symmetric union).
+    "graph_pagerank_copurchase" -> pagerankSql(
+      """WITH pp AS (SELECT DISTINCT a.l_orderkey AS ok,
+        |                a.l_partkey AS p1, b.l_partkey AS p2
+        |         FROM lineitem a JOIN lineitem b
+        |           ON a.l_orderkey = b.l_orderkey
+        |          AND a.l_partkey < b.l_partkey),
+        | te AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS w FROM pp
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p1 AS src, p2 AS dst, w FROM te
+        |UNION ALL SELECT p2, p1, w FROM te""".stripMargin,
+      s"SELECT node AS part_id, rank FROM r$Iters ORDER BY node",
+      weighted = true),
 
     // Same transitive-closure spelling over the co-purchase edge set:
     // DISTINCT (order, pair) first so the threshold counts ORDERS, not

@@ -736,8 +736,14 @@ object Similarity {
       val next = refineRound(eOwned, graft.Q.Owned(edges, owned = false),
         kWork)
       // Truncate the round's lineage off its own fresh cache (a cache
-      // read, not a recompute), then drop the persist.
-      edges = next.df.localCheckpoint(true)
+      // read, not a recompute), then drop the persist. The new
+      // checkpoint is a complete snapshot, so the PREVIOUS round's
+      // checkpoint blocks are dead — unpersist them instead of leaking
+      // one edge frame per round for the session lifetime (ADVICE r13;
+      // clearCache cannot see checkpoint blocks).
+      val ck = next.df.localCheckpoint(true)
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(edges)
+      edges = ck
       next.release()
       r += 1
     }
@@ -745,9 +751,10 @@ object Similarity {
     // knnGraphRefine — the four arms are drop-in twins; the final
     // ranking cuts the working-degree graph to the caller's k. The
     // embedding cache is released by the runner's per-query clearCache,
-    // the documented handle-leak convention (ADVICE r10); checkpoint
-    // blocks are reclaimed by the ContextCleaner when the frame drops.
-    edges
+    // the documented handle-leak convention (ADVICE r10); the final
+    // checkpoint backs the returned lazy frame and is registered for
+    // the runner's post-materialization drain (ADVICE r13).
+    graft.Q.registerCheckpoint(edges)
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= k)
       .orderBy(col("src"), col("rn"))
@@ -927,10 +934,18 @@ object Similarity {
       .select(col("cl"),
         expr("transform(embedding, x -> cast(x as double))").as("centroid"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters)
-      centroids = meanByCluster(assignClusters(emb, centroids))
-        .localCheckpoint(true) // truncate per-round lineage, as in connectedComponents
-    centroids
+    for (_ <- 1 to iters) {
+      // truncate per-round lineage, as in connectedComponents; the new
+      // eager checkpoint supersedes the previous round's, whose blocks
+      // are unpersisted here (ADVICE r13 — clearCache can't see them)
+      val next = meanByCluster(assignClusters(emb, centroids))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(centroids)
+      centroids = next
+    }
+    // final checkpoint backs every downstream read of the trained
+    // centroids — reaped by the runner's post-materialization drain
+    graft.Q.registerCheckpoint(centroids)
   }
 
   /**

@@ -589,6 +589,68 @@ object TextOps {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    "text_search_bm25" -> ((s, d) => {
+      // Query-driven sparse retrieval (r14 — VERDICT r13 #1): the
+      // sparse twin of sim_topk, and the shape retrieval-based data
+      // selection / decontamination-by-retrieval actually runs: probe
+      // TERMS in, top-k DOCUMENTS out, ranked by summed Okapi BM25.
+      // Probe derivation mirrors sim_topk's vec_id < 10 rule: each of
+      // docs 0..9 contributes its own top-3 BM25 characteristic terms
+      // (text_bm25's exact ranking) as one probe term-set — a pure
+      // function of the corpus, no sampling. Retrieval: probe terms
+      // (30 rows, broadcast) equi-join the per-doc-term score frame,
+      // self-hit excluded, summed per (probe, doc), top-5 docs per
+      // probe. Shape at 100 TB: the same two hash aggs as text_bm25
+      // build tf/df/dl once (map-side partials, shuffle = #doc-term
+      // pairs), the probe join is a broadcast against the score frame,
+      // and the final window partitions by probe — nothing driver-side,
+      // no corpus re-scan. Determinism: per-term bm25 is the textually
+      // identical expression tree over exact-long operands rounded to
+      // 4 dp (text_bm25's discipline); the per-doc SUM of those
+      // rounded terms goes through DECIMAL(18,12) (the text_entropy
+      // moneySum trick — exact, order-independent), and both rankings
+      // break ties by token / doc_id.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))).df
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      // Persisted: both the probe derivation and the retrieval join
+      // read the scored frame (handle leaked to the runner's per-query
+      // clearCache, the documented convention).
+      val scored = graft.Q.ownPersist(
+        tf.join(Q.maybeBroadcast(dfreq), "tok")
+          .join(Q.maybeBroadcast(dl), "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("bm25", expr(
+            "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)" +
+              " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)"))
+          .select(col("doc_id"), col("tok"), col("bm25"))).df
+      val wProbe = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bm25").desc, col("tok"))
+      val probes = scored.filter(col("doc_id") < 10)
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select(col("doc_id").as("probe_id"), col("tok"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.join(broadcast(probes), "tok")
+        .filter(col("doc_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("bm25").cast("decimal(18,12)")).cast("double"), 4)
+            .as("score"))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("doc_id"), col("score"),
+          col("n_terms"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
     "pii_scrub" -> ((s, d) => {
       // PII redaction: emails → <EMAIL>, then long digit runs (≥7) →
       // <PHONE>, with per-row redaction counts for audit. The corpus has
@@ -852,6 +914,45 @@ object TextOps {
         |      ORDER BY bm25 DESC, tok) AS rn
         |  FROM scored) x
         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // Probe/retrieval twin of text_bm25's chain: identical scored CTE,
+    // probes = top-3 terms of docs 0..9, summed through DECIMAL(18,12)
+    // (the text_entropy exact-sum trick), top-5 docs per probe.
+    "text_search_bm25" ->
+      """WITH t AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        |           FROM documents),
+        | tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        | df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        | dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+        | stats AS (SELECT COUNT(*) AS n_docs,
+        |             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        | scored AS (
+        |   SELECT tf.doc_id, tf.tok,
+        |     ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        |       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        |   FROM tf JOIN df ON tf.tok = df.tok
+        |     JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats),
+        | probes AS (
+        |   SELECT doc_id AS probe_id, tok FROM (
+        |     SELECT doc_id, tok,
+        |       ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY bm25 DESC, tok) AS prn
+        |     FROM scored WHERE doc_id < 10) x
+        |   WHERE prn <= 3),
+        | hits AS (
+        |   SELECT p.probe_id, s.doc_id,
+        |     CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |     ROUND(CAST(SUM(CAST(s.bm25 AS DECIMAL(18,12))) AS DOUBLE), 4)
+        |       AS score
+        |   FROM probes p JOIN scored s ON p.tok = s.tok
+        |   WHERE s.doc_id <> p.probe_id
+        |   GROUP BY 1, 2)
+        |SELECT probe_id, rn, doc_id, score, n_terms FROM (
+        |  SELECT probe_id, doc_id, score, n_terms,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY score DESC, doc_id) AS rn
+        |  FROM hits) x
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -499,6 +499,9 @@ object StreamPipelines {
         case Some(v) => spark.conf.set(overwriteKey, v)
         case None => spark.conf.unset(overwriteKey)
       }
+      // the write consumed the checkpoint snapshot — free its blocks
+      // (ADVICE r13: clearCache cannot reap checkpoint RDDs)
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
@@ -608,6 +611,9 @@ object StreamPipelines {
         case Some(v) => spark.conf.set(overwriteKey, v)
         case None => spark.conf.unset(overwriteKey)
       }
+      // the write consumed the checkpoint snapshot — free its blocks
+      // (ADVICE r13: clearCache cannot reap checkpoint RDDs)
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

@@ -30,6 +30,25 @@ object GraftShims {
     ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds).isDefined
   }
 
+  /** Unpersist the RDD blocks behind an (eager) `localCheckpoint`-ed
+    * frame (ADVICE r13): checkpoint blocks live OUTSIDE the
+    * CacheManager, so `spark.catalog.clearCache()` never reaps them —
+    * without this, every iterative fixpoint leaks one label/rank frame
+    * per checkpoint for the session lifetime. Walks the analyzed plan
+    * for `LogicalRDD` leaves and unpersists their RDDs (non-blocking).
+    * Caller contract: the frame's data must no longer be needed — a
+    * localCheckpoint's lineage is truncated, so a later cache-loss
+    * recompute through it would fail (the documented localCheckpoint
+    * trade-off; in practice the successor frame is itself materialized
+    * before this is called). */
+  def unpersistLeafRdd(df: DataFrame): Unit = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   /** Re-root a (typically persisted) frame as a flat `LogicalRDD` leaf —
     * the lineage-truncation half of `Dataset.localCheckpoint` without
     * its extra materialization job: iterative algorithms that reference

@@ -43,7 +43,8 @@ class CacheHygieneSpec extends SparkSpec {
         "minhash_lsh", "dedup_semantic", "dedup_semantic_verdict",
         "tokjoin_auto", "text_tfidf", "text_ngram_lm", "curate_dsir",
         "dedup_ngram_cover", "dedup_spantrim", "embed_lshpairs",
-        "text_bm25", "graph_components_copurchase")
+        "text_bm25", "graph_components_copurchase",
+        "text_search_bm25", "graph_pagerank_copurchase")
       for (_ <- 1 to 2; q <- fams)
         SparkEntry.queries(q)(spark, sf0001).collect()
       val bad = appender.messages.filter(_.contains("already cached"))
@@ -55,5 +56,41 @@ class CacheHygieneSpec extends SparkSpec {
       appender.stop()
       spark.catalog.clearCache()
     }
+  }
+
+  test("fixpoint checkpoints are reaped: inline unpersist-on-supersede + runner drain leave zero persistent RDDs (ADVICE r13)") {
+    val s = spark
+    import s.implicits._
+    // Clean slate: clearCache drops CacheManager entries; the drain
+    // reaps any checkpoint frames earlier tests registered.
+    s.catalog.clearCache()
+    Q.drainCheckpoints()
+    val base = s.sparkContext.getPersistentRDDs.size
+    // A 64-chain with the jump DISABLED pays ~64 min-label rounds → 8
+    // localCheckpoint steps: 7 must be unpersisted inline as their
+    // successors materialize, the last registered for the drain.
+    val prev = s.conf.getOption(llm.Dedup.CcJumpAfterKey)
+    s.conf.set(llm.Dedup.CcJumpAfterKey, Int.MaxValue.toString)
+    try {
+      val chain = (0 until 64).map(i => (i.toLong, i.toLong + 1))
+        .toDF("doc_a", "doc_b")
+      llm.Dedup.connectedComponents(chain).collect()
+    } finally prev match {
+      case Some(v) => s.conf.set(llm.Dedup.CcJumpAfterKey, v)
+      case None => s.conf.unset(llm.Dedup.CcJumpAfterKey)
+    }
+    assert(llm.Dedup.lastCcRounds >= 16, "fixture failed to cross 2 checkpoints")
+    // Mid-state: at most base + persisted step frames + ONE live
+    // checkpoint — never one per 8 steps. (The final step's persist
+    // and the registered checkpoint are the only survivors.)
+    val afterRun = s.sparkContext.getPersistentRDDs.size
+    assert(afterRun <= base + 3,
+      s"checkpoint frames accumulated: $afterRun persistent RDDs " +
+        s"(base $base) after a ${llm.Dedup.lastCcRounds}-step fixpoint")
+    // Runner boundary: clearCache + drain must return to the baseline.
+    s.catalog.clearCache()
+    Q.drainCheckpoints()
+    assert(s.sparkContext.getPersistentRDDs.size <= base,
+      "the runner-boundary drain left checkpoint blocks behind")
   }
 }

@@ -135,6 +135,96 @@ class GraphSpec extends SparkSpec {
     assert(total > mass0 * 9L / 10L, s"implausible mass loss: $total of $mass0")
   }
 
+  /** Weighted twin of [[refPagerank]], written against
+    * pagerankWeighted's Scaladoc spec: outW = Σ w per source, and the
+    * contribution is the floor-FIRST product (rank div outW) · w. */
+  private def refPagerankWeighted(edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outw = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outw.contains).map(r).sum
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((a, b, w) <- edges) s(b) += r(a) / outw(a) * w
+      r = nodes.map(nd =>
+        nd -> (Graph.Teleport + (85L * (s(nd) + dm / n)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def runWeighted(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pagerankWeighted(edges.toDF("src", "dst", "w")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+  }
+
+  test("pagerankWeighted: unit weights degenerate to the uniform variant exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (3L, 5L))
+    assert(runWeighted(edges.map { case (a, b) => (a, b, 1L) }) === run(edges))
+  }
+
+  test("pagerankWeighted matches the independent weighted reference; skewed weights shift rank toward the heavy edge") {
+    // 1 splits 9:1 between 2 and 3; 2/3 recycle back — the heavy target
+    // must outrank the light one, and every value must match the
+    // driver-side fold bit-for-bit. Node 5 stays dangling.
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 2L), (3L, 5L, 1L))
+    val got = runWeighted(edges)
+    assert(got === refPagerankWeighted(edges, Graph.Iters))
+    assert(got(2L) > got(3L),
+      "the 9:1 split did not rank the heavy target above the light one")
+    // And it genuinely differs from erasing the weights.
+    assert(got !== run(edges.map { case (a, b, _) => (a, b) }))
+  }
+
+  test("pagerankWeighted rejects non-positive weights") {
+    import spark.implicits._
+    val err = intercept[IllegalArgumentException] {
+      Graph.pagerankWeighted(
+        Seq((1L, 2L, 1L), (2L, 1L, 0L)).toDF("src", "dst", "w"))
+    }
+    assert(err.getMessage.contains("positive"))
+  }
+
+  test("graph_pagerank_copurchase registry row: covers the components node set, mass conserved, weights bite (sf0.001)") {
+    val pr = Graph.queries("graph_pagerank_copurchase")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Graph.queries("graph_components_copurchase")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    // Both rows ride the shared copurchaseEdges spelling, so the node
+    // universes must be identical.
+    assert(pr.keySet === cc)
+    val n = pr.size.toLong
+    assert(pr.values.sum <= n * Graph.Scale, "rank mass was created")
+    assert(pr.values.sum > n * Graph.Scale * 9L / 10L, "implausible mass loss")
+    // Oracle-compared row must run on the fixed basis (the r12 rule).
+    assert(Graph.lastPagerankBasis === Graph.Scale,
+      s"oracle-compared pagerank ran on adapted basis ${Graph.lastPagerankBasis}")
+    // Weights bite: the corpus carries n_orders in 2..5, so the
+    // weighted ranking must differ from the same graph with weights
+    // erased (both built over the shared copurchaseEdges spelling).
+    val base = Graph.copurchaseEdges(spark, sf0001)
+    assert(base.agg(max(col("w"))).first().getLong(0) >= 3,
+      "corpus weights are degenerate (all equal) — the bite assert is vacuous")
+    val sym = base.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(base.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val uniform = Graph.pagerank(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr !== uniform, "weighted ranks equal the unweighted ranks — w is dead")
+  }
+
+  test("weighted SQL builder leaves the unweighted oracle spelling untouched (byte-level fragments)") {
+    val plain = Graph.oracleSql("graph_pagerank")
+    assert(plain.contains("COUNT(*) AS outdeg"))
+    assert(plain.contains("SUM(r.rank // i.outdeg) AS BIGINT"))
+    assert(!plain.contains("e.w"))
+    val weighted = Graph.oracleSql("graph_pagerank_copurchase")
+    assert(weighted.contains("CAST(SUM(w) AS BIGINT) AS outdeg"))
+    assert(weighted.contains("SUM((r.rank // i.outdeg) * e.w) AS BIGINT"))
+  }
+
   test("graph_pagerank registry row: supplier side is pure dangling mass, customers hold rank (sf0.001)") {
     val out = Graph.queries("graph_pagerank")(spark, sf0001)
     val rows = out.collect()

@@ -883,6 +883,66 @@ class LlmSpec extends SparkSpec {
         s"|ref|=${expected.size}, diff sample=${(got diff expected).take(3)})")
   }
 
+  test("text_search_bm25 matches an independent driver-side probe-retrieval fold (sf0.001)") {
+    // Same reference machinery as the text_bm25 test (spec-derived,
+    // plain Scala Maps), extended through the probe derivation and the
+    // summed-score retrieval: probes = top-3 BM25 terms of docs 0..9,
+    // result = top-5 other docs per probe by the exact sum of the
+    // 4dp-rounded per-term scores (summed as scaled longs — the
+    // DECIMAL(18,12) path's integer twin), ties by doc_id.
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, v) => t -> v.size.toLong } }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val dl = tf.map { case (id, m) => id -> m.values.sum }
+    val nDocs = docs.size.toLong
+    val avgdl = dl.values.sum.toDouble / nDocs
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val scored: Map[(Long, String), Double] = tf.flatMap { case (id, m) =>
+      m.map { case (t, f) =>
+        val idf = math.log(1 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+        (id, t) ->
+          r4(idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl(id) / avgdl)))
+      }
+    }
+    val probeTerms: Seq[(Long, String)] = scored.toSeq
+      .filter(_._1._1 < 10)
+      .groupBy(_._1._1).toSeq.flatMap { case (pid, es) =>
+        es.map { case ((_, t), sc) => (t, sc) }
+          .sortBy { case (t, sc) => (-sc, t) }.take(3)
+          .map { case (t, _) => (pid, t) }
+      }
+    val expected = probeTerms.groupBy(_._1).toSeq.flatMap { case (pid, pts) =>
+      val terms = pts.map(_._2).toSet
+      val byDoc = scored.toSeq
+        .collect { case ((id, t), sc) if id != pid && terms(t) => (id, sc) }
+        .groupBy(_._1).toSeq.map { case (id, vs) =>
+          val sumBp = vs.map(v => math.round(v._2 * 10000)).sum
+          (id, vs.size.toLong, sumBp / 1e4)
+        }
+      byDoc.sortBy { case (id, _, sc) => (-sc, id) }.take(5).zipWithIndex
+        .map { case ((id, nt, sc), i) => (pid, i + 1L, id, sc, nt) }
+    }.toSet
+    val got = llm.TextOps.queries("text_search_bm25")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+      .toSet
+    assert(got === expected,
+      s"sparse retrieval diverged from the reference fold " +
+        s"(|got|=${got.size}, |ref|=${expected.size}, " +
+        s"diff sample=${(got diff expected).take(3)})")
+    // Shape invariants: 10 probes × 5 hits, every hit excludes the
+    // probe doc itself, matched-term counts within 1..3.
+    assert(got.map(_._1) === (0L until 10L).toSet)
+    assert(got.size === 50)
+    assert(got.forall { case (pid, _, id, _, nt) =>
+      id != pid && nt >= 1 && nt <= 3 })
+  }
+
   test("connectedComponents pointer-jump: planted chain converges in O(log n) rounds, parity with min-label (VERDICT r12 #1)") {
     val s = spark
     import s.implicits._

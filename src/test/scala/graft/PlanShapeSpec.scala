@@ -98,7 +98,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("text_tfidf, text_lm_score, text_bm25: corpus-count broadcast only; no shuffled cartesian anywhere") {
-    for (q <- Seq("text_tfidf", "text_lm_score", "text_bm25")) {
+    for (q <- Seq("text_tfidf", "text_lm_score", "text_bm25",
+        "text_search_bm25")) {
       val p = plan(q)
       // the 1-row corpus-count frame may broadcast (BNLJ build side of
       // one row); a ShuffledCartesian/CartesianProduct would mean the
@@ -116,18 +117,10 @@ class PlanShapeSpec extends SparkSpec {
     // join (bounded by order size); a CartesianProduct or BNLJ here
     // would mean the a.l_partkey < b.l_partkey conjunct displaced the
     // equi key and the plan went lineitem × lineitem.
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val li = Tables.lineitem(spark, sf0001)
-      .select(col("l_orderkey"), col("l_partkey"))
-    val p = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_orderkey").as("ok"),
-        col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
-      .distinct()
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
+    // Pin the SHARED helper itself (r14: copurchaseEdges now feeds both
+    // the components row and the weighted-pagerank row), so the pin
+    // covers exactly the spelling every caller runs.
+    val p = llm.Graph.copurchaseEdges(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),

@@ -21,6 +21,18 @@ failures = []
 # doc). 64 MiB ~= one shuffle partition of the sf0.1 tier.
 SPILL_MATERIAL_BYTES = 64 << 20
 
+# Stress rows measured at ONE anchor scale BY DESIGN (VERDICT r13 #5):
+# the known-quadratic exact arms whose larger points would spend
+# sweep-hours re-pricing a known class (the knn_graph_blocked
+# precedent). The justification lives HERE, next to the gate, so a
+# future fit-gate extension cannot silently skip these rows — and any
+# OTHER row collapsing to a single valid point (a partial or killed
+# sweep) fails by name instead of passing as "present".
+SINGLE_POINT_OK = {
+    "graph_components_knn": "n^2 exact kNN edge build; s1 anchors the "
+                            "exact-vs-linear read beside the linear arm",
+}
+
 
 def heavy_breach_fingerprint(bench):
     """Ordered attribution for a heavy-tier budget breach (VERDICT r10 #2).
@@ -246,12 +258,67 @@ if stress is not None:
     # add it here in the same commit; a sweep predating the row then
     # fails BY NAME instead of silently under-reporting scale coverage.
     for armed in ("graph_components_nnd", "graph_components_knn",
-                  "graph_ppr", "graph_components_copurchase"):
+                  "graph_ppr", "graph_components_copurchase",
+                  "graph_pagerank_copurchase", "text_search_bm25"):
         if armed not in q:
             failures.append(
                 f"BENCH_stress.json: stress-armed registry row '{armed}' "
                 f"absent — sweep predates the op (VERDICT r12 #2); re-run "
                 f"graft.StressBench at HEAD")
+    # r14 (VERDICT r13 #5): the single-point allowlist enforced — a row
+    # with exactly one valid scale point is either a deliberately
+    # anchored known-quadratic arm (allowlisted above, with its
+    # justification) or a partial sweep that must not read as coverage.
+    for name, pts in q.items():
+        scale_pts = {k: v for k, v in pts.items()
+                     if re.fullmatch(r"s\d+", k) and isinstance(v, dict)}
+        ok_pts = sorted(k for k, v in scale_pts.items()
+                        if v.get("sec", -1) >= 0)
+        if len(ok_pts) == 1 and name not in SINGLE_POINT_OK:
+            failures.append(
+                f"BENCH_stress.json: '{name}' carries a single valid scale "
+                f"point ({ok_pts[0]}) and is not in SINGLE_POINT_OK — a "
+                f"partial sweep, or a new anchored row missing its "
+                f"justification entry")
+    # r14 (VERDICT r13 #2): the components frontier closed at s30 — the
+    # linear arm and its SV step series must reach the same scale as
+    # the edge source and the diversity composition.
+    if "s30" not in q.get("graph_components_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: graph_components_nnd lacks its s30 point "
+            "(VERDICT r13 #2) — re-run the sweep with the arm on "
+            "nndBuildScales")
+    if "knn_s30" not in (stress.get("cc_rounds") or {}):
+        failures.append(
+            "BENCH_stress.json: cc_rounds lacks knn_s30 (VERDICT r13 #2) "
+            "— the O(log n) step-series envelope is unmeasured at the "
+            "frontier")
+    # r14 (VERDICT r13 #3): the flagship linear build priced at s100
+    # (2 M vectors) — the e_time ≤ 1.0 gate above then spans two full
+    # decades (s1–s100).
+    if "s100" not in q.get("knn_graph_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: knn_graph_nnd lacks its s100 point "
+            "(VERDICT r13 #3) — re-run the sweep with the s100 corpus "
+            "present (launch at -Xmx16g)")
+    elif q["knn_graph_nnd"]["s100"].get("sec", -1) < 0:
+        failures.append(
+            "BENCH_stress.json: knn_graph_nnd s100 point is a failure "
+            "sentinel — re-run the sweep (check -Xmx16g)")
+    # r14 (VERDICT r13 #4): the weighted co-purchase centrality arm —
+    # same corpus shape as graph_pagerank (saturating edge set, linear
+    # pair fan), same ≤ 1.2 envelope as its uniform parent.
+    rows("graph_pagerank_copurchase", min_scales=4)
+    _wpe = q.get("graph_pagerank_copurchase", {}).get("e_time")
+    if _wpe is not None and _wpe > 1.2:
+        failures.append(
+            f"BENCH_stress.json: graph_pagerank_copurchase e_time {_wpe} "
+            f"> 1.2 — the weighted rank split left the linear-scan class "
+            f"(check the shared pair-fan spelling and the per-round "
+            f"checkpoint)")
+    # r14: the sparse-retrieval row rides the full uniform span like its
+    # tfidf sibling (two hash aggs + broadcast probe join → e_time ≈ 1).
+    rows("text_search_bm25", min_scales=4)
     # r13 (VERDICT r12 #1): the components family priced. The linear
     # arm rides the relative discipline (≤ its co-measured
     # knn_graph_nnd edge source + 0.3); the exact arm anchors at s1;
@@ -465,7 +532,8 @@ if ball is not None:
                    "graph_pagerank_nnd", "graph_triangles",
                    "graph_diversity_select", "graph_diversity_select_nnd",
                    "graph_components_knn", "graph_components_nnd",
-                   "graph_ppr", "text_bm25", "graph_components_copurchase"):
+                   "graph_ppr", "text_bm25", "graph_components_copurchase",
+                   "text_search_bm25", "graph_pagerank_copurchase"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "

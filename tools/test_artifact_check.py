@@ -185,6 +185,39 @@ try:
 finally:
     shutil.rmtree(tmp)
 
+# 10. Single-point allowlist (VERDICT r13 #5): a row truncated to ONE
+#     valid scale point must fail BY NAME unless it is in
+#     SINGLE_POINT_OK — a partial/killed sweep must not read as scale
+#     coverage. Doctor the committed artifact by dropping all but one
+#     point of a multi-point row; the allowlisted graph_components_knn
+#     (still single-point in the same artifact) must NOT be named.
+tmp = tempfile.mkdtemp()
+try:
+    for f in ("bench.json", "bench_all.json"):
+        shutil.copy(os.path.join(repo, f), os.path.join(tmp, f))
+    doct = json.load(open(os.path.join(repo, "BENCH_stress.json")))
+    pr = doct["queries"]["graph_pagerank"]
+    for k in [k for k in pr if k.startswith("s") and k != "s1"]:
+        del pr[k]
+    json.dump(doct, open(os.path.join(tmp, "BENCH_stress.json"), "w"))
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "artifact_check.py"), tmp],
+        capture_output=True, text=True)
+    if r.returncode == 0:
+        failures.append("single-point: doctored artifact passed the check")
+    else:
+        if "graph_pagerank' carries a single valid scale point" not in r.stdout:
+            failures.append(
+                "single-point: failure output does not name the truncated "
+                f"row:\n{r.stdout}")
+        if "graph_components_knn' carries a single" in r.stdout:
+            failures.append(
+                "single-point: the allowlisted anchor row was flagged — "
+                "SINGLE_POINT_OK is not consulted")
+finally:
+    shutil.rmtree(tmp)
+
 if failures:
     print("FINGERPRINT FIXTURES FAILED:")
     for f in failures:
