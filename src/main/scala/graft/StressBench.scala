@@ -271,11 +271,73 @@ object StressBench {
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Entry]]
     // dedup_components_lsh fixpoint rounds per scale (VERDICT r5 item 2)
     val ccRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+
+    def fmt(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null"
+      else (math.round(d * 1000) / 1000.0).toString
+    // Least-squares slope of ln(y) on ln(scale factor) over every scale
+    // with a valid measurement — the growth exponent.
+    def fitSlope(pts: Seq[(Double, Double)]): Double =
+      if (pts.size < 2) Double.NaN
+      else {
+        val n = pts.size
+        val mx = pts.map(_._1).sum / n
+        val my = pts.map(_._2).sum / n
+        val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
+        if (den == 0) Double.NaN
+        else pts.map { case (x, y) => (x - mx) * (y - my) }.sum / den
+      }
+    def renderJson(): String = {
+      val qJson = results.map { case (name, byScale) =>
+        val eTime = fitSlope(scales.flatMap { case (s, f) =>
+          byScale.get(s).filter(_.sec > 0).map(e => (math.log(f), math.log(e.sec))) })
+        val eRows = fitSlope(scales.flatMap { case (s, f) =>
+          byScale.get(s).filter(_.rows > 0).map(e => (math.log(f), math.log(e.rows.toDouble))) })
+        val secPerMrow = byScale.map { case (s, e) =>
+          val v = if (e.rows > 0) e.sec / (e.rows / 1e6) else Double.NaN
+          s""""$s":${fmt(v)}"""
+        }.mkString("{", ",", "}")
+        val entries = byScale.map { case (s, e) =>
+          s""""$s":{"sec":${fmt(e.sec)},"rows":${e.rows},""" +
+            s""""strategy":"${e.strategy}","gc_sec":${fmt(e.gcSec)},""" +
+            s""""cpu_share":${fmt(e.cpuShare)}}"""
+        }.mkString(",")
+        s""""$name":{$entries,"e_time":${fmt(eTime)},"e_rows":${fmt(eRows)},""" +
+          s""""sec_per_mrow":$secPerMrow}"""
+      }.mkString("{", ",", "}")
+      val sizes = scales.map { case (s, f) =>
+        val present = Seq(
+          "docs" -> ("documents", 10000L * f.toInt),
+          "embeddings" -> ("embeddings", 20000L * f.toInt),
+          "lineitem" -> ("lineitem", 600000L * f.toInt),
+          "orders" -> ("orders", 150000L * f.toInt))
+          .collect { case (k, (t, n)) if dirExists(s"$root/$s/$t.parquet") =>
+            s""""$k":$n""" }
+        s""""$s":{${present.mkString(",")},"skew":${dirExists(s"$root/$s/skew")}}"""
+      }.mkString("{", ",", "}")
+      val ccJson = ccRounds.map { case (s, n) => s""""$s":$n""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"stress","unit":"sec","scales":$sizes,""" +
+        s""""queries":$qJson,"cc_rounds":$ccJson,"root":"$root"}"""
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "BENCH_stress.json")
+    // Flush the artifact after EVERY recorded row (r14): the r14 s100
+    // NND attempt OOM'd an executor thread, SparkUncaughtExceptionHandler
+    // halted the JVM, and the end-of-run write never happened — a
+    // 50-minute sweep lost to its last row. The file is small (~50 KB)
+    // and the sweep is idle-host by contract, so the per-row rewrite is
+    // free; a dying row now costs exactly itself.
+    def writeOut(): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(out), renderJson() + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] write $out failed: $e") }
     def record(name: String, scale: String, e: Entry): Unit = {
       results.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap.empty[String, Entry])(scale) = e
       println(f"[stress] $scale%-4s $name%-28s ${e.sec}%8.2f s  " +
         f"rows=${e.rows}%-10d gc=${e.gcSec}%5.2f cpu=${e.cpuShare}%5.2f  ${e.strategy}")
+      writeOut()
     }
 
     // UNTIMED warmup: the first sweep's s1 column was first-touch
@@ -649,16 +711,9 @@ object StressBench {
         measure(() => llm.Dedup.lshCandidates(Tables.documents(spark, dir))))
       record("embed_lsh_candidates", scale,
         measure(() => llm.Similarity.lshCandidates(Tables.embeddings(spark, dir))))
-      // r14 (VERDICT r13 #3): the flagship LINEAR claim measured a full
-      // half-decade past everything so far — the NN-descent graph build
-      // over the 2 M-vector corpus the banded families already price
-      // (the job FAISS runs on GPU farms, done with shuffles). The
-      // s1–s100 fit (2 decades) feeds the e_time ≤ 1.0 gate in
-      // artifact_check; launch the sweep at -Xmx16g (the r10 broadcast
-      // headroom note applies here too).
-      record("knn_graph_nnd", scale,
-        measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
     }
+    // (knn_graph_nnd's s100 point runs LAST, after the skew sweep —
+    // see that block for the JVM-halt rationale.)
 
     // ---- Zipf-skew sweep (VERDICT r5 item 3) ----
     // The uniform corpus's pass bar (per-key work invariant, e_time ≈ 1)
@@ -712,56 +767,48 @@ object StressBench {
       }
     }
 
-    def fmt(d: Double): String =
-      if (d.isNaN || d.isInfinite) "null"
-      else (math.round(d * 1000) / 1000.0).toString
-    // Least-squares slope of ln(y) on ln(scale factor) over every scale
-    // with a valid measurement — the growth exponent.
-    def fitSlope(pts: Seq[(Double, Double)]): Double =
-      if (pts.size < 2) Double.NaN
-      else {
-        val n = pts.size
-        val mx = pts.map(_._1).sum / n
-        val my = pts.map(_._2).sum / n
-        val den = pts.map { case (x, _) => (x - mx) * (x - mx) }.sum
-        if (den == 0) Double.NaN
-        else pts.map { case (x, y) => (x - mx) * (y - my) }.sum / den
+    // r14 (VERDICT r13 #3): the flagship LINEAR claim measured a full
+    // half-decade past everything so far — the NN-descent build over
+    // the 2 M-vector s100 corpus. Runs LAST, alone: the first attempt
+    // OOM'd the executor threads and halted the JVM (an uncatchable
+    // SparkUncaughtExceptionHandler exit), so the riskiest row must not
+    // be able to cost anything but itself (the per-row writeOut above
+    // preserves everything before it). Two confs are sized for the
+    // corpus, exactly as a deployment would size them (the brief's
+    // "size shuffle partitions / broadcast gates at the target SF"),
+    // and restored after:
+    //  - broadcastSideMaxBytes 256 MB → 1.5 GB: at 2 M vectors the
+    //    embedding attach frame (~600 MB) exceeds the conservative
+    //    cluster default, and the SMJ fallback SORTS the ~300 M-pair
+    //    candidate stream WITH a 64-float payload attached — a ~90 GB
+    //    spill that filled the disk (measured; the 16 g run before it
+    //    OOM'd in the same stage). Broadcasting the vector table is
+    //    the FAISS memory model: the wide stream never moves, only the
+    //    narrow (src, dst, cos) streams shuffle.
+    //  - shuffle partitions 32 → 128: the ~1.1 G-row/round refine
+    //    candidate stream at 32 partitions puts ~35 M-row working sets
+    //    on each concurrent task.
+    // Launch the sweep at -Xmx32g (the broadcast + torrent blocks need
+    // the headroom; 16 g measured insufficient even before this stage).
+    for ((scale, _) <- s100) {
+      val dir = s"$root/$scale"
+      sources.CatalogStats.registerAndAnalyze(spark, dir)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBc = spark.conf.get(Q.BroadcastSideMaxBytesKey)
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      spark.conf.set(Q.BroadcastSideMaxBytesKey,
+        (1536L * 1024 * 1024).toString)
+      try record("knn_graph_nnd", scale,
+        measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set(Q.BroadcastSideMaxBytesKey, prevBc)
       }
-    val qJson = results.map { case (name, byScale) =>
-      val eTime = fitSlope(scales.flatMap { case (s, f) =>
-        byScale.get(s).filter(_.sec > 0).map(e => (math.log(f), math.log(e.sec))) })
-      val eRows = fitSlope(scales.flatMap { case (s, f) =>
-        byScale.get(s).filter(_.rows > 0).map(e => (math.log(f), math.log(e.rows.toDouble))) })
-      val secPerMrow = byScale.map { case (s, e) =>
-        val v = if (e.rows > 0) e.sec / (e.rows / 1e6) else Double.NaN
-        s""""$s":${fmt(v)}"""
-      }.mkString("{", ",", "}")
-      val entries = byScale.map { case (s, e) =>
-        s""""$s":{"sec":${fmt(e.sec)},"rows":${e.rows},""" +
-          s""""strategy":"${e.strategy}","gc_sec":${fmt(e.gcSec)},""" +
-          s""""cpu_share":${fmt(e.cpuShare)}}"""
-      }.mkString(",")
-      s""""$name":{$entries,"e_time":${fmt(eTime)},"e_rows":${fmt(eRows)},""" +
-        s""""sec_per_mrow":$secPerMrow}"""
-    }.mkString("{", ",", "}")
-    val sizes = scales.map { case (s, f) =>
-      val present = Seq(
-        "docs" -> ("documents", 10000L * f.toInt),
-        "embeddings" -> ("embeddings", 20000L * f.toInt),
-        "lineitem" -> ("lineitem", 600000L * f.toInt),
-        "orders" -> ("orders", 150000L * f.toInt))
-        .collect { case (k, (t, n)) if dirExists(s"$root/$s/$t.parquet") =>
-          s""""$k":$n""" }
-      s""""$s":{${present.mkString(",")},"skew":${dirExists(s"$root/$s/skew")}}"""
-    }.mkString("{", ",", "}")
-    val ccJson = ccRounds.map { case (s, n) => s""""$s":$n""" }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"stress","unit":"sec","scales":$sizes,""" +
-      s""""queries":$qJson,"cc_rounds":$ccJson,"root":"$root"}"""
+    }
+
+    val line = renderJson()
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "BENCH_stress.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[stress] write $out failed: $e") }
+    writeOut()
     spark.stop()
   }
 }
