@@ -110,10 +110,13 @@ object Q {
 
   /** Unpersist every registered checkpoint frame's RDD blocks. Safe to
     * call only once the registering queries' results are materialized
-    * (the runners' per-query boundary). */
+    * (the runners' per-query boundary). A frame whose SparkContext has
+    * since stopped is skipped — its blocks died with the context. */
   def drainCheckpoints(): Unit = synchronized {
-    sessionCheckpoints.foreach(
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd)
+    sessionCheckpoints.foreach { df =>
+      try org.apache.spark.sql.GraftShims.unpersistLeafRdd(df)
+      catch { case _: IllegalStateException => () }
+    }
     sessionCheckpoints.clear()
   }
 

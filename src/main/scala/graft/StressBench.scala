@@ -182,19 +182,25 @@ object StressBench {
     // s100 is part of `scales`.
     val s100 = Seq(("s100", 100.0)).filter { case (s, _) => dirExists(s"$root/$s") }
     val scales = uniformScales ++ s100
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-stressbench")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Same explicit gates as Bench so plan shapes match the sf0.1 pins;
-    // curate runs its scale arm.
-    spark.conf.set(Q.BroadcastSideThresholdKey, "8000000")
-    spark.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
-    spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
+    def freshSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master("local[32]")
+        .appName("graft-stressbench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Same explicit gates as Bench so plan shapes match the sf0.1
+      // pins; curate runs its scale arm.
+      s.conf.set(Q.BroadcastSideThresholdKey, "8000000")
+      s.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
+      s.conf.set("spark.graft.curate.pairStrategy", "lsh")
+      s
+    }
+    // var, not val: the s100 NND arm at the sweep's end restarts the
+    // CONTEXT (same warm JVM) — see that block for why.
+    var spark = freshSession()
     val metricsListener = new RunMetricsListener
     spark.sparkContext.addSparkListener(metricsListener)
 
@@ -792,18 +798,24 @@ object StressBench {
     // the headroom; 16 g measured insufficient even before this stage).
     for ((scale, _) <- s100) {
       val dir = s"$root/$scale"
+      // Fresh CONTEXT, same warm JVM: 75 minutes of sweep leave the
+      // block manager holding reachable-but-uncollected broadcast
+      // pieces (the r10 "accumulated broadcast debt" class), and the
+      // second r14 attempt died building this arm's 600 MB embedding
+      // broadcast on exactly that debt while the standalone run passed
+      // in a fresh JVM. Restarting the SparkContext resets the block
+      // manager deterministically; JIT/codegen/parquet-footer warmth
+      // lives in the JVM and survives.
+      Q.drainCheckpoints()
+      spark.stop()
+      spark = freshSession()
+      spark.sparkContext.addSparkListener(metricsListener)
       sources.CatalogStats.registerAndAnalyze(spark, dir)
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBc = spark.conf.get(Q.BroadcastSideMaxBytesKey)
       spark.conf.set("spark.sql.shuffle.partitions", "128")
       spark.conf.set(Q.BroadcastSideMaxBytesKey,
         (1536L * 1024 * 1024).toString)
-      try record("knn_graph_nnd", scale,
+      record("knn_graph_nnd", scale,
         measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set(Q.BroadcastSideMaxBytesKey, prevBc)
-      }
     }
 
     val line = renderJson()
