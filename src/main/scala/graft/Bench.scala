@@ -376,7 +376,7 @@ object Bench {
       // fixpoints' final checkpoints live outside the CacheManager and
       // are drained separately (ADVICE r13)
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       // Untimed GC between queries: Spark's ContextCleaner only reaps a
       // dead broadcast's torrent blocks after the JVM notices the
       // Broadcast object is unreachable — 26 queries' worth of broadcast

@@ -90,34 +90,59 @@ object Q {
     if (org.apache.spark.sql.GraftShims.isCached(df)) Owned(df, owned = false)
     else Owned(df.persist(), owned = true)
 
-  /** Session-scoped ledger of the FINAL `localCheckpoint`-ed frame of
-    * each iterative fixpoint (ADVICE r13). Checkpoint RDD blocks live
-    * outside the CacheManager, so the runners' per-query
-    * `spark.catalog.clearCache()` cannot reap them; fixpoints whose
-    * RESULT may still read their last checkpoint register it here
-    * instead of unpersisting blind, and runners call
+  /** Per-SESSION ledger of the FINAL `localCheckpoint`-ed frame of
+    * each iterative fixpoint (ADVICE r13, rebuilt per ADVICE r14).
+    * Checkpoint RDD blocks live outside the CacheManager, so the
+    * runners' per-query `spark.catalog.clearCache()` cannot reap them;
+    * fixpoints whose RESULT may still read their last checkpoint
+    * register it here instead of unpersisting blind, and runners call
     * [[drainCheckpoints]] right after clearCache — once the query's
     * result is materialized — so nothing checkpoint-shaped outlives
     * its query. Intermediate checkpoints are unpersisted inline by the
-    * fixpoints themselves as soon as their successor materializes. */
-  private val sessionCheckpoints =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    * fixpoints themselves as soon as their successor materializes.
+    *
+    * Two ADVICE r14 properties of the ledger itself:
+    *  - frames are held via WEAK references, so a non-runner caller
+    *    (library use, notebooks, StreamPipelines jobs) that never
+    *    drains does not accumulate frames forever — once the caller
+    *    drops its result, the ledger no longer pins the plan and the
+    *    ContextCleaner's GC-based RDD reclamation is back to being the
+    *    bound, exactly as before the ledger existed;
+    *  - the ledger is keyed by SparkSession (itself weakly held), so in
+    *    a multi-session JVM one session's drain can never unpersist
+    *    checkpoint blocks a concurrently running query in ANOTHER
+    *    session still needs. */
+  private val sessionCheckpoints = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.ArrayBuffer[
+      java.lang.ref.WeakReference[DataFrame]]]()
 
   /** Record a final fixpoint checkpoint for the runner to reap. */
   def registerCheckpoint(df: DataFrame): DataFrame = synchronized {
-    sessionCheckpoints += df; df
+    val buf = sessionCheckpoints.computeIfAbsent(df.sparkSession,
+      _ => scala.collection.mutable.ArrayBuffer.empty)
+    buf += new java.lang.ref.WeakReference(df)
+    df
   }
 
-  /** Unpersist every registered checkpoint frame's RDD blocks. Safe to
+  /** Unpersist every checkpoint frame REGISTERED UNDER `spark`'s
+    * ledger entry (other sessions' entries are untouched). Safe to
     * call only once the registering queries' results are materialized
-    * (the runners' per-query boundary). A frame whose SparkContext has
-    * since stopped is skipped — its blocks died with the context. */
-  def drainCheckpoints(): Unit = synchronized {
-    sessionCheckpoints.foreach { df =>
-      try org.apache.spark.sql.GraftShims.unpersistLeafRdd(df)
-      catch { case _: IllegalStateException => () }
+    * (the runners' per-query boundary). Per-frame failures are
+    * logged-and-skipped (ADVICE r14): a frame whose SparkContext has
+    * stopped, or whose session state is gone, must not abort the drain
+    * mid-loop and leave the ledger half-cleared — the remove() below
+    * clears it up front, so even a throwing frame costs only itself
+    * (its blocks then fall to the ContextCleaner via the weak ref). */
+  def drainCheckpoints(spark: SparkSession): Unit = synchronized {
+    val buf = sessionCheckpoints.remove(spark)
+    if (buf != null) buf.foreach { ref =>
+      val df = ref.get()
+      if (df != null)
+        try org.apache.spark.sql.GraftShims.unpersistLeafRdd(df)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] checkpoint drain skipped a frame: $e")
+        }
     }
-    sessionCheckpoints.clear()
   }
 
   def maybeBroadcast(side: DataFrame): DataFrame = {

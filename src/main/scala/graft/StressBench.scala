@@ -244,7 +244,7 @@ object StressBench {
       org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       val m = metricsListener.snapshotAndReset()
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       System.gc()
       Entry(if (rows >= 0) sec else -1.0, rows, strategy, gcSec, m.cpuShare)
     }
@@ -266,7 +266,7 @@ object StressBench {
       org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       val m = metricsListener.snapshotAndReset()
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       System.gc()
       Entry(if (rows >= 0) sec else -1.0, rows,
         if (rows >= 0) strategy else "err", gcSec, m.cpuShare)
@@ -277,6 +277,11 @@ object StressBench {
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Entry]]
     // dedup_components_lsh fixpoint rounds per scale (VERDICT r5 item 2)
     val ccRounds = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // "query:scale" -> sizing note for points measured under a conf
+    // that differs from the sweep default (ADVICE r14: the s100 arms'
+    // per-corpus shuffle/broadcast sizing must ride in the artifact
+    // beside the fits that consume those points).
+    val confNotes = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def fmt(d: Double): String =
       if (d.isNaN || d.isInfinite) "null"
@@ -323,8 +328,11 @@ object StressBench {
       }.mkString("{", ",", "}")
       val ccJson = ccRounds.map { case (s, n) => s""""$s":$n""" }
         .mkString("{", ",", "}")
+      val confJson = confNotes.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
       s"""{"metric":"stress","unit":"sec","scales":$sizes,""" +
-        s""""queries":$qJson,"cc_rounds":$ccJson,"root":"$root"}"""
+        s""""queries":$qJson,"cc_rounds":$ccJson,""" +
+        s""""conf_notes":$confJson,"root":"$root"}"""
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "BENCH_stress.json")
     // Flush the artifact after EVERY recorded row (r14): the r14 s100
@@ -550,6 +558,17 @@ object StressBench {
       record("graph_pagerank_copurchase", scale,
         measure(() =>
           SparkEntry.queries("graph_pagerank_copurchase")(spark, dir)))
+      // r15: the composed seeded+weighted rank and the hop-distance row
+      // over the SAME pair fan — both the linear-scan + bounded-rounds
+      // class of their parents (PPR's per-node seed terms are literals;
+      // BFS is ≤ BfsMaxHops frontier joins), gated ≤ 1.2 in
+      // artifact_check like graph_pagerank_copurchase.
+      record("graph_ppr_weighted", scale,
+        measure(() =>
+          SparkEntry.queries("graph_ppr_weighted")(spark, dir)))
+      record("graph_bfs_seeds", scale,
+        measure(() =>
+          SparkEntry.queries("graph_bfs_seeds")(spark, dir)))
     }
     // graph_ppr rides the priced graph_pagerank machinery (plan delta
     // = the seed-anchored teleport/dangling terms on the node spine),
@@ -628,7 +647,7 @@ object StressBench {
           System.err.println(s"[stress] pq_recall failed: $e"); Nil }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       System.gc()
       for ((w, r) <- curve)
         record(s"ann_pq_recall_w$w", scale,
@@ -679,7 +698,7 @@ object StressBench {
           System.err.println(s"[stress] ivfpq_nprobe failed: $e"); Nil }
       val sec1 = (System.nanoTime() - t1) / 1e9
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       System.gc()
       for ((label, r) <- npCurve)
         record(s"ann_ivfpq_recall_$label", scale,
@@ -781,8 +800,14 @@ object StressBench {
     // be able to cost anything but itself (the per-row writeOut above
     // preserves everything before it). Two confs are sized for the
     // corpus, exactly as a deployment would size them (the brief's
-    // "size shuffle partitions / broadcast gates at the target SF"),
-    // and restored after:
+    // "size shuffle partitions / broadcast gates at the target SF").
+    // They are NOT restored — these are the sweep's last arms by design
+    // — and the sizing discontinuity vs the s1–s30 points (32 shuffle
+    // partitions, 256 MB broadcast gate, shared context) is recorded
+    // per-point in the artifact's conf_notes field, next to the fits
+    // that consume the s100 numbers (ADVICE r14: a least-squares
+    // exponent whose largest point ran under different sizing must say
+    // so in the artifact, not in a code comment):
     //  - broadcastSideMaxBytes 256 MB → 1.5 GB: at 2 M vectors the
     //    embedding attach frame (~600 MB) exceeds the conservative
     //    cluster default, and the SMJ fallback SORTS the ~300 M-pair
@@ -806,16 +831,37 @@ object StressBench {
       // in a fresh JVM. Restarting the SparkContext resets the block
       // manager deterministically; JIT/codegen/parquet-footer warmth
       // lives in the JVM and survives.
-      Q.drainCheckpoints()
-      spark.stop()
-      spark = freshSession()
-      spark.sparkContext.addSparkListener(metricsListener)
-      sources.CatalogStats.registerAndAnalyze(spark, dir)
-      spark.conf.set("spark.sql.shuffle.partitions", "128")
-      spark.conf.set(Q.BroadcastSideMaxBytesKey,
-        (1536L * 1024 * 1024).toString)
+      def s100Session(): Unit = {
+        Q.drainCheckpoints(spark)
+        spark.stop()
+        spark = freshSession()
+        spark.sparkContext.addSparkListener(metricsListener)
+        sources.CatalogStats.registerAndAnalyze(spark, dir)
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        spark.conf.set(Q.BroadcastSideMaxBytesKey,
+          (1536L * 1024 * 1024).toString)
+      }
+      val s100Conf = "shuffle.partitions=128, broadcastSideMaxBytes=1.5g, " +
+        "fresh SparkContext (s1-s30 points: 32 / 256m, shared context)"
+      s100Session()
+      confNotes(s"knn_graph_nnd:$scale") = s100Conf
       record("knn_graph_nnd", scale,
         measure(() => SparkEntry.queries("knn_graph_nnd")(spark, dir)))
+      // r15 (VERDICT r14 #1 of the frontier asks): the composed
+      // components arm priced at its EDGE SOURCE's scale — the one
+      // graph class that chains gets its SV step-series point at 2 M
+      // nodes (cc_rounds knn_s100), where O(log n) could finally bend.
+      // Its own fresh context: the NND build above leaves ~650 s of
+      // broadcast/checkpoint debt, exactly the class the restart
+      // exists to clear.
+      s100Session()
+      llm.Dedup.lastCcRounds = -1
+      confNotes(s"graph_components_nnd:$scale") = s100Conf
+      val compEntry = measure(() =>
+        SparkEntry.queries("graph_components_nnd")(spark, dir))
+      record("graph_components_nnd", scale, compEntry)
+      if (compEntry.rows >= 0)
+        ccRounds(s"knn_$scale") = llm.Dedup.lastCcRounds
     }
 
     val line = renderJson()

@@ -60,7 +60,7 @@ object TimeOne {
           f"cpu=${m.cpuShare}%5.2f  $strat")
       }
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
       System.gc()
     }
     once(None) // untimed warmup

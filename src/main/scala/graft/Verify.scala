@@ -69,7 +69,7 @@ object Verify {
       // CacheManager (ADVICE r13), so the fixpoints' final label/rank
       // checkpoints are drained separately.
       spark.catalog.clearCache()
-      Q.drainCheckpoints()
+      Q.drainCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

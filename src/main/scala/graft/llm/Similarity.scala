@@ -825,6 +825,64 @@ object Similarity {
       .orderBy(col("src"), col("rn"))
   }
 
+  /** Deterministic fixed-pivot arm of [[annIvf]] (r15 — VERDICT r14
+    * #5): the knn_graph_blocked_verdict precedent applied to the IVF
+    * RETRIEVAL path. Pivots are the [[FixedPivotNlist]] smallest
+    * md5(vec_id) vectors (a deterministic spread, no k-means); every
+    * corpus vector is assigned to its nearest pivot's cell (full L2
+    * over double-cast values); the ten probes (vec_id < 10) scan their
+    * [[FixedPivotNprobe]] nearest cells and rerank EXACTLY (rounded
+    * cosine, ties by vec_id) — so the bucket-prune + rerank MECHANISM
+    * of IVF itself gets a hash-matched DuckDB oracle, while the
+    * k-means-trained [[annIvf]] keeps its recall property gate (its
+    * clustering buys recall, not correctness). Verify-scale arm by
+    * design (the n×nlist probe-choice frame is a broadcast cross join
+    * — the trained arm does the same argmin inside the
+    * NearestCentroidF32 codegen kernel); the scale path remains
+    * [[annIvf]]. */
+  def annIvfFixedPivots(emb: DataFrame, k: Int): DataFrame = {
+    val pivots = emb
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .orderBy(md5(col("pid").cast("string")), col("pid"))
+      .limit(FixedPivotNlist)
+    val l2 = expr(
+      """aggregate(zip_with(emb_v, pv,
+        |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+        |            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+        |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin)
+    val wNear = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("pid"))
+    // Persisted: the pivot-distance ranking feeds BOTH the corpus cell
+    // assignment (r = 1) and the probes' cell choice (r <= nprobe);
+    // handle leaked to the runner's per-query clearCache (the
+    // documented convention — the lazy result is built over it).
+    val ranked = graft.Q.ownPersist(emb
+      .select(col("vec_id"), col("embedding").as("emb_v"))
+      .crossJoin(broadcast(pivots))
+      .select(col("vec_id"), col("pid"), l2.as("dist"))
+      .withColumn("r", row_number().over(wNear))).df
+    val assign = ranked.filter(col("r") === 1)
+      .select(col("vec_id"), col("pid"))
+    val probes = ranked
+      .filter(col("vec_id") < 10 && col("r") <= FixedPivotNprobe)
+      .select(col("vec_id").as("probe_id"), col("pid"))
+    val sides = refineEmbFrame(emb)
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assign, Seq("pid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .join(sides.select(col("vec_id").as("probe_id"),
+        col("embedding").as("ea"), col("sq").as("sqa")), Seq("probe_id"))
+      .join(sides.select(col("vec_id"),
+        col("embedding").as("eb"), col("sq").as("sqb")), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cos4Pre(dotFast(col("ea"), col("eb")), col("sqa"), col("sqb"))
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Mean vector per cluster, computed distributed: posexplode to
     * (cl, pos, x), avg per component, re-assemble ordered by pos
     * (struct array_sort orders by first field). */
@@ -1623,6 +1681,12 @@ object Similarity {
 
     "ann_ivf" -> ((s, d) => annIvf(s, d, 5, 3)),
 
+    // Deterministic fixed-pivot arm of ann_ivf — full DuckDB oracle
+    // (hash-checks IVF's bucket-prune + exact-rerank mechanism itself;
+    // the trained arm keeps its recall property gate).
+    "ann_ivf_verdict" -> ((s, d) =>
+      annIvfFixedPivots(Tables.embeddings(s, d), 5)),
+
     "knn_graph" -> ((s, d) =>
       knnGraph(Tables.embeddings(s, d), 3)),
 
@@ -1763,6 +1827,43 @@ object Similarity {
          |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn FROM sc)
          |SELECT src, dst, cos_sim, rn FROM r
          |WHERE rn <= 3 ORDER BY src, rn""".stripMargin,
+
+    // The fixed-pivot IVF retrieval, end-to-end: same pivot choice and
+    // cell assignment as knn_graph_blocked_verdict's CTE chain, with
+    // the candidate stage probe-side (the ten probes' nprobe nearest
+    // cells) and the exact rounded-cosine rerank + per-probe top-k
+    // (k = 5, the ann_ivf registry row's k).
+    "ann_ivf_verdict" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         | piv AS (SELECT vec_id AS pid, emb AS pv FROM e
+         |         ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+         |         LIMIT $FixedPivotNlist),
+         | d AS (SELECT e.vec_id, piv.pid,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+         |      i -> (e.emb[i] - piv.pv[i]) * (e.emb[i] - piv.pv[i]))) AS dist
+         |   FROM e CROSS JOIN piv),
+         | rk AS (SELECT vec_id, pid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pid) AS r
+         |   FROM d),
+         | n AS (SELECT vec_id, emb,
+         |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
+         |   FROM e),
+         | cand AS (SELECT p.vec_id AS probe_id, a.vec_id
+         |   FROM rk p JOIN rk a ON p.pid = a.pid AND a.r = 1
+         |   WHERE p.vec_id < 10 AND p.r <= $FixedPivotNprobe
+         |     AND p.vec_id <> a.vec_id),
+         | sc AS (SELECT c.probe_id, c.vec_id,
+         |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+         |        i -> x.emb[i] * y.emb[i]))
+         |      / (SQRT(x.sq) * SQRT(y.sq)), 4) AS cos_sim
+         |   FROM cand c JOIN n x ON c.probe_id = x.vec_id
+         |               JOIN n y ON c.vec_id = y.vec_id),
+         | r AS (SELECT probe_id, vec_id, cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM sc)
+         |SELECT probe_id, vec_id, cos_sim, rn FROM r
+         |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
 
     // LIST_SUM left-folds like Spark's aggregate (proven bit-identical by
     // fn_vector); the rounding is the shared floor(+0.5) spelling.

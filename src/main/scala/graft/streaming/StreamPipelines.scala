@@ -495,13 +495,16 @@ object StreamPipelines {
       val prev = spark.conf.getOption(overwriteKey)
       spark.conf.set(overwriteKey, "dynamic")
       try merged.write.partitionBy("_bucket").mode("overwrite").parquet(dataDir)
-      finally prev match {
-        case Some(v) => spark.conf.set(overwriteKey, v)
-        case None => spark.conf.unset(overwriteKey)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(overwriteKey, v)
+          case None => spark.conf.unset(overwriteKey)
+        }
+        // the snapshot is dead whether the write succeeded or threw —
+        // free its checkpoint blocks INSIDE the finally (ADVICE r14;
+        // clearCache cannot reap checkpoint RDDs)
+        org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
       }
-      // the write consumed the checkpoint snapshot — free its blocks
-      // (ADVICE r13: clearCache cannot reap checkpoint RDDs)
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
@@ -545,9 +548,14 @@ object StreamPipelines {
     spark.conf.set(overwriteKey, "dynamic")
     try compacted.write.partitionBy("_bucket").mode("overwrite")
       .parquet(dataDir.toString)
-    finally prev match {
-      case Some(v) => spark.conf.set(overwriteKey, v)
-      case None => spark.conf.unset(overwriteKey)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(overwriteKey, v)
+        case None => spark.conf.unset(overwriteKey)
+      }
+      // same ADVICE r14 discipline as the merge paths: the compaction
+      // snapshot is dead either way — never leak its checkpoint blocks
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(compacted)
     }
     crowded.size
   }
@@ -607,13 +615,16 @@ object StreamPipelines {
       val prev = spark.conf.getOption(overwriteKey)
       spark.conf.set(overwriteKey, "dynamic")
       try merged.write.partitionBy("_bucket").mode("overwrite").parquet(dataDir)
-      finally prev match {
-        case Some(v) => spark.conf.set(overwriteKey, v)
-        case None => spark.conf.unset(overwriteKey)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(overwriteKey, v)
+          case None => spark.conf.unset(overwriteKey)
+        }
+        // the snapshot is dead whether the write succeeded or threw —
+        // free its checkpoint blocks INSIDE the finally (ADVICE r14;
+        // clearCache cannot reap checkpoint RDDs)
+        org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
       }
-      // the write consumed the checkpoint snapshot — free its blocks
-      // (ADVICE r13: clearCache cannot reap checkpoint RDDs)
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
     }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

@@ -40,13 +40,24 @@ object GraftShims {
     * localCheckpoint's lineage is truncated, so a later cache-loss
     * recompute through it would fail (the documented localCheckpoint
     * trade-off; in practice the successor frame is itself materialized
-    * before this is called). */
+    * before this is called).
+    *
+    * ADVICE r14: refuses (loudly) any frame that is not a single-leaf
+    * checkpoint snapshot. Every call site passes the direct result of
+    * `localCheckpoint`/`flattenToLeaf` — exactly one `LogicalRDD` leaf;
+    * a derived/joined frame could carry OTHER LogicalRDD leaves over
+    * still-cached RDDs, and unpersisting those collaterally causes
+    * "block not found" recompute failures with truncated lineage. */
   def unpersistLeafRdd(df: DataFrame): Unit = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
-    ds.queryExecution.analyzed.foreach {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
+    val leaves = ds.queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr
     }
+    require(leaves.length == 1,
+      s"unpersistLeafRdd: expected exactly one LogicalRDD leaf, found " +
+        s"${leaves.length} — pass the direct localCheckpoint/flattenToLeaf " +
+        s"frame, not a derived plan (collateral unpersist hazard)")
+    leaves.head.rdd.unpersist(blocking = false)
   }
 
   /** Re-root a (typically persisted) frame as a flat `LogicalRDD` leaf —

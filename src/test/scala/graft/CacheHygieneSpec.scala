@@ -44,7 +44,10 @@ class CacheHygieneSpec extends SparkSpec {
         "tokjoin_auto", "text_tfidf", "text_ngram_lm", "curate_dsir",
         "dedup_ngram_cover", "dedup_spantrim", "embed_lshpairs",
         "text_bm25", "graph_components_copurchase",
-        "text_search_bm25", "graph_pagerank_copurchase")
+        "text_search_bm25", "graph_pagerank_copurchase",
+        // r15 rows — all three persist shared subtrees via ownPersist
+        // (pair fan / pivot-distance ranking)
+        "graph_ppr_weighted", "graph_bfs_seeds", "ann_ivf_verdict")
       for (_ <- 1 to 2; q <- fams)
         SparkEntry.queries(q)(spark, sf0001).collect()
       val bad = appender.messages.filter(_.contains("already cached"))
@@ -64,7 +67,7 @@ class CacheHygieneSpec extends SparkSpec {
     // Clean slate: clearCache drops CacheManager entries; the drain
     // reaps any checkpoint frames earlier tests registered.
     s.catalog.clearCache()
-    Q.drainCheckpoints()
+    Q.drainCheckpoints(spark)
     val base = s.sparkContext.getPersistentRDDs.size
     // A 64-chain with the jump DISABLED pays ~64 min-label rounds → 8
     // localCheckpoint steps: 7 must be unpersisted inline as their
@@ -88,8 +91,16 @@ class CacheHygieneSpec extends SparkSpec {
       s"checkpoint frames accumulated: $afterRun persistent RDDs " +
         s"(base $base) after a ${llm.Dedup.lastCcRounds}-step fixpoint")
     // Runner boundary: clearCache + drain must return to the baseline.
+    // The ledger holds WEAK references (ADVICE r14) — if a GC cleared
+    // them before the drain, the blocks fall to the ContextCleaner
+    // instead, so allow that asynchronous path a bounded wait before
+    // declaring a leak.
     s.catalog.clearCache()
-    Q.drainCheckpoints()
+    Q.drainCheckpoints(spark)
+    var tries = 0
+    while (s.sparkContext.getPersistentRDDs.size > base && tries < 50) {
+      System.gc(); Thread.sleep(100); tries += 1
+    }
     assert(s.sparkContext.getPersistentRDDs.size <= base,
       "the runner-boundary drain left checkpoint blocks behind")
   }

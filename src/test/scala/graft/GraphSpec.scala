@@ -179,6 +179,145 @@ class GraphSpec extends SparkSpec {
     assert(got !== run(edges.map { case (a, b, _) => (a, b) }))
   }
 
+  /** Seeded AND weighted twin of [[refPagerank]], written against the
+    * two parents' Scaladoc specs composed: outW = Σ w per source with
+    * the floor-FIRST contribution product, teleport/dangling anchored
+    * on the seeds. */
+  private def refPprWeighted(edges: Seq[(Long, Long, Long)],
+      seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val tShare = (15L * n * Graph.Scale / 100L) / seeds.size
+    val outw = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    var r = nodes.map(_ -> Graph.Scale).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outw.contains).map(r).sum
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((a, b, w) <- edges) s(b) += r(a) / outw(a) * w
+      r = nodes.map(nd => nd ->
+        ((if (seeds(nd)) tShare else 0L) +
+          85L * (s(nd) + (if (seeds(nd)) dm / seeds.size else 0L)) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pagerankSeededWeighted: the two flags COMPOSE — exact match vs the independent seeded-weighted fold, and each flag bites") {
+    import spark.implicits._
+    // 1 splits 9:1 between 2 and 3, recycling back; node 5 dangling (its
+    // mass must return to the seeds {1, 4} only); 4 feeds in weighted 2.
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L),
+      (4L, 1L, 2L), (3L, 5L, 1L))
+    val seeds = Set(1L, 4L)
+    val got = Graph.pagerankSeededWeighted(
+        edges.toDF("src", "dst", "w"), seeds.toSeq.toDF("node"), Graph.Iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refPprWeighted(edges, seeds, Graph.Iters))
+    // Dropping EITHER flag changes the answer — the composition is
+    // load-bearing, not a pass-through to one parent.
+    val seededOnly = Graph.pagerankSeeded(
+        edges.map { case (a, b, _) => (a, b) }.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), Graph.Iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weightedOnly = runWeighted(edges)
+    assert(got !== seededOnly, "weights are dead in the composed variant")
+    assert(got !== weightedOnly, "seeds are dead in the composed variant")
+  }
+
+  test("graph_ppr_weighted registry row: covers the co-purchase node set, anchors hold their teleport share, mass conserved (sf0.001)") {
+    val pr = Graph.queries("graph_ppr_weighted")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc = Graph.queries("graph_components_copurchase")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(pr.keySet === cc, "node universe differs from the shared edge spelling")
+    val n = pr.size.toLong
+    assert(pr.values.sum <= n * Graph.Scale, "rank mass was created")
+    assert(Graph.lastPagerankBasis === Graph.Scale,
+      s"oracle-compared pagerank ran on adapted basis ${Graph.lastPagerankBasis}")
+    // The ten smallest node ids are the anchors: each receives its
+    // final-round teleport share, so rank >= tShare at every anchor.
+    val anchors = pr.keySet.toSeq.sorted.take(10)
+    val tShare = (15L * n * Graph.Scale / 100L) / 10L
+    anchors.foreach { a =>
+      assert(pr(a) >= tShare, s"anchor $a rank ${pr(a)} below its teleport share $tShare")
+    }
+    // And the composition genuinely differs from both single-flag
+    // variants over the same graph (flags bite on the real corpus).
+    val base = Graph.copurchaseEdges(spark, sf0001)
+    val sym = base.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+        col("w"))
+      .union(base.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+        col("w")))
+    import spark.implicits._
+    val seedDf = anchors.toDF("node")
+    val seededOnly = Graph.pagerankSeeded(sym.select(col("src"), col("dst")),
+        seedDf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weightedOnly = Graph.pagerankWeighted(sym).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr !== seededOnly, "weights are dead on the corpus")
+    assert(pr !== weightedOnly, "seeds are dead on the corpus")
+  }
+
+  /** Driver-side BFS reference: layered expansion over an adjacency
+    * map, written against bfsFrom's Scaladoc (min hop, cap, −1). */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupMap(_._1)(_._2)
+    var dist = seeds.intersect(nodes.toSet).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var hop = 0L
+    while (hop < maxHops && frontier.nonEmpty) {
+      hop += 1
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)) -- dist.keySet
+      dist = dist ++ next.map(_ -> hop)
+      frontier = next
+    }
+    nodes.map(nd => nd -> dist.getOrElse(nd, -1L)).toMap
+  }
+
+  test("bfsFrom matches the reference fold: cycle, unreachable component, hop cap, seed rules") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long],
+        cap: Int = Graph.BfsMaxHops): Map[Long, Long] =
+      Graph.bfsFrom(edgesDf(edges), seeds.toDF("node"), cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Directed cycle 1→2→3→1 with a feeder 4→1 (4 unreachable FROM 1 —
+    // direction respected) and an isolated pair 8→9 (dist −1).
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (8L, 9L))
+    assert(run(g, Seq(1L)) === refBfs(g, Set(1L), Graph.BfsMaxHops))
+    // Multi-source: min distance wins per node.
+    assert(run(g, Seq(1L, 8L)) === refBfs(g, Set(1L, 8L), Graph.BfsMaxHops))
+    // Hop cap: a 15-chain from seed 0 reaches node 10 at the cap, 11+ = −1.
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val capped = run(chain, Seq(0L))
+    assert(capped === refBfs(chain, Set(0L), Graph.BfsMaxHops))
+    assert(capped(10L) === 10L && capped(11L) === -1L && capped(15L) === -1L)
+    // Seeds outside the edge universe are dropped; an all-outside seed
+    // set fails loudly.
+    assert(run(g, Seq(1L, 99L)) === refBfs(g, Set(1L), Graph.BfsMaxHops))
+    assertThrows[IllegalArgumentException] { run(g, Seq(99L)) }
+    // Ambiguous multi-column seed frame fails fast (the pagerankSeeded rule).
+    assertThrows[IllegalArgumentException] {
+      Graph.bfsFrom(edgesDf(g), Seq((9L, 1L)).toDF("weight", "seed_id"))
+    }
+  }
+
+  test("graph_bfs_seeds registry row matches a driver-side BFS over the collected co-purchase edges (sf0.001)") {
+    val got = Graph.queries("graph_bfs_seeds")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Graph.copurchaseEdges(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges.toSeq ++ edges.toSeq.map(_.swap)
+    val seeds = sym.map(_._1).distinct.sorted.take(10).toSet
+    assert(got === refBfs(sym, seeds, Graph.BfsMaxHops))
+    // Non-vacuous: the corpus must exercise real depth (the −1 sentinel
+    // is exercised by the hand-graph test above — the sf0.001
+    // co-purchase graph turns out fully reachable from the ten seeds,
+    // which is itself the near-giant-component shape the corpus is for).
+    assert(got.values.exists(_ >= 2), "no node beyond hop 1 — depth vacuous")
+  }
+
   test("pagerankWeighted rejects non-positive weights") {
     import spark.implicits._
     val err = intercept[IllegalArgumentException] {

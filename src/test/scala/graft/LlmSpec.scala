@@ -328,6 +328,40 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall $recall < 0.7 at sf0.01 (|ann|=${ann.size})")
   }
 
+  test("ann_ivf_verdict: deterministic fixed-pivot retrieval — structure sound, candidates honor the probed cells, recall informative (sf0.001)") {
+    val out = Similarity.queries("ann_ivf_verdict")(spark, sf0001).collect()
+    // 10 probes × top-5, contiguous ranks, cosine non-increasing per probe.
+    val byProbe = out.groupBy(_.getLong(0))
+    assert(byProbe.keySet === (0L until 10L).toSet)
+    byProbe.foreach { case (p, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq,
+        s"probe $p ranks not contiguous")
+      assert(rows.length === 5, s"probe $p returned ${rows.length} rows")
+      val cs = sorted.map(_.getDouble(2)).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"probe $p cosines not non-increasing: $cs")
+      assert(rows.forall(_.getLong(1) != p), s"probe $p returned itself")
+    }
+    // The mechanism gate: this arm prunes to nprobe of nlist fixed
+    // cells and reranks EXACTLY inside them, so recall vs the exact
+    // top-5 is a deterministic function of the corpus. Fixed md5
+    // pivots buy determinism, not recall (k-means is what buys recall
+    // — annIvf's own gates): measured 0.42 at sf0.001 vs the ~0.125
+    // random-cell chance of probing 8 of 64 cells. The hash oracle
+    // pins exactness; this pin is only against a silent geometry/
+    // rerank regression, gated well above chance and under the
+    // measured point.
+    val exact = Similarity.queries("sim_topk")(spark, sf0001)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"ann_ivf_verdict recall vs exact: $recall%.3f")
+    assert(recall >= 0.3, s"fixed-pivot recall $recall collapsed below " +
+      "3x the random-cell chance floor")
+  }
+
   test("ann_ivfpq: composed recall >= 0.65 at the verify sf, structure sound (sf0.01)") {
     // The composed index's recall ceiling is the IVF stage's bucket
     // recall (gated >= 0.7 above); the PQ stage's w64 ADC blur costs a

@@ -117,9 +117,10 @@ class PlanShapeSpec extends SparkSpec {
     // join (bounded by order size); a CartesianProduct or BNLJ here
     // would mean the a.l_partkey < b.l_partkey conjunct displaced the
     // equi key and the plan went lineitem × lineitem.
-    // Pin the SHARED helper itself (r14: copurchaseEdges now feeds both
-    // the components row and the weighted-pagerank row), so the pin
-    // covers exactly the spelling every caller runs.
+    // Pin the SHARED helper itself (r14: copurchaseEdges feeds the
+    // components and weighted-pagerank rows; r15 adds graph_ppr_weighted
+    // and graph_bfs_seeds), so the pin covers exactly the spelling every
+    // caller runs.
     val p = llm.Graph.copurchaseEdges(spark, sf0001)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&

@@ -259,7 +259,8 @@ if stress is not None:
     # fails BY NAME instead of silently under-reporting scale coverage.
     for armed in ("graph_components_nnd", "graph_components_knn",
                   "graph_ppr", "graph_components_copurchase",
-                  "graph_pagerank_copurchase", "text_search_bm25"):
+                  "graph_pagerank_copurchase", "text_search_bm25",
+                  "graph_ppr_weighted", "graph_bfs_seeds"):
         if armed not in q:
             failures.append(
                 f"BENCH_stress.json: stress-armed registry row '{armed}' "
@@ -316,6 +317,39 @@ if stress is not None:
             f"> 1.2 — the weighted rank split left the linear-scan class "
             f"(check the shared pair-fan spelling and the per-round "
             f"checkpoint)")
+    # r15 (VERDICT r14 #1/#4): the composed seeded+weighted rank and the
+    # multi-source BFS ride the same saturating co-purchase corpus and
+    # the same linear-pair-fan + bounded-rounds class — the ≤ 1.2
+    # envelope of their graph_pagerank(_copurchase) parents.
+    for cp_row, claim in (
+            ("graph_ppr_weighted",
+             "the seeded+weighted composition acquired a growth class "
+             "its parents lack"),
+            ("graph_bfs_seeds",
+             "a BFS round stopped being one frontier join+anti-join")):
+        rows(cp_row, min_scales=4)
+        _cpe = q.get(cp_row, {}).get("e_time")
+        if _cpe is not None and _cpe > 1.2:
+            failures.append(
+                f"BENCH_stress.json: {cp_row} e_time {_cpe} > 1.2 — {claim}")
+    # r15 (VERDICT r14 #3): the composed components arm priced at its
+    # edge source's s100 scale, with the SV step series recorded there
+    # (cc_rounds knn_s100) — the one graph class that chains now has a
+    # step point at 2 M nodes. Must be a successful measurement, not a
+    # failure sentinel.
+    if "s100" not in q.get("graph_components_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: graph_components_nnd lacks its s100 point "
+            "(VERDICT r14 #3) — re-run the sweep with the s100 corpus "
+            "present")
+    elif q["graph_components_nnd"]["s100"].get("sec", -1) < 0:
+        failures.append(
+            "BENCH_stress.json: graph_components_nnd s100 point is a "
+            "failure sentinel — re-run the sweep")
+    if "knn_s100" not in (stress.get("cc_rounds") or {}):
+        failures.append(
+            "BENCH_stress.json: cc_rounds lacks knn_s100 (VERDICT r14 #3) "
+            "— the O(log n) step series is unmeasured at 2 M nodes")
     # r14: the sparse-retrieval row rides the full uniform span like its
     # tfidf sibling (two hash aggs + broadcast probe join → e_time ≈ 1).
     rows("text_search_bm25", min_scales=4)
@@ -533,7 +567,9 @@ if ball is not None:
                    "graph_diversity_select", "graph_diversity_select_nnd",
                    "graph_components_knn", "graph_components_nnd",
                    "graph_ppr", "text_bm25", "graph_components_copurchase",
-                   "text_search_bm25", "graph_pagerank_copurchase"):
+                   "text_search_bm25", "graph_pagerank_copurchase",
+                   "graph_ppr_weighted", "graph_bfs_seeds",
+                   "ann_ivf_verdict"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
