@@ -290,7 +290,16 @@ object Graph {
     * Scale shape: one frontier-join + distinct + anti-join per round,
     * every shuffle keyed by node, rounds bounded by the HOP CAP (never
     * by graph size); frontier-only propagation means round h probes
-    * |layer h−1| rows, not |reached|. Per-round `localCheckpoint` with
+    * |layer h−1| rows, not |reached|. The frontier side of the edge
+    * join goes through [[graft.Q.maybeBroadcast]]: a BFS layer is
+    * usually far smaller than the edge table, and broadcasting it
+    * turns the round into one scan + hash probe of the persisted edges
+    * — no per-round edge shuffle/sort (an SMJ here re-sorts the whole
+    * edge table EVERY round; at 100 TB that sort is the round's entire
+    * cost). A giant layer (worst case O(n)) fails the conf gate and
+    * falls back to the shuffle join keyed on src — the scale-safe
+    * shape, same policy as every other gated broadcast in the repo.
+    * Per-round `localCheckpoint` with
     * unpersist-on-supersede is the shared fixpoint discipline
     * (CC/PageRank/NND); the final checkpoint registers with
     * [[graft.Q.registerCheckpoint]] for the runner drain. Early exit on
@@ -327,9 +336,10 @@ object Graph {
       // Layer h = out-neighbors of layer h−1 not yet reached; union into
       // the reached set and snapshot (the eager checkpoint both bounds
       // the plan and materializes the count that drives early exit).
+      val frontier = Q.maybeBroadcast(
+        reached.filter(col("dist") === hop - 1).select(col("node")))
       val next = reached.union(
-          reached.filter(col("dist") === hop - 1)
-            .join(e.df, col("node") === col("src"))
+          e.df.join(frontier, col("node") === col("src"))
             .select(col("dst").as("node")).distinct()
             .join(reached, Seq("node"), "left_anti")
             .select(col("node"), lit(hop.toLong).as("dist")))

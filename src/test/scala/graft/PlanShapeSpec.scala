@@ -132,6 +132,31 @@ class PlanShapeSpec extends SparkSpec {
       "pair join no longer keyed on the order key")
   }
 
+  test("bfsFrom round shape: a checkpointed frontier layer broadcasts into the edge join (r15)") {
+    // The BFS round's scale contract: the frontier side goes through
+    // Q.maybeBroadcast, and a localCheckpoint-backed layer carries real
+    // sizeInBytes (LogicalRDD stats), so at sane layer sizes the round
+    // is one scan + hash probe of the persisted edges — never an SMJ
+    // that re-sorts the whole edge table every round. This pins both
+    // halves: the stats are usable (not defaultSizeInBytes, which
+    // would silently disable the gate forever) and the join plans as a
+    // BroadcastHashJoin.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val layer = (1L to 1000L).map(i => (i, 1L)).toDF("node", "dist")
+      .localCheckpoint(true)
+    val frontier = layer.filter(col("dist") === 1).select(col("node"))
+    val st = frontier.queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < 1000000,
+      s"checkpointed frontier stats unusable: ${st.sizeInBytes}")
+    val e = (1L to 5000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val p = e.join(Q.maybeBroadcast(frontier), col("node") === col("src"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"BFS frontier did not broadcast into the edge join:\n$p")
+  }
+
   test("embed_quantize is pure scan shape: projection only, no data exchange") {
     val p = plan("embed_quantize")
     // the only exchange allowed is the final verify ORDER BY's rangepartitioning
