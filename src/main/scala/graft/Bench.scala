@@ -118,6 +118,50 @@ object Bench {
   val HeavyProbeAnchors: Map[String, Double] = Map(
     "probe_agg_q1" -> 0.54, "probe_cosine_hof" -> 0.71)
 
+  /** Saturating throughput probe (r16 — VERDICT r15 #1). Probe design
+    * note: the three serial probes below are near-single-threaded
+    * (probe_agg_q1 is one small job; probe_cosine_hof one 500×500 HOF
+    * join), so a PARALLEL-throughput-bound contended window — other
+    * processes eating cores while each individual thread still runs at
+    * speed — is invisible to them: the r15 artifacts carried
+    * host_factor 0.91 beside a suite running 1.5–1.8× slow, and the
+    * headline and heavy factors disagreed 0.91-vs-1.57 inside ONE run.
+    * Every gated suite is parallel-bound (local[32], 32 shuffle
+    * partitions), so the normalizing factor must measure the same
+    * quantity: [[parallelProbe]] runs `threads` concurrent copies of
+    * the probe_agg_q1 body (each its own Spark job) and times the
+    * batch — wall time scales with the machine throughput actually
+    * available to this JVM, which is what the suites consume. The
+    * serial probes stay in the artifact (`host_factor_serial`,
+    * cross-round comparability back to r1) but `host_factor` — the
+    * field every gate normalizes by — is parallel-based from r16 on.
+    * [[ParallelProbeAnchorSec]] is the idle-host wall time of one
+    * 32-thread pass at sf0.1, calibrated at r16 HEAD with the parquet
+    * warm (the probe runs after the serial probes every time, so the
+    * anchor condition is reproduced exactly). Calibrated 2026-08-16,
+    * idle host, ProbeCalib 8 steady passes: 1.39/1.20/1.03/0.97/0.99/
+    * 0.95/1.01/0.88 after a 1.86 s warm-up — the measured Bench pass is
+    * the THIRD (two discarded warm-ups), ≈ 1.0–1.2 s; the late-session
+    * heavy brackets run fully warm ≈ 0.9–1.0 s. 1.05 splits the two so
+    * both factors read ≈ 1.0 idle and their artifact_check agreement
+    * pin (1.5× tolerance) gates contention, not JIT decay. */
+  val ParallelProbeAnchorSec = 1.05
+
+  def parallelProbe(spark: SparkSession, sfDir: String, threads: Int): Double = {
+    val body = probes(sfDir).collectFirst {
+      case ("probe_agg_q1", _, run) => run }.get
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val t0 = System.nanoTime()
+    try {
+      val futs = (1 to threads).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Long] {
+          def call(): Long = body(spark)
+        }))
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Load-normalizer probes + idle-host anchor seconds (sf0.1,
     * local[32], measured 2026-08-12). probe_filter runs first so it
     * includes the session's first parquet read every round; the cosine
@@ -237,6 +281,19 @@ object Bench {
     val probeResults = probes(sfDir).map { case (name, base, run) =>
       (name, base, time(run(spark)))
     }
+    // r16 (VERDICT r15 #1): the saturating probe that defines
+    // host_factor — runs after the serial probes, parquet warm, under
+    // exactly the anchor's calibration condition. The first TWO passes
+    // are DISCARDED warm-up (they carry one-time JIT that the
+    // late-session heavy brackets never pay — without the discard the
+    // two factors would disagree ~1.6× on an idle host and the
+    // artifact_check agreement pin would gate on JIT, not contention);
+    // the third pass is the measured one, matching ProbeCalib's
+    // steady-state anchor.
+    val parallelThreads = cpus.toInt
+    parallelProbe(spark, sfDir, parallelThreads)
+    parallelProbe(spark, sfDir, parallelThreads)
+    val probeParallel = parallelProbe(spark, sfDir, parallelThreads)
     // ANALYZE at load time, outside every per-query window (the
     // one-scan-per-table cost a warehouse pays once per load, reported
     // separately like bucket_setup_sec): the measured queries then plan
@@ -407,6 +464,13 @@ object Bench {
     val heavyProbesPre =
       if (allMode || changedMode) Nil else heavyProbeRun()
     val heavyProbePre = heavyProbesPre.map(_._2).sum
+    // r16 (VERDICT r15 #1): the tier brackets also run the saturating
+    // probe, and heavy_host_factor is computed from THOSE passes — the
+    // tier is parallel-bound, so its normalizer must be too. The serial
+    // bracket probes stay recorded (heavy_host_factor_serial).
+    val heavyParallelPre =
+      if (allMode || changedMode) -1.0
+      else parallelProbe(spark, sfDir, parallelThreads)
     val heavyResults =
       if (allMode || changedMode) Nil
       else {
@@ -421,6 +485,9 @@ object Bench {
     val heavyProbesPost =
       if (allMode || changedMode) Nil else heavyProbeRun()
     val heavyProbePost = heavyProbesPost.map(_._2).sum
+    val heavyParallelPost =
+      if (allMode || changedMode) -1.0
+      else parallelProbe(spark, sfDir, parallelThreads)
     val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -445,7 +512,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val probeTotal = probeResults.map(_._3).sum
     val probeBaseline = probeResults.map(_._2).sum
-    val hostFactor = probeTotal / probeBaseline
+    // r16: host_factor is PARALLEL-throughput-based (see parallelProbe's
+    // design note); the serial ratio stays as host_factor_serial for
+    // cross-round comparability back to r1.
+    val hostFactorSerial = probeTotal / probeBaseline
+    val hostFactor = probeParallel / ParallelProbeAnchorSec
     // Comparability contract (ADVICE r7): `value` sums only the queries
     // that ran, so a run with failures is NOT comparable to a clean one
     // — the r7 contended artifact read as a 40% "speedup" because 8
@@ -466,7 +537,11 @@ object Bench {
       s""""failed":$failed,"bucket_setup_sec":$bucketSetupSec,""" +
       s""""analyze_sec":$analyzeSec,""" +
       s""""probes":$ps,"probe_total":$probeTotal,"probe_baseline":$probeBaseline,""" +
-      s""""host_factor":$hostFactor,"total_normalized":${total / hostFactor},""" +
+      s""""probe_parallel":$probeParallel,""" +
+      s""""probe_parallel_anchor":$ParallelProbeAnchorSec,""" +
+      s""""probe_parallel_threads":$parallelThreads,""" +
+      s""""host_factor":$hostFactor,"host_factor_serial":$hostFactorSerial,""" +
+      s""""total_normalized":${total / hostFactor},""" +
       (if (changedMode) {
         val cf = changedFiles.map(f => "\"" + jsonEsc(f) + "\"")
           .mkString("[", ",", "]")
@@ -514,7 +589,12 @@ object Bench {
         // their own heap/plan pressure inflates the post-tier probe pass
         // — read that field next to heavy_total, never instead of it.
         val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
-        val hHostFactor = (heavyProbePre + heavyProbePost) / hProbeBaseline
+        val hHostFactorSerial = (heavyProbePre + heavyProbePost) / hProbeBaseline
+        // r16: the gated factor is the mean of the two saturating
+        // bracket passes over the idle anchor (same definition as the
+        // headline's host_factor — artifact_check pins their agreement).
+        val hHostFactor = (heavyParallelPre + heavyParallelPost) /
+          (2 * ParallelProbeAnchorSec)
         s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
           s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
           s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +
@@ -526,7 +606,10 @@ object Bench {
           s""""heavy_probes_post":${heavyProbesPost.map { case (k, v) =>
             "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
           s""""heavy_probe_baseline":$hProbeBaseline,""" +
+          s""""heavy_parallel_pre":$heavyParallelPre,""" +
+          s""""heavy_parallel_post":$heavyParallelPost,""" +
           s""""heavy_host_factor":$hHostFactor,""" +
+          s""""heavy_host_factor_serial":$hHostFactorSerial,""" +
           s""""heavy_total_normalized":${hTotal / math.max(1.0, hHostFactor)},""" +
           s""""heavy_budget_sec":$HeavyBudgetSec,"""
       }) +

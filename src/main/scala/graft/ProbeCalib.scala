@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Anchor calibration for [[Bench.parallelProbe]] (r16 — VERDICT r15
+  * #1): starts a session exactly as Bench does, warms it with one pass
+  * of the serial probes (the anchor condition — parquet hot), then
+  * times N parallel-probe passes and prints them. Run IDLE; the median
+  * is the number [[Bench.ParallelProbeAnchorSec]] pins. */
+object ProbeCalib {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_CALIB_PASSES", "5").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.probes(sfDir).foreach { case (_, _, run) => run(spark) }
+    // First pass is warm-up (discarded — Bench discards it too); the
+    // median of the rest is the steady-state anchor.
+    val times = (0 to passes).map(_ =>
+      Bench.parallelProbe(spark, sfDir, cpus.toInt))
+    val steady = times.tail
+    println(s"parallel probe passes (sec, first=warmup): " +
+      times.map(t => f"$t%.3f").mkString(", "))
+    println(f"steady median: ${steady.sorted.apply(steady.length / 2)}%.3f  " +
+      f"anchor pinned: ${Bench.ParallelProbeAnchorSec}%.3f")
+    spark.stop()
+  }
+}

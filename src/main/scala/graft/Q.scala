@@ -101,47 +101,53 @@ object Q {
     * its query. Intermediate checkpoints are unpersisted inline by the
     * fixpoints themselves as soon as their successor materializes.
     *
-    * Two ADVICE r14 properties of the ledger itself:
-    *  - frames are held via WEAK references, so a non-runner caller
-    *    (library use, notebooks, StreamPipelines jobs) that never
-    *    drains does not accumulate frames forever — once the caller
-    *    drops its result, the ledger no longer pins the plan and the
-    *    ContextCleaner's GC-based RDD reclamation is back to being the
-    *    bound, exactly as before the ledger existed;
+    * Ledger properties (ADVICE r14, re-designed per ADVICE r15):
+    *  - entries are the checkpoint leaf's RDD ID — a small strong int,
+    *    not a reference to the frame. ADVICE r15 found the r14 weak
+    *    reference to the Dataset WRAPPER was garbage the moment the
+    *    query builder returned (derived results reference only the
+    *    logical plan), so any GC during execution cleared the ref and
+    *    the deterministic drain silently no-op'd, reverting to the
+    *    async ContextCleaner path — exactly the block-manager-debt
+    *    class the ledger exists to close. An id pins no blocks (a
+    *    never-draining notebook caller accumulates only ints, and the
+    *    ContextCleaner still reaps the blocks once the caller drops
+    *    its result — unpersistRDD on a reaped id is a no-op), yet
+    *    stays drainable for the ledger's whole lifetime;
     *  - the ledger is keyed by SparkSession (itself weakly held), so in
     *    a multi-session JVM one session's drain can never unpersist
     *    checkpoint blocks a concurrently running query in ANOTHER
     *    session still needs. */
   private val sessionCheckpoints = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.ArrayBuffer[
-      java.lang.ref.WeakReference[DataFrame]]]()
+    scala.collection.mutable.ArrayBuffer[Int]]()
 
-  /** Record a final fixpoint checkpoint for the runner to reap. */
+  /** Record a final fixpoint checkpoint for the runner to reap. Must be
+    * called with the DIRECT localCheckpoint/flattenToLeaf frame (single
+    * LogicalRDD leaf — enforced loudly by GraftShims.leafRddId). */
   def registerCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val id = org.apache.spark.sql.GraftShims.leafRddId(df)
     val buf = sessionCheckpoints.computeIfAbsent(df.sparkSession,
       _ => scala.collection.mutable.ArrayBuffer.empty)
-    buf += new java.lang.ref.WeakReference(df)
+    buf += id
     df
   }
 
-  /** Unpersist every checkpoint frame REGISTERED UNDER `spark`'s
+  /** Unpersist every checkpoint RDD REGISTERED UNDER `spark`'s
     * ledger entry (other sessions' entries are untouched). Safe to
     * call only once the registering queries' results are materialized
-    * (the runners' per-query boundary). Per-frame failures are
-    * logged-and-skipped (ADVICE r14): a frame whose SparkContext has
-    * stopped, or whose session state is gone, must not abort the drain
-    * mid-loop and leave the ledger half-cleared — the remove() below
-    * clears it up front, so even a throwing frame costs only itself
-    * (its blocks then fall to the ContextCleaner via the weak ref). */
+    * (the runners' per-query boundary). Per-id failures are
+    * logged-and-skipped (ADVICE r14): a stopped SparkContext must not
+    * abort the drain mid-loop and leave the ledger half-cleared — the
+    * remove() below clears it up front, so even a throwing id costs
+    * only itself (its blocks then fall to the ContextCleaner). An id
+    * the ContextCleaner already reaped unpersists as a no-op. */
   def drainCheckpoints(spark: SparkSession): Unit = synchronized {
     val buf = sessionCheckpoints.remove(spark)
-    if (buf != null) buf.foreach { ref =>
-      val df = ref.get()
-      if (df != null)
-        try org.apache.spark.sql.GraftShims.unpersistLeafRdd(df)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[graft] checkpoint drain skipped a frame: $e")
-        }
+    if (buf != null) buf.foreach { id =>
+      try org.apache.spark.sql.GraftShims.unpersistRddId(spark, id)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] checkpoint drain skipped rdd $id: $e")
+      }
     }
   }
 

@@ -472,7 +472,11 @@ object StressBench {
     // cutoff). Both gated RELATIVE to the co-measured knn_graph_nnd
     // source in artifact_check (≤ source + 0.3, the
     // graph_pagerank_nnd precedent).
-    for ((scale, _) <- uniformScales.take(nndScales)) {
+    // r16 (VERDICT r15 #5): triangles follows the family frontier to
+    // s30 — nndBuildScales like its edge source (the wedge fan is
+    // bounded by the graph's k, so the extra half-decade prices the
+    // same linear build + bounded fan).
+    for ((scale, _) <- uniformScales.take(nndBuildScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("graph_triangles_nnd", scale,
@@ -614,7 +618,10 @@ object StressBench {
       record("graph_pagerank", scale,
         measure(() => SparkEntry.queries("graph_pagerank")(spark, dir)))
     }
-    for ((scale, _) <- uniformScales.take(nndScales)) {
+    // r16 (VERDICT r15 #5): the composed centrality arm closes at the
+    // family frontier — nndBuildScales here (s30), its s100 point in
+    // the fresh-context block at the sweep's end.
+    for ((scale, _) <- uniformScales.take(nndBuildScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
       record("graph_pagerank_nnd", scale,
@@ -862,6 +869,29 @@ object StressBench {
       record("graph_components_nnd", scale, compEntry)
       if (compEntry.rows >= 0)
         ccRounds(s"knn_$scale") = llm.Dedup.lastCcRounds
+      // r16 (VERDICT r15 #5): the composed centrality arm at 2 M nodes
+      // — the last composed row behind the family frontier. Same
+      // fresh-context + corpus sizing recipe; the s100 point joins the
+      // s1–s30 series under the relative gate (e ≤ source + 0.3).
+      // graph_triangles_nnd deliberately stops at s30: its wedge fan
+      // is the same bounded-k class the s30 point already prices, and
+      // a third ~15-minute s100 arm buys no new growth information
+      // for its cost (the containment trade recorded here, not
+      // silently).
+      s100Session()
+      confNotes(s"graph_pagerank_nnd:$scale") = s100Conf
+      record("graph_pagerank_nnd", scale,
+        measure(() => SparkEntry.queries("graph_pagerank_nnd")(spark, dir)))
+    }
+    // ADVICE r15: restore the s100 sizing confs once the block ends —
+    // correct-by-ordering is a trap for any arm later appended after
+    // this loop (it would silently run under s100 sizing with no
+    // conf_notes entry). conf_notes already records the s100 sizing
+    // per-point, so restoration costs nothing.
+    if (s100.nonEmpty) {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set(Q.BroadcastSideMaxBytesKey,
+        (256L * 1024 * 1024).toString)
     }
 
     val line = renderJson()

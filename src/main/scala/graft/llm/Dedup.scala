@@ -399,6 +399,121 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- Oracle-checkable verdict arms (r16 — VERDICT r15 #3/#6) ----
+  //
+  // The ann_ivf_verdict recipe applied to the sketch side: the
+  // PRODUCTION arms ([[minhashLsh]], [[simhashPairs]]) band on
+  // Spark-only hash functions (xxhash64) and keep their recall/property
+  // gates; these twins band on an md5-DERIVED fixed hash family spelled
+  // identically in DuckDB SQL, so the banding candidate-generation
+  // MECHANISM itself hash-matches end-to-end. Verify-scale by declared
+  // design (tiny k, generated 60-term SQL); the scale path remains the
+  // codegen'd production arms. What stays unproven by oracle after
+  // these: only the genuinely engine-divergent sketches (HLL, CMS, GK,
+  // PQ codebooks).
+
+  /** Verdict-family MinHash signature length (4 bands × 4 rows).
+    * P(candidate | j=0.95) = 1−(1−0.95⁴)⁴ ≈ 0.9988 — recall far above
+    * the production arm's gate, at an oracle-expressible k. */
+  val VerdictMinHashK = 16
+  val VerdictLshBands = 4
+
+  /**
+   * Banded MinHash-LSH near-dup pairs with an md5-derived hash family:
+   * sig_i(doc) = MIN over tokens of md5('i:' || tok) (hex STRINGS —
+   * lowercase-hex ASCII min orders identically in both engines), band
+   * key = md5 of the concatenated 4-signature slice, candidates = pairs
+   * sharing any band key (exactly the [[minhashLsh]] mechanism), then
+   * EXACT token-set Jaccard ≥ `thresh` verification spelled as the
+   * dedup_near oracle does it (inter/union counts over string tokens —
+   * one IEEE division, bit-stable across engines). Output:
+   * (doc_a, doc_b, jaccard 4dp), the minhash_lsh output shape.
+   */
+  def minhashLshVerdict(docs: DataFrame, thresh: Double): DataFrame = {
+    val k = VerdictMinHashK; val bands = VerdictLshBands; val rows = k / bands
+    val toks = Q.ownPersist(distinctTokens(docs)).df
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("tok")))).as(s"h$i"))
+    val sigs = toks.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bk = Q.ownPersist(sigs.select(col("doc_id") +:
+      (0 until bands).map(b => md5(concat(
+        (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)).as(s"k$b")): _*)).df
+    // Candidate stream: one equi self-join per band, deduped once. The
+    // per-doc band frame rides the conf-gated broadcast; above the gate
+    // the planner shuffles on the band key — the scale-safe shape.
+    val cand = (0 until bands).map { b =>
+      bk.select(col("doc_id").as("doc_a"), col(s"k$b").as("bkey"))
+        .join(Q.maybeBroadcast(
+          bk.select(col("doc_id").as("doc_b"), col(s"k$b").as("bkey"))), Seq("bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ union _).distinct()
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(Q.maybeBroadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
+      .join(Q.maybeBroadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= thresh)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 60-bit SimHash sketch from an md5-derived per-token value: the
+    * first 15 hex nibbles of md5(tok) decode (via ascii arithmetic —
+    * the one hex→int spelling both engines share) into one positive
+    * BIGINT; bit j of the sketch is the sign of Σ_tokens (±1 by bit j
+    * of that value); the bits pack back into one BIGINT as a sum of
+    * exact powers of two. Every step integer-deterministic in both
+    * engines. */
+  private[graft] def simhashVerdictSketch(docs: DataFrame): DataFrame = {
+    def dig(i: Int): Column = {
+      val a = ascii(substring(col("h"), i + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+    }
+    val v = (0 until 15).map(i => dig(i) * lit(1L << (4 * (14 - i)))).reduce(_ + _)
+    val tv = distinctTokens(docs).withColumn("h", md5(col("tok")))
+      .select(col("doc_id"), v.as("v"))
+    val sumCols = (0 until 60).map(j =>
+      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    tv.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sk"))
+  }
+
+  /** Hamming-radius pairs over [[simhashVerdictSketch]] with the SAME
+    * pigeonhole banding as [[simhashPairs]] (4 × 15-bit bands — exact
+    * for hamming ≤ 3), oracle-checkable end-to-end: band keys are
+    * shift/mask arithmetic, the verdict is bit_count(xor) — both
+    * spelled identically in DuckDB. Output (doc_a, doc_b, hamming). */
+  def simhashPairsVerdict(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole is only exact for hamming <= 3")
+    val sk = Q.ownPersist(simhashVerdictSketch(docs)).df
+    val bk = Q.ownPersist(sk.select(col("doc_id") +: col("sk") +:
+      (0 until 4).map(b =>
+        shiftright(col("sk"), b * 15).bitwiseAND(lit(32767L)).as(s"k$b")): _*)).df
+    val cand = (0 until 4).map { b =>
+      bk.select(col("doc_id").as("doc_a"), col("sk").as("ska"), col(s"k$b").as("bkey"))
+        .join(Q.maybeBroadcast(bk.select(
+          col("doc_id").as("doc_b"), col("sk").as("skb"), col(s"k$b").as("bkey"))),
+          Seq("bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ska"), col("skb"))
+    }.reduce(_ union _).distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ska").bitwiseXOR(col("skb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Neighbor cap for [[editDistanceRank]]'s within-group pairing (must
     * match the literal 16 in the dedup_editdist oracle SQL). */
   val EditDistNeighbors = 16
@@ -853,6 +968,12 @@ object Dedup {
 
     "minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d), 0.95)),
 
+    // r16 (VERDICT r15 #3): the fixed-md5-family verdict arm — the
+    // banding mechanism hash-matched against DuckDB; the murmur3/xxhash
+    // production arm above keeps its recall gate.
+    "minhash_lsh_verdict" -> ((s, d) =>
+      minhashLshVerdict(Tables.documents(s, d), 0.95)),
+
     // Batch twin of the streaming near-dedup sink; rows-only (sketch
     // candidates). StreamingSpec pins stream-vs-batch bit-parity.
     "dedup_near_verdicts" -> ((s, d) =>
@@ -864,6 +985,12 @@ object Dedup {
     // Recovery of constructed near-identical pairs is property-tested in
     // LlmSpec.
     "simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d), 3)),
+
+    // r16 (VERDICT r15 #6): the md5-derived-sketch verdict arm — the
+    // pigeonhole banding + bit_count(xor) verdict hash-matched against
+    // DuckDB; the xxhash64 production arm keeps its property gates.
+    "simhash_pairs_verdict" -> ((s, d) =>
+      simhashPairsVerdict(Tables.documents(s, d), 3)),
 
     "dedup_editdist" -> ((s, d) =>
       editDistanceRank(Tables.documents(s, d), EditDistNeighbors)),
@@ -913,7 +1040,74 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $thresh
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Generated DuckDB oracle for [[minhashLshVerdict]] — every constant
+    * interpolated from the Scala side (the ADVICE r9 single-sourcing
+    * rule), every hash step the exact md5 spelling the DataFrame code
+    * runs. */
+  private def minhashVerdictOracle(thresh: Double): String = {
+    val k = VerdictMinHashK; val bands = VerdictLshBands; val rows = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"MIN(MD5('$i:' || tok)) AS h$i").mkString(", ")
+    val bandCols = (0 until bands).map(b =>
+      "MD5(" + (b * rows until (b + 1) * rows).map(i => s"h$i")
+        .mkString(" || ") + s") AS k$b").mkString(", ")
+    val candUnion = (0 until bands).map(b =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a " +
+        s"JOIN bk b ON a.k$b = b.k$b AND a.doc_id < b.doc_id")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents),
+       | sig AS (SELECT doc_id, $sigCols FROM t GROUP BY doc_id),
+       | bk AS (SELECT doc_id, $bandCols FROM sig),
+       | cand AS (SELECT DISTINCT doc_a, doc_b FROM ($candUnion)),
+       | s AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+       | p AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |       FROM cand c JOIN t a ON a.doc_id = c.doc_a
+       |       JOIN t b ON b.doc_id = c.doc_b AND b.tok = a.tok
+       |       GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       | ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $thresh
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for [[simhashPairsVerdict]] — the 60-term
+    * bit sums, power-of-two packing, shift/mask band keys, and
+    * bit_count(xor) verdict, all integer-exact in both engines. */
+  private def simhashVerdictOracle(maxHamming: Int): String = {
+    def dig(i: Int): String =
+      s"(CASE WHEN ASCII(SUBSTR(h,${i + 1},1)) >= 97 " +
+        s"THEN ASCII(SUBSTR(h,${i + 1},1)) - 87 " +
+        s"ELSE ASCII(SUBSTR(h,${i + 1},1)) - 48 END)"
+    val vExpr = (0 until 15)
+      .map(i => s"CAST(${dig(i)} AS BIGINT) * ${1L << (4 * (14 - i))}")
+      .mkString(" + ")
+    val sums = (0 until 60).map(j =>
+      s"SUM(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sk = (0 until 60).map(j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val bandCols = (0 until 4)
+      .map(b => s"(sk >> ${b * 15}) & 32767 AS k$b").mkString(", ")
+    val candUnion = (0 until 4).map(b =>
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sk AS ska, b.sk AS skb " +
+        s"FROM bk a JOIN bk b ON a.k$b = b.k$b AND a.doc_id < b.doc_id")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents),
+       | tv AS (SELECT doc_id, $vExpr AS v FROM (SELECT doc_id, MD5(tok) AS h FROM t)),
+       | sums AS (SELECT doc_id, $sums FROM tv GROUP BY doc_id),
+       | skt AS (SELECT doc_id, $sk AS sk FROM sums),
+       | bk AS (SELECT doc_id, sk, $bandCols FROM skt),
+       | cand AS (SELECT DISTINCT doc_a, doc_b, ska, skb FROM ($candUnion))
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(ska, skb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ska, skb)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "minhash_lsh_verdict" -> minhashVerdictOracle(0.95),
+    "simhash_pairs_verdict" -> simhashVerdictOracle(3),
     // n-gram slices are toks[i:i+(n-1)] (DuckDB slices are 1-based
     // inclusive); RANGE is empty when LEN(toks) < n, matching the Spark
     // guard. SpanN/SpanHotMin are INTERPOLATED (ADVICE r9) so the

@@ -299,18 +299,32 @@ object Graph {
     * cost). A giant layer (worst case O(n)) fails the conf gate and
     * falls back to the shuffle join keyed on src — the scale-safe
     * shape, same policy as every other gated broadcast in the repo.
-    * Per-round `localCheckpoint` with
-    * unpersist-on-supersede is the shared fixpoint discipline
-    * (CC/PageRank/NND); the final checkpoint registers with
-    * [[graft.Q.registerCheckpoint]] for the runner drain. Early exit on
-    * an empty frontier is safe (BFS closure: an empty layer stays
+    * Per-round materialization is FRONTIER-ONLY too (VERDICT r15 #4):
+    * each round `localCheckpoint`s just the NEW layer — O(|layer h|)
+    * checkpoint I/O, total Σ|layers| = |reached| over the whole run —
+    * and the reached set is the logical UNION of the ≤ cap+1 layer
+    * snapshots (plan depth bounded by the hop cap, never by data). The
+    * r15 shape re-checkpointed the full reached set every round:
+    * O(|V|·hops) write volume for the same answer. Every layer
+    * checkpoint registers with [[graft.Q.registerCheckpoint]] for the
+    * runner drain (all layers stay live — they ARE the result). Early
+    * exit on an empty layer is safe (BFS closure: an empty layer stays
     * empty) and rides the count each round already runs — one job per
     * round, the CC fixpoint's documented accounting.
+    * [[lastBfsLayerSizes]] records each round's checkpointed row count
+    * so GraphSpec can pin that materialization matches the layer, not
+    * the reached set.
     *
     * Seed-frame spelling rule and outside-the-graph semantics follow
     * [[pagerankSeeded]]: single column or a column named `node`; seeds
     * outside the edge universe are dropped (semi join) and contribute
     * nothing. */
+  /** Per-round checkpointed row counts of the last [[bfsFrom]] run —
+    * layerSizes(h) = |layer h|. Driver-eager like Dedup.lastCcRounds;
+    * GraphSpec pins Σ = reached count (materialization is layer-sized,
+    * never reached-sized — VERDICT r15 #4). */
+  @volatile var lastBfsLayerSizes: Seq[Long] = Nil
+
   def bfsFrom(edges: DataFrame, seeds: DataFrame,
       maxHops: Int = BfsMaxHops): DataFrame = {
     val e = Q.ownPersist(edges.select(col("src"), col("dst")))
@@ -319,42 +333,63 @@ object Graph {
         .union(e.df.select(col("dst").as("node"))).distinct())
     val seedCol =
       if (seeds.columns.length == 1) seeds.columns.head
-      else seeds.columns.find(_ == "node").getOrElse(throw
-        new IllegalArgumentException(
+      else seeds.columns.find(_ == "node").getOrElse {
+        e.release(); nodes.release()
+        throw new IllegalArgumentException(
           "bfsFrom: seeds must be a single-column frame or carry a " +
-            s"column named 'node' (got ${seeds.columns.mkString(", ")})"))
-    var reached = seeds.select(col(seedCol).as("node")).distinct()
+            s"column named 'node' (got ${seeds.columns.mkString(", ")})")
+      }
+    val seedLayer = seeds.select(col(seedCol).as("node")).distinct()
       .join(nodes.df, Seq("node"), "left_semi")
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint(true)
-    var cnt = reached.count()
-    require(cnt > 0, "bfsFrom: no seed lies in the edge universe")
+    val seedCnt = seedLayer.count()
+    if (seedCnt == 0) {
+      // ADVICE r15: the empty-seed error path used to fire AFTER the
+      // seed checkpoint materialized and e/nodes persisted but BEFORE
+      // registration — leaking all three until GC. Clean up first.
+      try org.apache.spark.sql.GraftShims.unpersistLeafRdd(seedLayer)
+      catch { case scala.util.control.NonFatal(_) => }
+      e.release(); nodes.release()
+      throw new IllegalArgumentException(
+        "requirement failed: bfsFrom: no seed lies in the edge universe")
+    }
+    // layers(h) = the checkpointed (node, dist=h) frame; reached is
+    // their logical union (≤ cap+1 legs — plan bounded by the hop cap).
+    val layers = scala.collection.mutable.ArrayBuffer(seedLayer)
+    val sizes = scala.collection.mutable.ArrayBuffer(seedCnt)
+    Q.registerCheckpoint(seedLayer)
+    def reached: DataFrame = layers.reduce(_ union _)
     var hop = 0
     var growing = true
     while (hop < maxHops && growing) {
       hop += 1
-      // Layer h = out-neighbors of layer h−1 not yet reached; union into
-      // the reached set and snapshot (the eager checkpoint both bounds
-      // the plan and materializes the count that drives early exit).
-      val frontier = Q.maybeBroadcast(
-        reached.filter(col("dist") === hop - 1).select(col("node")))
-      val next = reached.union(
-          e.df.join(frontier, col("node") === col("src"))
-            .select(col("dst").as("node")).distinct()
-            .join(reached, Seq("node"), "left_anti")
-            .select(col("node"), lit(hop.toLong).as("dist")))
+      // Layer h = out-neighbors of layer h−1 not yet reached. Only this
+      // NEW layer is checkpointed (frontier-only materialization); the
+      // eager checkpoint both bounds the plan and materializes the
+      // count that drives early exit.
+      val frontier = Q.maybeBroadcast(layers.last.select(col("node")))
+      val layer = e.df.join(frontier, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("dist"))
         .localCheckpoint(true)
-      val n2 = next.count()
-      growing = n2 > cnt
-      cnt = n2
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd(reached)
-      reached = next
+      val n = layer.count()
+      if (n == 0) {
+        growing = false
+        try org.apache.spark.sql.GraftShims.unpersistLeafRdd(layer)
+        catch { case scala.util.control.NonFatal(_) => }
+      } else {
+        layers += layer
+        sizes += n
+        Q.registerCheckpoint(layer)
+      }
     }
+    lastBfsLayerSizes = sizes.toSeq
     e.release()
     // nodes' handle intentionally leaked to the runner's per-query
     // clearCache (the lazy verdict below reads it — the documented
-    // convention); the final BFS checkpoint is runner-drained.
-    Q.registerCheckpoint(reached)
+    // convention); the layer checkpoints are runner-drained.
     nodes.df.join(reached, Seq("node"), "left")
       .select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }

@@ -58,6 +58,18 @@ case class AttributionUpdate(user_id: Long, event_id: Long, value: Double,
  */
 object StreamPipelines {
 
+  /** Free a dead localCheckpoint snapshot from inside a `finally`
+    * WITHOUT masking the primary failure (ADVICE r15): if the parquet
+    * write threw and the unpersist also throws (stopped context after
+    * executor death, the single-leaf require), a bare call would
+    * replace the original write exception with the cleanup one. Same
+    * log-and-skip discipline as Q.drainCheckpoints. */
+  private def freeSnapshot(df: org.apache.spark.sql.DataFrame): Unit =
+    try org.apache.spark.sql.GraftShims.unpersistLeafRdd(df)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] snapshot unpersist skipped: $e")
+    }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -503,7 +515,7 @@ object StreamPipelines {
         // the snapshot is dead whether the write succeeded or threw —
         // free its checkpoint blocks INSIDE the finally (ADVICE r14;
         // clearCache cannot reap checkpoint RDDs)
-        org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
+        freeSnapshot(merged)
       }
     }
     fs.mkdirs(marker.getParent)
@@ -555,7 +567,7 @@ object StreamPipelines {
       }
       // same ADVICE r14 discipline as the merge paths: the compaction
       // snapshot is dead either way — never leak its checkpoint blocks
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd(compacted)
+      freeSnapshot(compacted)
     }
     crowded.size
   }
@@ -623,7 +635,7 @@ object StreamPipelines {
         // the snapshot is dead whether the write succeeded or threw —
         // free its checkpoint blocks INSIDE the finally (ADVICE r14;
         // clearCache cannot reap checkpoint RDDs)
-        org.apache.spark.sql.GraftShims.unpersistLeafRdd(merged)
+        freeSnapshot(merged)
       }
     }
     fs.mkdirs(marker.getParent)

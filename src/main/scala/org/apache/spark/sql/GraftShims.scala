@@ -60,6 +60,33 @@ object GraftShims {
     leaves.head.rdd.unpersist(blocking = false)
   }
 
+  /** The id of the single `LogicalRDD` leaf behind a checkpoint frame —
+    * same single-leaf contract (and loud refusal) as [[unpersistLeafRdd]].
+    * ADVICE r15: the checkpoint ledger records this small strong int
+    * instead of a weak reference to the Dataset WRAPPER — the wrapper is
+    * unreachable the moment the query builder returns (derived frames
+    * reference only the logical plan), so a GC during execution cleared
+    * the ref and the deterministic drain silently degraded to the async
+    * ContextCleaner path. An int pins nothing and stays drainable. */
+  def leafRddId(df: DataFrame): Int = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val leaves = ds.queryExecution.analyzed.collect {
+      case lr: execution.LogicalRDD => lr
+    }
+    require(leaves.length == 1,
+      s"leafRddId: expected exactly one LogicalRDD leaf, found " +
+        s"${leaves.length} — pass the direct localCheckpoint/flattenToLeaf " +
+        s"frame, not a derived plan")
+    leaves.head.rdd.id
+  }
+
+  /** Unpersist an RDD by id (non-blocking) — `SparkContext.unpersistRDD`
+    * is `private[spark]`, reachable from this package. Removing an id the
+    * ContextCleaner already reaped is a harmless no-op, so a ledger drain
+    * can never fail on a frame that was GC-reclaimed in the meantime. */
+  def unpersistRddId(spark: SparkSession, id: Int): Unit =
+    spark.sparkContext.unpersistRDD(id, blocking = false)
+
   /** Re-root a (typically persisted) frame as a flat `LogicalRDD` leaf —
     * the lineage-truncation half of `Dataset.localCheckpoint` without
     * its extra materialization job: iterative algorithms that reference

@@ -90,18 +90,15 @@ class CacheHygieneSpec extends SparkSpec {
     assert(afterRun <= base + 3,
       s"checkpoint frames accumulated: $afterRun persistent RDDs " +
         s"(base $base) after a ${llm.Dedup.lastCcRounds}-step fixpoint")
-    // Runner boundary: clearCache + drain must return to the baseline.
-    // The ledger holds WEAK references (ADVICE r14) — if a GC cleared
-    // them before the drain, the blocks fall to the ContextCleaner
-    // instead, so allow that asynchronous path a bounded wait before
-    // declaring a leak.
+    // Runner boundary: clearCache + drain must return to the baseline
+    // IMMEDIATELY. The ledger records RDD ids (ADVICE r15 — the r14
+    // weak-ref-to-wrapper design was GC-clearable mid-query, and this
+    // test's old gc/sleep retry loop masked exactly that), so the drain
+    // is deterministic: no GC, no wait, no ContextCleaner fallback.
     s.catalog.clearCache()
     Q.drainCheckpoints(spark)
-    var tries = 0
-    while (s.sparkContext.getPersistentRDDs.size > base && tries < 50) {
-      System.gc(); Thread.sleep(100); tries += 1
-    }
     assert(s.sparkContext.getPersistentRDDs.size <= base,
-      "the runner-boundary drain left checkpoint blocks behind")
+      "the runner-boundary drain left checkpoint blocks behind " +
+        "(drain must be deterministic — id-based, not GC-dependent)")
   }
 }

@@ -302,6 +302,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfsFrom materializes only the new layer per round: checkpointed row counts equal layer sizes (VERDICT r15 #4)") {
+    import spark.implicits._
+    // 15-chain from seed 0 under the default cap 10: eleven layers of
+    // exactly one node each. lastBfsLayerSizes records each round's
+    // checkpointed row count — frontier-only materialization means the
+    // series is the LAYER sizes (Σ = reached count), never the running
+    // reached-set size (which would read 1,2,3,… here).
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val res = Graph.bfsFrom(edgesDf(chain), Seq(0L).toDF("node")).collect()
+    val sizes = Graph.lastBfsLayerSizes
+    assert(sizes === Seq.fill(Graph.BfsMaxHops + 1)(1L),
+      s"per-round checkpoint sizes $sizes != the per-layer sizes")
+    assert(sizes.sum === res.count(_.getLong(1) >= 0L),
+      "layer sizes do not sum to the reached count")
+    // A branching graph: layer sizes 1, 2, 4 — still layer-shaped.
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (2L, 6L))
+    Graph.bfsFrom(edgesDf(tree), Seq(0L).toDF("node")).collect()
+    assert(Graph.lastBfsLayerSizes === Seq(1L, 2L, 4L))
+  }
+
   test("graph_bfs_seeds registry row matches a driver-side BFS over the collected co-purchase edges (sf0.001)") {
     val got = Graph.queries("graph_bfs_seeds")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

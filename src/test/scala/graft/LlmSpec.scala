@@ -99,6 +99,62 @@ class LlmSpec extends SparkSpec {
     assert(out === brute, s"banded=$out brute=$brute")
   }
 
+  test("minhash_lsh_verdict: exact-verified subset, identical docs guaranteed candidates, recall vs exact pairs (sf0.001 + literal)") {
+    val s = spark
+    import s.implicits._
+    // Exact verification step ⇒ output ⊆ exact j ≥ 0.95 pairs; the
+    // k=16 family's banding recall at j=0.95 is 1−(1−0.95⁴)⁴ ≈ 0.9988,
+    // so near-all exact pairs must surface.
+    val out = Dedup.queries("minhash_lsh_verdict")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.queries("dedup_near")(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "ground truth empty")
+    assert((out -- exact).isEmpty,
+      "verdict arm emitted a pair below the exact-Jaccard threshold")
+    val recall = (exact & out).size.toDouble / exact.size
+    assert(recall >= 0.9, s"verdict banding recall $recall < 0.9")
+    // Planted EXACT duplicates are guaranteed (not probabilistic)
+    // candidates: identical token sets ⇒ all 16 signature mins equal ⇒
+    // every band key matches (VERDICT r15 #3's ⊇-planted-dups pin).
+    val docs = Seq(
+      (1L, "join filter window agg"),
+      (2L, "join filter window agg"),      // identical → jaccard 1.0
+      (3L, "zebra yak xylophone walrus")   // disjoint
+    ).toDF("doc_id", "text")
+    val lit = Dedup.minhashLshVerdict(docs, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lit === Map((1L, 2L) -> 1.0),
+      s"planted exact dup not (exclusively) surfaced: $lit")
+  }
+
+  test("simhash_pairs_verdict: banded join exact vs brute-force over the md5 sketch (sf0.001 + literal identical pair)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Dedup.simhashPairsVerdict(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // Pigeonhole exactness for radius ≤ 3: the banded join must emit
+    // EXACTLY the pairs a brute-force hamming scan over the same md5
+    // sketch finds (the simhash_pairs exactness pin, verdict family).
+    val sk = Dedup.simhashVerdictSketch(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sk.keys; b <- sk.keys if a < b
+      h = java.lang.Long.bitCount(sk(a) ^ sk(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(out === brute,
+      s"banded ${out.size} pairs != brute ${brute.size} pairs")
+    // Identical docs share every md5-derived bit → hamming 0 guaranteed.
+    val lit = Dedup.simhashPairsVerdict(Seq(
+      (1L, "join filter window agg"),
+      (2L, "join filter window agg")).toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(lit((1L, 2L)) === 0L, "identical docs not at hamming 0")
+  }
+
   test("embed_lshpairs: hyperplane LSH recovers planted vector near-dups (recall >= 0.9) and prunes the pair space (sf0.001)") {
     val s = spark
     import s.implicits._

@@ -221,13 +221,25 @@ if stress is not None:
             f"saturating-edge-set corpus should price the linear scan "
             f"(check the edge/info persists and the per-round "
             f"localCheckpoint survived refactoring)")
-    rows("graph_pagerank_nnd", min_scales=3)
+    # r16 (VERDICT r15 #5): the composed centrality arm closed at the
+    # family frontier — s30 via nndBuildScales plus the fresh-context
+    # s100 point, same span as its edge source and the components arm.
+    rows("graph_pagerank_nnd", min_scales=4)
     _pn = q.get("graph_pagerank_nnd", {}).get("e_time")
     if _pn is not None and _nn is not None and _pn > _nn + 0.3:
         failures.append(
             f"BENCH_stress.json: graph_pagerank_nnd e_time {_pn} grows "
             f"faster than its knn_graph_nnd edge source {_nn} + 0.3 — "
             f"the PageRank rounds stopped being O(n·k) per round")
+    if "s100" not in q.get("graph_pagerank_nnd", {}):
+        failures.append(
+            "BENCH_stress.json: graph_pagerank_nnd lacks its s100 point "
+            "(VERDICT r15 #5) — re-run the sweep with the s100 corpus "
+            "present")
+    elif q["graph_pagerank_nnd"]["s100"].get("sec", -1) < 0:
+        failures.append(
+            "BENCH_stress.json: graph_pagerank_nnd s100 point is a "
+            "failure sentinel — re-run the sweep")
     # r12 (VERDICT r11 #7): the linear-build claim's s30 point — one
     # more half-decade past the constant-dominated regime.
     if "s30" not in q.get("knn_graph_nnd", {}):
@@ -240,11 +252,15 @@ if stress is not None:
     # graph_pagerank_nnd discipline: triangles' wedge join fans by the
     # graph's bounded k and diversity adds pagerank rounds + one
     # edge-derived dup drop + one quantile agg, all O(n·k)-class.
+    # r16 (VERDICT r15 #5): triangles joins the s30 frontier
+    # (nndBuildScales) — min_scales 4 for both composed rows; its s100
+    # arm is deliberately skipped (bounded-k wedge fan, containment
+    # trade recorded in StressBench).
     for comp, claim in (("graph_triangles_nnd",
                          "the oriented wedge fan left the m^1.5 class"),
                         ("graph_diversity_select_nnd",
                          "a selection stage stopped being linear")):
-        rows(comp, min_scales=3)
+        rows(comp, min_scales=4)
         _ce = q.get(comp, {}).get("e_time")
         if _ce is not None and _nn is not None and _ce > _nn + 0.3:
             failures.append(
@@ -329,7 +345,15 @@ if stress is not None:
              "a BFS round stopped being one frontier join+anti-join")):
         rows(cp_row, min_scales=4)
         _cpe = q.get(cp_row, {}).get("e_time")
-        if _cpe is not None and _cpe > 1.2:
+        if _cpe is None:
+            # ADVICE r15: a missing exponent must FAIL once the scale
+            # points exist — a sweep whose fit silently produced no
+            # e_time would otherwise pass the growth-class gate.
+            if cp_row in q:
+                failures.append(
+                    f"BENCH_stress.json: {cp_row} lacks an e_time fit — "
+                    f"the ≤ 1.2 growth-class gate cannot be evaluated")
+        elif _cpe > 1.2:
             failures.append(
                 f"BENCH_stress.json: {cp_row} e_time {_cpe} > 1.2 — {claim}")
     # r15 (VERDICT r14 #3): the composed components arm priced at its
@@ -489,6 +513,26 @@ if bench is not None:
         failures.append(
             f"bench.json: host_factor {hf:.2f} > 1.5 — contended-host run, "
             f"not canonical; re-run idle (ADVICE r7)")
+    # r16 (VERDICT r15 #1): both factors now measure the same saturating
+    # quantity (parallelProbe passes over one idle anchor), so within
+    # one canonical run they must agree — the r15 artifacts carried
+    # 0.91-headline vs 1.57-heavy inside ONE run because the old serial
+    # probes could not see parallel-bound contention. Disagreement past
+    # 1.5× means contention changed mid-run (not canonical — re-run) or
+    # a probe regressed.
+    if hf is not None and "probe_parallel" not in bench:
+        failures.append(
+            "bench.json: probe_parallel absent — host_factor predates the "
+            "r16 saturating-probe definition; re-run Bench at HEAD")
+    hhf_agree = bench.get("heavy_host_factor")
+    if hf is not None and hhf_agree is not None and hhf_agree > 0 and hf > 0:
+        ratio = max(hf, hhf_agree) / min(hf, hhf_agree)
+        if ratio > 1.5:
+            failures.append(
+                f"bench.json: host_factor {hf:.2f} vs heavy_host_factor "
+                f"{hhf_agree:.2f} disagree by {ratio:.2f}× (> 1.5) — "
+                f"contention changed mid-run; not canonical, re-run "
+                f"(VERDICT r15 #1)")
     if bench.get("failed"):
         failures.append(f"bench.json: failed queries {bench['failed']}")
     if bench.get("heavy_failed"):
@@ -569,7 +613,8 @@ if ball is not None:
                    "graph_ppr", "text_bm25", "graph_components_copurchase",
                    "text_search_bm25", "graph_pagerank_copurchase",
                    "graph_ppr_weighted", "graph_bfs_seeds",
-                   "ann_ivf_verdict"):
+                   "ann_ivf_verdict",
+                   "minhash_lsh_verdict", "simhash_pairs_verdict"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
