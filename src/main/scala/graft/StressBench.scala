@@ -94,16 +94,15 @@ object StressBench {
     * linear in n, so the s10 point the n^1.75 blocked arm priced at
     * 509 s in round 10 costs ~60 s here. The committed s10 row is the
     * demonstration that the linear arm reaches corpus sizes the
-    * blocked-seeded pipeline cannot. */
-  val nndScales = 3
-
-  /** r12 (VERDICT r11 #7): the linear BUILD's headline claim gets one
-    * more half-decade — an s30 point (600 k vectors) either confirms
-    * e_time stays ≤ 1.0 past the constant-dominated regime or catches
-    * the bend early. The composed rows (pagerank / triangles /
-    * diversity over the NND edges) stay at [[nndScales]] to contain
-    * sweep cost; their gates are fits RELATIVE to the co-measured
-    * source, which now spans the wider range. */
+    * blocked-seeded pipeline cannot.
+    *
+    * r12 (VERDICT r11 #7) added the s30 point (600 k vectors); r16
+    * (VERDICT r15 #5) moved the last composed rows (pagerank /
+    * triangles over the NND edges) up to this same span — every
+    * NND-family arm now rides the full s1–s30 range (the former
+    * 3-scale containment tier is gone), with pagerank_nnd additionally
+    * priced at s100 in the fresh-context block. Gates stay RELATIVE to
+    * the co-measured edge source. */
   val nndBuildScales = 4
 
   /** The registry `simjoin_auto` (cos ≥ 0.35) is NOT in the sweep: below
@@ -451,7 +450,7 @@ object StressBench {
     }
 
     // The linear arm reaches further than its super-linear siblings —
-    // see [[nndScales]] / [[nndBuildScales]].
+    // see [[nndBuildScales]].
     for ((scale, _) <- uniformScales.take(nndBuildScales)) {
       val dir = s"$root/$scale"
       sources.CatalogStats.registerAndAnalyze(spark, dir)
@@ -498,7 +497,7 @@ object StressBench {
 
     // r13 (VERDICT r12 #1): price the components family. The linear
     // arm (thresholded NND edges → shared CC fixpoint) rides
-    // [[nndScales]] like the other composed rows; its artifact_check
+    // [[nndBuildScales]] like the other composed rows; its artifact_check
     // gate is relative to the co-measured knn_graph_nnd source. The
     // fixpoint STEP count per scale lands in cc_rounds under
     // "knn_<scale>" (beside the near-dup series): with the r13
@@ -607,7 +606,7 @@ object StressBench {
     // the ≈1 analytic bar for the scan plus host-noise margin; per
     // round the cost stays one rank-by-node shuffle join + one
     // map-side-combined contribution agg, the 100 TB round shape).
-    // graph_pagerank_nnd rides nndScales: the composed 100 TB arm of
+    // graph_pagerank_nnd rides nndBuildScales: the composed 100 TB arm of
     // kNN-graph centrality — knn_graph_nnd's LINEAR edge build over a
     // node set that DOES grow ×factor (embeddings replicate with
     // fresh ids) + the same 10 rounds; its fit should sit near its
