@@ -19,6 +19,12 @@ object ProbeCalib {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CALIB_ANALYZE=1 reproduces the LATE-session condition
+    // (catalog registered+ANALYZEd, Tables.load dispatching through
+    // spark.table) so the probe's catalog-contention sensitivity is
+    // directly measurable against the plain-path condition.
+    if (sys.env.get("SPARK_GRAFT_CALIB_ANALYZE").contains("1"))
+      sources.CatalogStats.registerAndAnalyze(spark, sfDir)
     Bench.probes(sfDir).foreach { case (_, _, run) => run(spark) }
     // First pass is warm-up (discarded — Bench discards it too); the
     // median of the rest is the steady-state anchor.

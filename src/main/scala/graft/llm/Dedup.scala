@@ -412,22 +412,29 @@ object Dedup {
   // these: only the genuinely engine-divergent sketches (HLL, CMS, GK,
   // PQ codebooks).
 
-  /** Verdict-family MinHash signature length (4 bands × 4 rows).
-    * P(candidate | j=0.95) = 1−(1−0.95⁴)⁴ ≈ 0.9988 — recall far above
-    * the production arm's gate, at an oracle-expressible k. */
-  val VerdictMinHashK = 16
+  /** Verdict-family MinHash geometry: 4 bands × 12 rows (k = 48) — the
+    * production 60/5×12 shape, one band narrower. P(candidate | j) =
+    * 1−(1−j¹²)⁴: 0.955 at the 0.95 threshold, 0.25 at 0.8, 0.03 at
+    * 0.7. The first r16 cut used k=16 at 4×4 rows, whose
+    * P(candidate | 0.8) ≈ 0.88 admitted nearly every pair on this
+    * high-baseline-Jaccard corpus (FIXTURES.md: random pairs sit at
+    * 0.5–0.8) — the row cost 52 s at sf0.1, pricing an accidental
+    * all-pairs join, not the banding mechanism. 12-row bands restore
+    * the bulk pruning the production sweep table documents. */
+  val VerdictMinHashK = 48
   val VerdictLshBands = 4
 
   /**
    * Banded MinHash-LSH near-dup pairs with an md5-derived hash family:
    * sig_i(doc) = MIN over tokens of md5('i:' || tok) (hex STRINGS —
    * lowercase-hex ASCII min orders identically in both engines), band
-   * key = md5 of the concatenated 4-signature slice, candidates = pairs
+   * key = md5 of the concatenated 12-signature slice, candidates = pairs
    * sharing any band key (exactly the [[minhashLsh]] mechanism), then
-   * EXACT token-set Jaccard ≥ `thresh` verification spelled as the
-   * dedup_near oracle does it (inter/union counts over string tokens —
-   * one IEEE division, bit-stable across engines). Output:
-   * (doc_a, doc_b, jaccard 4dp), the minhash_lsh output shape.
+   * EXACT token-set Jaccard ≥ `thresh` verification — the Spark side
+   * runs the sorted-hash merge kernel, the oracle spells inter/union
+   * counts over string tokens; both reduce to one IEEE division with
+   * identical integer operands (the dedup_near-proven equivalence).
+   * Output: (doc_a, doc_b, jaccard 4dp), the minhash_lsh output shape.
    */
   def minhashLshVerdict(docs: DataFrame, thresh: Double): DataFrame = {
     val k = VerdictMinHashK; val bands = VerdictLshBands; val rows = k / bands
@@ -448,16 +455,16 @@ object Dedup {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
     }.reduce(_ union _).distinct()
-    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(Q.maybeBroadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), Seq("doc_a"))
-      .join(Q.maybeBroadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // Exact verification rides the codegen'd sorted-xxhash64 merge scan
+    // (the dedup_near pattern, oracle-proven: identical token-set
+    // cardinalities ⇒ identical jaccard VALUE as the oracle's
+    // string-token spelling — one IEEE division with the same integer
+    // operands on both engines).
+    val tokArr = Q.ownPersist(tokenArrays(docs)).df
+    cand
+      .join(Q.maybeBroadcast(tokArr.select(col("doc_id").as("doc_a"), col("toks").as("ta"))), Seq("doc_a"))
+      .join(Q.maybeBroadcast(tokArr.select(col("doc_id").as("doc_b"), col("toks").as("tb"))), Seq("doc_b"))
+      .withColumn("jaccard", graft.plans.VectorExprs.jaccardSorted(col("ta"), col("tb")))
       .filter(col("jaccard") >= thresh)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
