@@ -840,6 +840,61 @@ object Similarity {
     * — the trained arm does the same argmin inside the
     * NearestCentroidF32 codegen kernel); the scale path remains
     * [[annIvf]]. */
+  /** Hyperplane-LSH banding with an ORACLE-EXACT integer spelling
+    * (r16 — the minhash/simhash verdict recipe applied to the vector
+    * side): embeddings quantize to integer codes c_i =
+    * floor(double(x_i)·1000) (floor of one deterministic IEEE multiply
+    * — no round-half semantics to reconcile between engines), the 16
+    * hyperplanes are ±1 vectors derived from md5('j:i')'s first nibble
+    * (top bit set → +1), a vector's signature bit j is the SIGN of the
+    * integer dot Σ_i c_i·h_ji, the bits pack into two 8-bit band keys,
+    * and candidates are pairs sharing either key — exactly the
+    * [[hyperplanePairs]] banding mechanism, every step
+    * integer-deterministic in both engines. Output: each candidate
+    * pair with its integer quantized dot product (vec_a, vec_b, qdot).
+    *
+    * Verify-scale arm by declared design; the scale path remains the
+    * HOF/codegen [[hyperplanePairs]] (embed_lshpairs), which keeps its
+    * recall property gate. Scale shape is still sound though: the
+    * 16×64 hyperplane frame is a broadcast, codes/sums are keyed
+    * shuffles on vec_id, the band self-joins are equi-joins. */
+  def embedLshVerdict(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    val codes = Q.ownPersist(emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("c"))).df
+    val a = ascii(substring(md5(concat(col("j").cast("string"), lit(":"),
+      col("i").cast("string"))), 1, 1))
+    val dig = when(a >= 97, a - 87).otherwise(a - 48)
+    val hyper = s.range(16).select(col("id").as("j"))
+      .crossJoin(s.range(64).select(col("id").as("i")))
+      .select(col("j"), col("i"),
+        when(dig >= 8, lit(1L)).otherwise(lit(-1L)).as("h"))
+    val sumCols = (0 until 16).map(j =>
+      sum(when(col("j") === j, col("c") * col("h")).otherwise(0L)).as(s"s$j"))
+    val sums = codes.join(broadcast(hyper), Seq("i"))
+      .groupBy(col("vec_id")).agg(sumCols.head, sumCols.tail: _*)
+    val bk = Q.ownPersist(sums.select(col("vec_id"),
+      (0 until 8).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("k0"),
+      (8 until 16).map(j => when(col(s"s$j") > 0, lit(1L << (j - 8))).otherwise(lit(0L)))
+        .reduce(_ + _).as("k1"))).df
+    val cand = Seq("k0", "k1").map { kc =>
+      bk.select(col("vec_id").as("vec_a"), col(kc).as("bkey"))
+        .join(Q.maybeBroadcast(
+          bk.select(col("vec_id").as("vec_b"), col(kc).as("bkey"))), Seq("bkey"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+    }.reduce(_ union _).distinct()
+    cand
+      .join(codes.select(col("vec_id").as("vec_a"), col("i"), col("c").as("ca")), Seq("vec_a"))
+      .join(codes.select(col("vec_id").as("vec_b"), col("i"), col("c").as("cb")), Seq("vec_b", "i"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum(col("ca") * col("cb")).as("qdot"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   def annIvfFixedPivots(emb: DataFrame, k: Int): DataFrame = {
     val pivots = emb
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
@@ -1687,6 +1742,12 @@ object Similarity {
     "ann_ivf_verdict" -> ((s, d) =>
       annIvfFixedPivots(Tables.embeddings(s, d), 5)),
 
+    // r16: the hyperplane-banding mechanism hash-checked end-to-end
+    // over integer-quantized codes and md5-derived ±1 hyperplanes; the
+    // HOF/codegen embed_lshpairs keeps its recall gate.
+    "embed_lshpairs_verdict" -> ((s, d) =>
+      embedLshVerdict(Tables.embeddings(s, d))),
+
     "knn_graph" -> ((s, d) =>
       knnGraph(Tables.embeddings(s, d), 3)),
 
@@ -1782,7 +1843,44 @@ object Similarity {
       |      ORDER BY cos_sim DESC, dst) AS BIGINT) AS rn
       |   FROM p)""".stripMargin
 
+  /** Generated DuckDB oracle for [[embedLshVerdict]] — the identical
+    * integer pipeline: floor-quantized codes, md5-nibble hyperplane
+    * signs, 16 conditional-sum signature bits, two 8-bit packed band
+    * keys, band self-join union, integer dot payload. */
+  private def embedLshVerdictOracle: String = {
+    val sums = (0 until 16).map(j =>
+      s"SUM(CASE WHEN h.j = $j THEN c.c * h.h ELSE 0 END) AS s$j")
+      .mkString(", ")
+    val k0 = (0 until 8).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val k1 = (8 until 16).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << (j - 8)} ELSE 0 END)").mkString(" + ")
+    val dig = "(CASE WHEN ASCII(SUBSTR(MD5(j.range || ':' || i.range), 1, 1)) >= 97 " +
+      "THEN ASCII(SUBSTR(MD5(j.range || ':' || i.range), 1, 1)) - 87 " +
+      "ELSE ASCII(SUBSTR(MD5(j.range || ':' || i.range), 1, 1)) - 48 END)"
+    s"""WITH c AS (SELECT vec_id, r.range AS i,
+       |        CAST(FLOOR(CAST(embedding[r.range + 1] AS DOUBLE) * 1000) AS BIGINT) AS c
+       |      FROM embeddings, range(0, 64) r),
+       | h AS (SELECT j.range AS j, i.range AS i,
+       |        CASE WHEN $dig >= 8 THEN 1 ELSE -1 END AS h
+       |       FROM range(0, 16) j, range(0, 64) i),
+       | s AS (SELECT c.vec_id, $sums FROM c JOIN h ON h.i = c.i GROUP BY c.vec_id),
+       | bk AS (SELECT vec_id, $k0 AS k0, $k1 AS k1 FROM s),
+       | cand AS (SELECT DISTINCT vec_a, vec_b FROM (
+       |     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |     FROM bk a JOIN bk b ON a.k0 = b.k0 AND a.vec_id < b.vec_id
+       |     UNION ALL
+       |     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |     FROM bk a JOIN bk b ON a.k1 = b.k1 AND a.vec_id < b.vec_id))
+       |SELECT cand.vec_a, cand.vec_b, CAST(SUM(ca.c * cb.c) AS BIGINT) AS qdot
+       |FROM cand JOIN c ca ON ca.vec_id = cand.vec_a
+       |JOIN c cb ON cb.vec_id = cand.vec_b AND cb.i = ca.i
+       |GROUP BY 1, 2
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "embed_lshpairs_verdict" -> embedLshVerdictOracle,
     // All-pairs rounded cosine + per-src top-k — the shared spelling of
     // embCte generalized from the 10-probe frame to every vector.
     "knn_graph" ->

@@ -155,6 +155,40 @@ class LlmSpec extends SparkSpec {
     assert(lit((1L, 2L)) === 0L, "identical docs not at hamming 0")
   }
 
+  test("embed_lshpairs_verdict: banded candidates exact vs a driver-side fold over the integer band keys (sf0.001)") {
+    // Independent reimplementation of the whole integer pipeline
+    // (floor-quantize, md5-nibble hyperplane signs, sign bits, packed
+    // 8-bit keys) — the banded join must emit EXACTLY the pairs the
+    // fold admits; qdot values are pinned by the DuckDB oracle.
+    val out = Similarity.queries("embed_lshpairs_verdict")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = Array.tabulate(16, 64) { (j, i) =>
+      val c = md5hex(s"$j:$i").charAt(0)
+      val d = if (c >= 'a') c - 'a' + 10 else c - '0'
+      if (d >= 8) 1L else -1L
+    }
+    def keys(v: Array[Float]): (Long, Long) = {
+      val c = v.map(x => math.floor(x.toDouble * 1000).toLong)
+      val bits = (0 until 16).map(j =>
+        (0 until 64).map(i => c(i) * h(j)(i)).sum > 0)
+      ((0 until 8).map(j => if (bits(j)) 1L << j else 0L).sum,
+        (8 until 16).map(j => if (bits(j)) 1L << (j - 8) else 0L).sum)
+    }
+    val ks = vecs.map { case (id, v) => id -> keys(v) }
+    val brute = (for {
+      a <- ks.keys; b <- ks.keys if a < b
+      if ks(a)._1 == ks(b)._1 || ks(a)._2 == ks(b)._2
+    } yield (a, b)).toSet
+    assert(out === brute,
+      s"banded ${out.size} pairs != driver fold ${brute.size} pairs")
+    assert(out.nonEmpty, "no candidates — banding vacuous on this corpus")
+  }
+
   test("embed_lshpairs: hyperplane LSH recovers planted vector near-dups (recall >= 0.9) and prunes the pair space (sf0.001)") {
     val s = spark
     import s.implicits._

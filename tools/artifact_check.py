@@ -614,7 +614,8 @@ if ball is not None:
                    "text_search_bm25", "graph_pagerank_copurchase",
                    "graph_ppr_weighted", "graph_bfs_seeds",
                    "ann_ivf_verdict",
-                   "minhash_lsh_verdict", "simhash_pairs_verdict"):
+                   "minhash_lsh_verdict", "simhash_pairs_verdict",
+                   "embed_lshpairs_verdict"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
@@ -631,6 +632,13 @@ if ball is not None:
     # r11 memory documented (same-HEAD raw totals swung 275→368 s).
     # Raising this number requires a sentence in SURVEY justifying
     # what was added — that is the point of the gate.
+    # r16 deliberate re-budget 500 → 575: the registry grew 169 → 179
+    # rows since the 500 s number was set (r13–r16 added the graph
+    # family's composed arms and six verdict rows, each individually
+    # priced in bench_all), and the r16 idle raw totals read 476–500 s
+    # — the old envelope's headroom was gone on registry GROWTH, not
+    # row regression. 575 ≈ the r16 idle sweep + ~15% window headroom;
+    # justification sentence mirrored in SURVEY round 16.
     bt, bhf = ball.get("value"), ball.get("host_factor")
     if bt is None or bhf is None:
         failures.append(
@@ -638,10 +646,10 @@ if ball is not None:
             "envelope gate (VERDICT r11 #5) needs them")
     else:
         beff = bt / bhf if bhf > 1.0 else bt
-        if beff > 500.0:
+        if beff > 575.0:
             failures.append(
                 f"bench_all.json: effective total {beff:.0f}s (raw "
-                f"{bt:.0f}s at host_factor {bhf:.2f}) breaches the 500 s "
+                f"{bt:.0f}s at host_factor {bhf:.2f}) breaches the 575 s "
                 f"envelope (VERDICT r11 #5) — a row regressed or the "
                 f"registry outgrew the budget; re-budget deliberately")
 
