@@ -47,7 +47,11 @@ class CacheHygieneSpec extends SparkSpec {
         "text_search_bm25", "graph_pagerank_copurchase",
         // r15 rows — all three persist shared subtrees via ownPersist
         // (pair fan / pivot-distance ranking)
-        "graph_ppr_weighted", "graph_bfs_seeds", "ann_ivf_verdict")
+        "graph_ppr_weighted", "graph_bfs_seeds", "ann_ivf_verdict",
+        // r16 verdict arms — token/sketch/code frames shared across the
+        // band joins and the verification join, all via ownPersist
+        "minhash_lsh_verdict", "simhash_pairs_verdict",
+        "embed_lshpairs_verdict")
       for (_ <- 1 to 2; q <- fams)
         SparkEntry.queries(q)(spark, sf0001).collect()
       val bad = appender.messages.filter(_.contains("already cached"))
