@@ -178,13 +178,26 @@ object Bench {
       case ("probe_agg_q1", _, run) => run }.get
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val t0 = System.nanoTime()
+    var failed = true
     try {
       val futs = (1 to threads).map(_ => pool.submit(
         new java.util.concurrent.Callable[Long] {
           def call(): Long = body(spark)
         }))
       futs.foreach(_.get())
-    } finally pool.shutdown()
+      failed = false
+    } finally {
+      // ADVICE r16: on the failure path (one probe future threw while
+      // others are still queued/running) a plain shutdown() would let
+      // the survivors keep executing Spark jobs UNDER the next timed
+      // section (ANALYZE / the measured queries), polluting it. Cancel
+      // and wait them out before the exception propagates; the happy
+      // path is unaffected (all futures already completed).
+      if (failed) {
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      } else pool.shutdown()
+    }
     (System.nanoTime() - t0) / 1e9
   }
 

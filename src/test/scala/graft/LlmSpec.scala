@@ -102,9 +102,15 @@ class LlmSpec extends SparkSpec {
   test("minhash_lsh_verdict: exact-verified subset, identical docs guaranteed candidates, recall vs exact pairs (sf0.001 + literal)") {
     val s = spark
     import s.implicits._
-    // Exact verification step ⇒ output ⊆ exact j ≥ 0.95 pairs; the
-    // k=16 family's banding recall at j=0.95 is 1−(1−0.95⁴)⁴ ≈ 0.9988,
-    // so near-all exact pairs must surface.
+    // Exact verification step ⇒ output ⊆ exact j ≥ 0.95 pairs. Banding
+    // recall for the SHIPPED 4×12 geometry (k=48 — ADVICE r16 corrected
+    // this comment from the abandoned k=16 math) is 1−(1−j¹²)⁴ ≈ 0.955
+    // at exactly j=0.95, rising steeply above it (0.9997 at j=0.99,
+    // 1.0 at j=1); the sf0.001 exact-pair set is dominated by the
+    // generator's planted exact duplicates (j=1 ⇒ all four band keys
+    // equal ⇒ guaranteed candidates), so the 0.9 bound keeps margin —
+    // it would take ≥ 10% of pairs sitting at the j≈0.95 borderline
+    // AND losing their 0.955 coin for the gate to flap.
     val out = Dedup.queries("minhash_lsh_verdict")(spark, sf0001)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

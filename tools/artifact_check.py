@@ -524,6 +524,18 @@ if bench is not None:
         failures.append(
             "bench.json: probe_parallel absent — host_factor predates the "
             "r16 saturating-probe definition; re-run Bench at HEAD")
+    # ADVICE r16 (medium): the parallel-probe anchors were calibrated at
+    # 32 threads (ProbeCalib, local[32]); a Bench run at any other
+    # SPARK_GRAFT_CPUS silently produces a miscalibrated host_factor —
+    # and with it a bogus total_normalized, the cross-round comparison
+    # currency. Pin the anchor condition in the canonical artifact.
+    ppt = bench.get("probe_parallel_threads")
+    if "probe_parallel" in bench and ppt != 32:
+        failures.append(
+            f"bench.json: probe_parallel_threads={ppt} but the parallel "
+            f"anchors are calibrated at 32 (ProbeCalib) — host_factor/"
+            f"total_normalized are miscalibrated; re-run with "
+            f"SPARK_GRAFT_CPUS=32 (ADVICE r16)")
     hhf_agree = bench.get("heavy_host_factor")
     if hf is not None and hhf_agree is not None and hhf_agree > 0 and hf > 0:
         ratio = max(hf, hhf_agree) / min(hf, hhf_agree)
