@@ -825,21 +825,6 @@ object Similarity {
       .orderBy(col("src"), col("rn"))
   }
 
-  /** Deterministic fixed-pivot arm of [[annIvf]] (r15 — VERDICT r14
-    * #5): the knn_graph_blocked_verdict precedent applied to the IVF
-    * RETRIEVAL path. Pivots are the [[FixedPivotNlist]] smallest
-    * md5(vec_id) vectors (a deterministic spread, no k-means); every
-    * corpus vector is assigned to its nearest pivot's cell (full L2
-    * over double-cast values); the ten probes (vec_id < 10) scan their
-    * [[FixedPivotNprobe]] nearest cells and rerank EXACTLY (rounded
-    * cosine, ties by vec_id) — so the bucket-prune + rerank MECHANISM
-    * of IVF itself gets a hash-matched DuckDB oracle, while the
-    * k-means-trained [[annIvf]] keeps its recall property gate (its
-    * clustering buys recall, not correctness). Verify-scale arm by
-    * design (the n×nlist probe-choice frame is a broadcast cross join
-    * — the trained arm does the same argmin inside the
-    * NearestCentroidF32 codegen kernel); the scale path remains
-    * [[annIvf]]. */
   /** Hyperplane-LSH banding with an ORACLE-EXACT integer spelling
     * (r16 — the minhash/simhash verdict recipe applied to the vector
     * side): embeddings quantize to integer codes c_i =
@@ -895,6 +880,101 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Verdict-PQ geometry (r17 — VERDICT r16 #3): 8 subspaces × 8 dims
+    * over the 64-dim embeddings, 8 fixed centroids per subspace. Small
+    * by design — the arm proves the encode+ADC MECHANISM, not trained
+    * recall; [[productQuantize]]/[[annPq]] keep the 128-centroid
+    * k-means geometry and their property/recall gates. */
+  val VerdictPqM = 8
+  val VerdictPqSub = 8
+  val VerdictPqK = 8
+
+  /**
+   * Oracle-checkable fixed-codebook PQ (r17 — VERDICT r16 #3, the
+   * verdict recipe applied to the last unproven ANN mechanism): the
+   * k-means training of [[annPq]] is engine-divergent, but with FIXED
+   * codebooks the encode (per-subspace argmin) and ADC scoring
+   * (per-probe lookup-table sums over codes) are pure integer pipelines
+   * both engines spell identically. Codebook = the [[VerdictPqK]]
+   * corpus vectors with smallest md5(vec_id) (the annIvfFixedPivots
+   * spelling), sliced per subspace; all float data first
+   * floor-quantizes to integer codes c_i = floor(double(x_i)·1000)
+   * (the embedLshVerdict quantization — one deterministic IEEE
+   * multiply, no round-half semantics). Encode: code_j(y) = argmin
+   * over centroids of the integer L2 distance on subspace j, ties to
+   * the lowest centroid rank. ADC: probe (vec_id < 10) precomputes the
+   * integer dot of its subspace-j slice against every centroid —
+   * exactly [[annPq]]'s LUT — and a corpus vector's score is the sum
+   * of 8 table lookups selected by its codes. Output per probe: top-k
+   * corpus vectors by ADC score (ties by vec_id), with the integer
+   * score — (probe_id, vec_id, adc, rn).
+   *
+   * Verify-scale arm by declared design; the scale path remains
+   * [[annPq]]'s codegen LUT kernel. The shape is still scale-sound:
+   * the quantized-dim frame is a keyed shuffle on vec_id, the centroid
+   * frame is a 64-row broadcast (8 pivots × 8 subspaces of 8 dims =
+   * 512 dim-rows), encode is one hash agg over n·[[VerdictPqK]]·64
+   * rows, and the ADC join probes the 640-row broadcast LUT.
+   */
+  def annPqVerdict(emb: DataFrame, k: Int): DataFrame = {
+    val m = VerdictPqM; val sub = VerdictPqSub
+    // (vec_id, i, c): per-dim integer quantization (embedLshVerdict's).
+    val qc = Q.ownPersist(emb
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        floor(col("col").cast("double") * 1000).cast("long").as("c"))).df
+    val pivOrder = Window.orderBy(md5(col("pid").cast("string")), col("pid"))
+    // 1-based centroid rank r over the md5-smallest pivots; the single-
+    // partition window runs over VerdictPqK rows post-limit (bounded).
+    val piv = emb.select(col("vec_id").as("pid"))
+      .orderBy(md5(col("pid").cast("string")), col("pid")).limit(VerdictPqK)
+      .withColumn("r", row_number().over(pivOrder))
+    val cent = broadcast(piv
+      .join(qc.select(col("vec_id").as("pid"), col("i"), col("c").as("cc")),
+        Seq("pid"))
+      .select(col("r"), col("i"), col("cc")))
+    // Encode: integer L2 per (vector, subspace, centroid), argmin with
+    // ties to the lowest rank via the lexicographic struct-min (equals
+    // the oracle's ROW_NUMBER ... ORDER BY dist, r pick).
+    val enc = qc.join(cent, Seq("i"))
+      .groupBy(col("vec_id"), expr(s"i div $sub").as("j"), col("r"))
+      .agg(sum((col("c") - col("cc")) * (col("c") - col("cc"))).as("dist"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("dist"), col("r"))).as("mn"))
+      .select(col("vec_id"), col("j"), col("mn.r").as("code"))
+    // Probe LUTs: integer dot of each probe's subspace slice against
+    // every centroid — m·VerdictPqK rows per probe, broadcast.
+    val lut = broadcast(qc.filter(col("vec_id") < 10).join(cent, Seq("i"))
+      .groupBy(col("vec_id"), expr(s"i div $sub").as("j"), col("r"))
+      .agg(sum(col("c") * col("cc")).as("d"))
+      .select(col("vec_id").as("probe_id"), col("j"), col("r").as("code"),
+        col("d")))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    enc.join(lut, Seq("j", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
+  /** Deterministic fixed-pivot arm of [[annIvf]] (r15 — VERDICT r14
+    * #5): the knn_graph_blocked_verdict precedent applied to the IVF
+    * RETRIEVAL path. Pivots are the [[FixedPivotNlist]] smallest
+    * md5(vec_id) vectors (a deterministic spread, no k-means); every
+    * corpus vector is assigned to its nearest pivot's cell (full L2
+    * over double-cast values); the ten probes (vec_id < 10) scan their
+    * [[FixedPivotNprobe]] nearest cells and rerank EXACTLY (rounded
+    * cosine, ties by vec_id) — so the bucket-prune + rerank MECHANISM
+    * of IVF itself gets a hash-matched DuckDB oracle, while the
+    * k-means-trained [[annIvf]] keeps its recall property gate (its
+    * clustering buys recall, not correctness). Verify-scale arm by
+    * design (the n×nlist probe-choice frame is a broadcast cross join
+    * — the trained arm does the same argmin inside the
+    * NearestCentroidF32 codegen kernel); the scale path remains
+    * [[annIvf]]. */
   def annIvfFixedPivots(emb: DataFrame, k: Int): DataFrame = {
     val pivots = emb
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
@@ -1742,6 +1822,13 @@ object Similarity {
     "ann_ivf_verdict" -> ((s, d) =>
       annIvfFixedPivots(Tables.embeddings(s, d), 5)),
 
+    // r17 (VERDICT r16 #3): fixed-codebook PQ — the encode+ADC
+    // mechanism hash-checked end-to-end over integer-quantized codes
+    // and md5-smallest pivots; the k-means-trained embed_pq/ann_pq
+    // keep their property/recall gates.
+    "ann_pq_verdict" -> ((s, d) =>
+      annPqVerdict(Tables.embeddings(s, d), 5)),
+
     // r16: the hyperplane-banding mechanism hash-checked end-to-end
     // over integer-quantized codes and md5-derived ±1 hyperplanes; the
     // HOF/codegen embed_lshpairs keeps its recall gate.
@@ -1879,8 +1966,46 @@ object Similarity {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** Generated DuckDB oracle for [[annPqVerdict]] — geometry constants
+    * interpolated from the same vals the Spark plan reads (ADVICE r9);
+    * the quantized-dim CTE is the embedLshVerdictOracle spelling, the
+    * pivot CTE the annIvfFixedPivots spelling, and the encode argmin is
+    * ROW_NUMBER ... ORDER BY dist, r — exactly the lexicographic
+    * struct-min the Spark side computes. */
+  private def annPqVerdictOracle(k: Int): String =
+    s"""WITH q AS (SELECT vec_id, r.range AS i,
+       |        CAST(FLOOR(CAST(embedding[r.range + 1] AS DOUBLE) * 1000) AS BIGINT) AS c
+       |      FROM embeddings, range(0, ${VerdictPqM * VerdictPqSub}) r),
+       | piv AS (SELECT vec_id AS pid,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS r
+       |   FROM embeddings
+       |   ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $VerdictPqK),
+       | cent AS (SELECT p.r, q.i, q.c AS cc FROM piv p
+       |          JOIN q ON q.vec_id = p.pid),
+       | d AS (SELECT v.vec_id, v.i // $VerdictPqSub AS j, c.r,
+       |    CAST(SUM((v.c - c.cc) * (v.c - c.cc)) AS BIGINT) AS dist
+       |   FROM q v JOIN cent c ON c.i = v.i GROUP BY 1, 2, 3),
+       | code AS (SELECT vec_id, j, r AS code FROM d
+       |   QUALIFY ROW_NUMBER() OVER (
+       |     PARTITION BY vec_id, j ORDER BY dist, r) = 1),
+       | lut AS (SELECT v.vec_id AS probe_id, v.i // $VerdictPqSub AS j,
+       |    c.r AS code, CAST(SUM(v.c * c.cc) AS BIGINT) AS d
+       |   FROM q v JOIN cent c ON c.i = v.i
+       |   WHERE v.vec_id < 10 GROUP BY 1, 2, 3),
+       | adc AS (SELECT l.probe_id, co.vec_id,
+       |    CAST(SUM(l.d) AS BIGINT) AS adc
+       |   FROM code co JOIN lut l ON l.j = co.j AND l.code = co.code
+       |   WHERE co.vec_id <> l.probe_id GROUP BY 1, 2),
+       | r AS (SELECT probe_id, vec_id, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY adc DESC, vec_id) AS BIGINT) AS rn FROM adc)
+       |SELECT probe_id, vec_id, adc, rn FROM r
+       |WHERE rn <= $k ORDER BY probe_id, rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "embed_lshpairs_verdict" -> embedLshVerdictOracle,
+    "ann_pq_verdict" -> annPqVerdictOracle(5),
     // All-pairs rounded cosine + per-src top-k — the shared spelling of
     // embCte generalized from the 10-probe frame to every vector.
     "knn_graph" ->

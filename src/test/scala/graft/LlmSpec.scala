@@ -328,6 +328,61 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("text_cms_topk_verdict: one-sided estimates, w=512 grid load makes collisions visible (sf0.001)") {
+    val out = llm.TextOps.queries("text_cms_topk_verdict")(spark, sf0001)
+      .collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_est"))
+      // the CMS invariant the mechanism must preserve regardless of
+      // hash family: min-over-rows never under-counts
+      assert(est >= exact, s"verdict CMS under-counted ${r.getString(0)}")
+    }
+    // the probe set must be the exact top-20 (same bounded frame the
+    // production row probes) — compare against the wordcount truth
+    val truth = llm.TextOps.queries("text_wordcount")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getString(0)).toSet === truth.keySet)
+    out.foreach(r => assert(r.getAs[Long]("n_exact") === truth(r.getString(0))))
+  }
+
+  test("ann_pq_verdict: duplicate vectors share codes and ADC scores; output structurally sound (sf0.001)") {
+    val s = spark
+    import s.implicits._
+    val out = Similarity.queries("ann_pq_verdict")(spark, sf0001).collect()
+    // 10 probes × top-5, rn dense per probe, self excluded
+    assert(out.length === 50)
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === (0L until 10L).toSet)
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq === (1L to 5L),
+        s"probe $p rn not dense")
+      assert(rows.forall(_.getAs[Long]("vec_id") != p), s"probe $p self-match")
+      // scores non-increasing in rank (the ADC ordering the oracle pins)
+      val byRn = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("adc"))
+      assert(byRn.zip(byRn.tail).forall { case (a, b) => a >= b })
+    }
+    // Encode determinism on a literal frame: a duplicated vector gets
+    // identical per-subspace codes, so any probe scores both copies
+    // identically and they rank adjacently (tie broken by vec_id).
+    val v = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val w = Array.tabulate(64)(i => (math.cos(i + 1) * 0.5).toFloat)
+    val emb = (Seq((0L, w)) ++ (1L to 8L).map(i =>
+      (i, Array.tabulate(64)(j => ((j * 31 + i * 17) % 97 / 97.0f - 0.5f)))) ++
+      Seq((20L, v), (21L, v))).toDF("vec_id", "embedding")
+    val dup = Similarity.annPqVerdict(emb, 11).collect()
+      .filter(r => Set(20L, 21L)(r.getAs[Long]("vec_id")))
+      .groupBy(_.getAs[Long]("probe_id"))
+    dup.foreach { case (p, rows) =>
+      if (p != 20L && p != 21L && rows.length == 2) {
+        assert(rows(0).getAs[Long]("adc") === rows(1).getAs[Long]("adc"),
+          s"probe $p scored duplicate vectors differently")
+        val rns = rows.map(_.getAs[Long]("rn")).sorted
+        assert(rns(1) === rns(0) + 1, s"probe $p duplicates not adjacent")
+      }
+    }
+  }
+
   test("hyperplane band width: auto sizes from row stats, clamps to [12, 24], conf pin overrides") {
     val s = spark
     import s.implicits._
