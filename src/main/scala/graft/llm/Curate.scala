@@ -223,9 +223,15 @@ object Curate {
     * 230/256 ≈ 0.9 train, 0.1 holdout). */
   private val HoldoutShare = 0.1
 
-  private def splitExpr =
-    when(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 2) < "e6",
+  /** Salted-md5 train/holdout split over an arbitrary id column — the
+    * documents split keys on doc_id; the semantic arm applies the SAME
+    * rule to embeddings.vec_id (≡ doc_id), so both decontamination
+    * modalities audit one consistent split. */
+  private def splitExprOn(id: org.apache.spark.sql.Column) =
+    when(substring(md5(concat(id.cast("string"), lit(":split"))), 1, 2) < "e6",
       "train").otherwise("holdout")
+
+  private def splitExpr = splitExprOn(col("doc_id"))
 
   /** (doc_id, split, gram) — every GramN-token shingle of every doc.
     * sequence(0, size-n) is ascending only when size >= n — guard first
@@ -379,6 +385,81 @@ object Curate {
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Conf for [[decontaminateSemantic]]'s candidate source: `exact`
+    * (all train×holdout pairs — the oracle arm) or `cluster` (k-means
+    * cell blocking via [[Similarity.semanticPairs]] — the scale arm,
+    * recall-gated like dedup_semantic). */
+  val SemanticDecontStrategyKey = "spark.graft.decontaminate.semantic.strategy"
+
+  /**
+   * Embedding-side (semantic) eval decontamination (r17 — VERDICT r16
+   * #4): [[decontaminate]]'s shared-shingle probe catches literal
+   * n-gram leakage, but PARAPHRASED eval contamination — the case
+   * modern pipelines actually audit for — shares no shingles. This arm
+   * replays the SAME salted-md5 split over the embeddings (vec_id ≡
+   * doc_id, so the "benchmark" is the identical holdout set) and flags
+   * every train doc whose embedding reaches rounded cosine ≥
+   * [[Similarity.NeardupCos]] against any holdout doc. Output — the
+   * quarantine list an operator hands back to the eval owners — is one
+   * row per flagged train doc: its best-matching eval doc (argmax,
+   * ties to the lowest eval id) and that max similarity.
+   *
+   * Arms ([[SemanticDecontStrategyKey]]): `exact` compares every
+   * train×holdout pair (the holdout side rides the conf-gated
+   * broadcast — eval benchmarks are small by construction; at verify
+   * sf this is the hash-matched DuckDB oracle arm); `cluster` draws
+   * candidates from [[Similarity.semanticPairs]]' k-means cell
+   * blocking — within-cell verified pairs, cross-split ones kept —
+   * the SemDeDup-shaped scale path whose planted-pair recall LlmSpec
+   * gates. Both arms share the argmax/report tail, so a conf swap
+   * changes candidate generation only (the pipeline_curate precedent).
+   */
+  def decontaminateSemantic(emb: DataFrame): DataFrame = {
+    val tau = Similarity.NeardupCos
+    val exactArm = emb.sparkSession.conf
+      .getOption(SemanticDecontStrategyKey).getOrElse("exact") match {
+        case "exact" => true
+        case "cluster" => false
+        case other => throw new IllegalArgumentException(
+          s"$SemanticDecontStrategyKey must be exact|cluster, got '$other'")
+      }
+    val pairs =
+      if (exactArm) {
+        val sides = emb.select(col("vec_id"),
+          splitExprOn(col("vec_id")).as("split"), col("embedding"),
+          Similarity.sumSq(col("embedding")).as("sq"))
+        val t = sides.filter(col("split") === "train")
+          .select(col("vec_id").as("doc_id"),
+            col("embedding").as("ea"), col("sq").as("sqa"))
+        val h = sides.filter(col("split") === "holdout")
+          .select(col("vec_id").as("eval_doc"),
+            col("embedding").as("eb"), col("sq").as("sqb"))
+        t.crossJoin(Q.maybeBroadcast(h))
+          .select(col("doc_id"), col("eval_doc"),
+            Similarity.cos4Pre(Similarity.dotFast(col("ea"), col("eb")),
+              col("sqa"), col("sqb")).as("cos_sim"))
+          .filter(col("cos_sim") >= tau)
+      } else {
+        // cross-split pairs out of the cell-blocked verified pair frame,
+        // oriented train → holdout (pairs arrive vec_a < vec_b).
+        val sp = Similarity.semanticPairs(emb, tau)
+          .withColumn("sa", splitExprOn(col("vec_a")))
+          .withColumn("sb", splitExprOn(col("vec_b")))
+        sp.filter(col("sa") === "train" && col("sb") === "holdout")
+          .select(col("vec_a").as("doc_id"), col("vec_b").as("eval_doc"),
+            col("cos_sim"))
+          .union(sp.filter(col("sa") === "holdout" && col("sb") === "train")
+            .select(col("vec_b").as("doc_id"), col("vec_a").as("eval_doc"),
+              col("cos_sim")))
+      }
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cos_sim").desc, col("eval_doc"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_doc"), col("cos_sim").as("max_cos"))
       .orderBy(col("doc_id"))
   }
 
@@ -678,6 +759,12 @@ object Curate {
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
     "pipeline_chunkdedup" -> ((s, d) => chunkDedupStats(Tables.documents(s, d))),
     "pipeline_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+
+    // r17 (VERDICT r16 #4): the embedding-side decontamination arm —
+    // paraphrase-leakage audit the n-gram probe above cannot catch;
+    // exact arm oracle-checked, cluster arm recall-gated in LlmSpec.
+    "decontaminate_semantic" -> ((s, d) =>
+      decontaminateSemantic(Tables.embeddings(s, d))),
     "pipeline_decont_bloom" -> ((s, d) => {
       // The Bloom arm under the SAME oracle as the exact arm — safe
       // because parity is DETERMINISTIC, not probabilistic: the Bloom
@@ -722,7 +809,34 @@ object Curate {
         |FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id
         |WHERE d.split = 'train' ORDER BY d.doc_id""".stripMargin
 
+  /** DuckDB oracle for [[decontaminateSemantic]]'s exact arm: the
+    * DecontOracleSql split spelling over vec_id, the verify-proven
+    * rounded-cosine spelling (LIST_SUM left-folds like Spark's
+    * aggregate), threshold interpolated from the same
+    * [[Similarity.NeardupCos]] the plan reads. */
+  private lazy val SemanticDecontOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+       |    CASE WHEN SUBSTR(MD5(CAST(vec_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+       |         THEN 'train' ELSE 'holdout' END AS split
+       |  FROM embeddings),
+       | n AS (SELECT vec_id, emb, split,
+       |    LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> emb[i] * emb[i])) AS sq
+       |   FROM e),
+       | p AS (SELECT t.vec_id AS doc_id, h.vec_id AS eval_doc,
+       |    ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+       |        i -> t.emb[i] * h.emb[i]))
+       |      / (SQRT(t.sq) * SQRT(h.sq)), 4) AS cos_sim
+       |   FROM n t JOIN n h ON t.split = 'train' AND h.split = 'holdout'),
+       | f AS (SELECT doc_id, eval_doc, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cos_sim DESC, eval_doc) AS rn
+       |   FROM p WHERE cos_sim >= ${Similarity.NeardupCos})
+       |SELECT doc_id, eval_doc, cos_sim AS max_cos FROM f
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "decontaminate_semantic" -> SemanticDecontOracleSql,
+
     // Sequential formulation of the same models + the same rounded
     // ranking key; the two-phase distributed rank is value-identical.
     "curate_dsir" ->

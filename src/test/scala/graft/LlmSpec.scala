@@ -293,6 +293,59 @@ class LlmSpec extends SparkSpec {
       s"${(flagged -- exactVecs).size} flagged dups have no exact partner")
   }
 
+  test("decontaminate_semantic: planted paraphrase flagged on both arms; cluster arm conservative vs exact (sf0.001 + planted)") {
+    val s = spark
+    import s.implicits._
+    def side(id: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.substring(0, 2) < "e6") "train" else "holdout"
+    }
+    // natural corpus, exact arm: every reported row is a train doc, its
+    // match a holdout doc, at or above the threshold
+    val out = Curate.queries("decontaminate_semantic")(spark, sf0001).collect()
+    assert(out.nonEmpty, "no semantic contamination flagged at sf0.001")
+    out.foreach { r =>
+      assert(side(r.getAs[Long]("doc_id")) === "train")
+      assert(side(r.getAs[Long]("eval_doc")) === "holdout")
+      assert(r.getAs[Double]("max_cos") >= Similarity.NeardupCos)
+    }
+    // planted paraphrase: a holdout doc's embedding lightly perturbed
+    // into a train doc — no shared tokens needed, the case the n-gram
+    // probe cannot catch. The planted train doc must be flagged with
+    // the planted eval doc as its best match, on BOTH arms.
+    val base = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val h0 = base.map(_._1).filter(side(_) == "holdout").min
+    val hVec = base.find(_._1 == h0).get._2
+    val rng = new scala.util.Random(17)
+    val tId = (10000L to 10050L).find(side(_) == "train").get
+    val planted = (tId, hVec.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    val aug = (base :+ planted).toSeq.toDF("vec_id", "embedding")
+    val exactOut = Curate.decontaminateSemantic(aug).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("eval_doc"), r.getAs[Double]("max_cos"))).toMap
+    assert(exactOut.contains(tId), "planted paraphrase train doc not flagged")
+    assert(exactOut(tId)._1 === h0 && exactOut(tId)._2 >= 0.9,
+      s"planted match wrong: ${exactOut(tId)}")
+    spark.conf.set(Curate.SemanticDecontStrategyKey, "cluster")
+    try {
+      val clusterOut = Curate.decontaminateSemantic(aug).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("eval_doc"), r.getAs[Double]("max_cos"))).toMap
+      assert(clusterOut.contains(tId),
+        "cluster arm missed the planted paraphrase (same-cell regime)")
+      assert(clusterOut(tId)._1 === h0)
+      // the blocked arm can only UNDER-report: flagged docs are a subset
+      // and each per-doc max is at most the exact arm's
+      assert(clusterOut.keySet.subsetOf(exactOut.keySet))
+      clusterOut.foreach { case (doc, (_, c)) =>
+        assert(c <= exactOut(doc)._2 + 1e-9) }
+    } finally spark.conf.unset(Curate.SemanticDecontStrategyKey)
+  }
+
   test("curate_dsir: selects ceil(25%) globally, ranked by llr then doc_id (sf0.001)") {
     val docs = Tables.documents(spark, sf0001)
     val out = Curate.dsirSelect(docs, Curate.DsirTargetLang, 0.25).collect()
