@@ -27,6 +27,58 @@ class LayoutSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("layout_compact: plan equals the sequential next-fit-decreasing fold; bins land within one part of target") {
+    val out = operators.Layout.queries("layout_compact")(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // replicate the planner as a plain driver-side fold over the part
+    // list and demand the identical assignment — the window spelling
+    // must BE the sequential algorithm, not an approximation of it
+    val parts = out.map(r => (r.getDate(0), r.getLong(1)))
+      .sortBy { case (d, n) => (-n, d.toString) }
+    val total = parts.map(_._2).sum
+    val target = math.max(total / operators.Layout.CompactTargetBins, 1L)
+    var cum = 0L
+    val expected = parts.map { case (d, n) =>
+      val bin = cum / target; cum += n; (d, bin)
+    }.toMap
+    out.foreach { r =>
+      assert(r.getLong(2) === expected(r.getDate(0)),
+        s"part ${r.getDate(0)} bin ${r.getLong(2)} != NFD fold") }
+    // structural invariants: totals preserved; bin ids contiguous;
+    // every non-final bin crossed its boundary, so its total is within
+    // one part of the target
+    val bins = out.groupBy(_.getLong(2))
+    assert(bins.map { case (_, rs) => rs.head.getLong(3) }.sum === total)
+    val maxBin = bins.keys.max
+    assert(bins.keySet === (0L to maxBin).toSet, "bin ids not contiguous")
+    val maxPart = parts.map(_._2).max
+    bins.foreach { case (b, rs) =>
+      val t = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(4) === rs.length.toLong))
+      if (b < maxBin)
+        assert(t >= target - maxPart + 1 && t < target + maxPart,
+          s"bin $b total $t outside (target ± part) band")
+    }
+  }
+
+  test("compactWrite: one file per planned bin, rows preserved, files hold whole bins") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    try {
+      val nBins = operators.Layout.compactWrite(spark, sf0001, dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() === Tables.events(spark, sf0001).count())
+      val fileBins = back.groupBy(input_file_name().as("f"))
+        .agg(countDistinct(col("bin")).as("nb"), min(col("bin")).as("b"))
+        .collect()
+      assert(fileBins.length === nBins.toInt,
+        s"expected $nBins files, got ${fileBins.length}")
+      fileBins.foreach(r => assert(r.getLong(1) === 1L,
+        s"file ${r.getString(0)} spans ${r.getLong(1)} bins"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("zorderWrite: files carry disjoint z-ranges and preserve all rows") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     try {
