@@ -151,27 +151,54 @@ object Bench {
     * contributed measurably. Calibrated 2026-08-16,
     * idle host, ProbeCalib 8 steady passes: 1.39/1.20/1.03/0.97/0.99/
     * 0.95/1.01/0.88 after a 1.86 s warm-up — the measured Bench pass is
-    * the THIRD (two discarded warm-ups), ≈ 1.0–1.2 s; the late-session
-    * heavy brackets run fully warm ≈ 0.9–1.0 s. 1.05 splits the two so
-    * both factors read ≈ 1.0 idle and their artifact_check agreement
-    * pin (1.5× tolerance) gates contention, not JIT decay. */
+    * the THIRD (two discarded warm-ups), ≈ 1.0–1.2 s. Since r17 the
+    * heavy tier's brackets run in a freshly restarted context (see the
+    * note below), so the SAME fresh anchor serves both tiers, both
+    * factors read ≈ 1.0 idle, and the artifact_check agreement pin
+    * (1.5× tolerance) gates contention, not session age. */
   val ParallelProbeAnchorSec = 1.05
 
-  /** Idle anchor for the PARALLEL passes that bracket the heavy tier —
-    * the late-session analogue of [[ParallelProbeAnchorSec]], same
-    * warm-vs-cold split the serial [[HeavyProbeAnchors]] already
-    * encode. A JVM that has executed the 35-query headline suite runs
-    * the 32-way burst persistently ~2.2× slower than a fresh session
-    * EVEN IDLE (measured across three idle runs at r16 HEAD:
-    * bracket passes 2.64/3.21, 2.51/2.00, 2.15/2.46 s vs the fresh
-    * steady state ~1.0 s; a discarded warm-up burst does NOT remove
-    * it — aged-heap allocation pressure, not a one-off surcharge), so
-    * normalizing the brackets by the fresh anchor would read a healthy
-    * idle tier as host_factor ≈ 2.2 and chronically fail the
-    * headline/heavy agreement pin. Both factors read ≈ 1.0 idle under
-    * their own anchors and inflate together under real contention —
-    * which is precisely what the agreement gate tests. */
-  val ParallelProbeHeavyAnchorSec = 2.3
+  /** r17 (VERDICT r16 #1): the heavy tier now runs in a FRESH CHILD
+    * JVM (`--heavy-tier` mode, spawned by the canonical run), so its
+    * brackets normalize by the ONE fresh anchor above and the r16
+    * aged-JVM anchor (2.3) is retired. History, because it explains
+    * the design: a session that has executed the 35-query headline
+    * suite runs the 32-way burst persistently ~2.2× slower than a
+    * fresh one EVEN IDLE, which forced the second anchor — itself
+    * fitted to passes spanning 2.0–3.2 s idle, leaving the tier
+    * factor legitimately anywhere in 0.88–1.4 on a healthy host and
+    * the agreement gate with almost no real margin (r16 driver run:
+    * 1.37 of the 1.5 limit at 86% of the raw budget). Before choosing
+    * the fork, the cheaper resets were MEASURED (ProbeCalib's
+    * SPARK_GRAFT_CALIB_AGE sweep — every condition in one JVM, one
+    * host window, 2026-08-16): fresh steady 1.47 s → aged 2.30 →
+    * SparkContext restart in the same JVM 2.42 → after three explicit
+    * full GCs 2.58. Neither Spark state nor heap garbage explains the
+    * aging (Bench already System.gc()s between queries); it is
+    * JVM-level (JIT/allocation-path aging), and no in-process reset
+    * recovers it — so the VERDICT r16 suggestion of a context restart
+    * is falsified by measurement, and a fresh process is the minimal
+    * condition under which the calibrated anchor actually holds. The
+    * child's session build + catalog ANALYZE cost is reported as
+    * `heavy_jvm_setup_sec`, outside every budget window — the same
+    * accounting class as analyze_sec. */
+
+  /** One bracket measurement: a discarded warm-up burst, then
+    * [[BracketPasses]] measured passes — the MEDIAN is the bracket
+    * estimate (VERDICT r16 #1a: a 2-pass mean over a distribution
+    * whose idle passes span 0.88–1.39 s gave the tier factor ±25%
+    * noise per side; the median of three is robust to one straggler
+    * pass). All passes ride the artifact so tools/artifact_check.py
+    * can gate on their SPREAD — a wide spread means the host changed
+    * under the bracket and the run is not canonical. */
+  val BracketPasses = 3
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
 
   def parallelProbe(spark: SparkSession, sfDir: String, threads: Int): Double = {
     val body = probes(sfDir).collectFirst {
@@ -272,20 +299,44 @@ object Bench {
     // registry: shared code can shift any row.
     val changedArg = args.find(a => a == "--changed" || a.startsWith("--changed="))
     val changedMode = changedArg.isDefined
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // --heavy-tier=<path>: INTERNAL child mode (r17 — VERDICT r16 #1).
+    // The canonical run spawns a FRESH JVM for the heavy tier and this
+    // is its entry: run ONLY the tier (catalog analyze, serial +
+    // saturating brackets, the conf-swapped heavy suite), write the
+    // tier's JSON fields to <path>, exit. See the spawn site for why a
+    // fresh JVM (not a fresh context) is the only condition that
+    // restores the calibrated probe anchor.
+    val heavyTierArg = args.find(_.startsWith("--heavy-tier="))
+    val heavyTierMode = heavyTierArg.isDefined
     // Bench-time broadcast pin (VERDICT r3 #1): the gates Q.maybeBroadcast
-    // reads are set EXPLICITLY on this session, so no earlier conf drift in
-    // a long run can flip join_range_binned's probe broadcast. The probe's
-    // est rows (~10k at sf0.1, bounded by its one-month filter) sit far
-    // below both gates.
-    spark.conf.set(Q.BroadcastSideThresholdKey, "8000000")
-    spark.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
+    // reads are set EXPLICITLY on every session this run builds, so no
+    // earlier conf drift in a long run can flip join_range_binned's probe
+    // broadcast. The probe's est rows (~10k at sf0.1, bounded by its
+    // one-month filter) sit far below both gates.
+    def mkSession(): SparkSession = {
+      val b = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+      // Child isolation: registerAndAnalyze CTASes single-file sources
+      // into managed `graft_*` warehouse tables, so a child sharing the
+      // parent's spark-warehouse would DELETE the parent's table files
+      // under its still-cached listings (measured: the parent's
+      // end-of-run probe died on FILE_NOT_EXIST reading graft_lineitem
+      // after the child re-registered it). The tier child gets its own
+      // temp warehouse; the copy cost lands in heavy_jvm_setup_sec.
+      if (heavyTierMode)
+        b.config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_heavy_wh_")
+            .toString)
+      val s = b.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.conf.set(Q.BroadcastSideThresholdKey, "8000000")
+      s.conf.set(Q.BroadcastSideMaxBytesKey, (256L * 1024 * 1024).toString)
+      s
+    }
+    val spark = mkSession()
     // Per-query task metrics (round 4): executor CPU vs task wall time.
     // cpu_share ≈ 1 → the measured seconds were real compute; ≪ 1 → the
     // OS descheduled the worker threads (external host load). This is
@@ -317,9 +368,11 @@ object Bench {
     // vs the r1–r5 artifacts it must stay comparable with). The probes
     // therefore run on plain path reads — CatalogDirKey is still unset —
     // under exactly the anchor conditions.
-    val probeResults = probes(sfDir).map { case (name, base, run) =>
-      (name, base, time(run(spark)))
-    }
+    val probeResults =
+      if (heavyTierMode) Nil
+      else probes(sfDir).map { case (name, base, run) =>
+        (name, base, time(run(spark)))
+      }
     // r16 (VERDICT r15 #1): the saturating probe that defines
     // host_factor — runs after the serial probes, parquet warm, under
     // exactly the anchor's calibration condition. The first TWO passes
@@ -330,28 +383,36 @@ object Bench {
     // the third pass is the measured one, matching ProbeCalib's
     // steady-state anchor.
     val parallelThreads = cpus.toInt
-    parallelProbe(spark, sfDir, parallelThreads)
-    parallelProbe(spark, sfDir, parallelThreads)
-    val probeParallel = parallelProbe(spark, sfDir, parallelThreads)
+    val probeParallel =
+      if (heavyTierMode) -1.0
+      else {
+        parallelProbe(spark, sfDir, parallelThreads)
+        parallelProbe(spark, sfDir, parallelThreads)
+        parallelProbe(spark, sfDir, parallelThreads)
+      }
     // ANALYZE at load time, outside every per-query window (the
     // one-scan-per-table cost a warehouse pays once per load, reported
     // separately like bucket_setup_sec): the measured queries then plan
     // on catalog rowCounts, so the artifact's recorded strategies are
     // the stats-informed ones a production deployment would run
     // (VERDICT r5 item 4).
-    val analyzeSec = time(sources.CatalogStats.registerAndAnalyze(spark, sfDir))
+    val analyzeSec =
+      if (heavyTierMode) -1.0
+      else time(sources.CatalogStats.registerAndAnalyze(spark, sfDir))
     // One-time warehouse CTAS work (bucketed join tables, date-partitioned
     // events) is write-amortized setup cost, not steady-state query cost —
     // create ahead of the timed loop so join_bucketed measures the
     // zero-Exchange SMJ and scan_pruned_date the pruned scan (VERDICT r2
     // item 4). The write cost is reported separately.
-    val bucketSetupSec = time {
-      try {
-        operators.Relational.ensureBucketedTables(spark, sfDir)
-        operators.Relational.ensureDatePartitionedEvents(spark, sfDir)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] warehouse setup failed: $e") }
-    }
+    val bucketSetupSec =
+      if (heavyTierMode) -1.0
+      else time {
+        try {
+          operators.Relational.ensureBucketedTables(spark, sfDir)
+          operators.Relational.ensureDatePartitionedEvents(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warehouse setup failed: $e") }
+      }
     // A failed query records -1 (sentinel), never its partial elapsed
     // time: a crash mid-query must be machine-visible in the artifact,
     // not silently folded into a green-looking total (ADVICE r2). Each
@@ -483,59 +544,198 @@ object Bench {
       System.gc()
       (name, if (ok) t else -1.0, strategy, gcSec, rm)
     }
-    val results = runSuite(suite)
-    // Heavy tier AFTER the headline (identical warm-up profile to the
-    // r1–r5 artifacts for the comparable part); skipped in --all mode
-    // where every registry entry runs anyway.
-    // r11 (VERDICT r10 #1): (a) the tier benchmarks the conf-swapped
-    // SCALE arms of the two CC-backed entries — pipeline_curate's
-    // banded-LSH pair stage and dedup_components over the LSH candidate
-    // stream (both parity/property-tested; the exact oracle arms stay
-    // in Verify and in bench_all, where these confs are never set) —
-    // so the tier prices the 100 TB composition, not the sf0.1 oracle
-    // stand-in; (b) two warm probes bracket the tier (untimed) and
-    // their mean vs [[HeavyProbeAnchors]] is the tier-local host factor
-    // that normalizes heavy_total the way probe_baseline normalizes
-    // the headline.
-    def heavyProbeRun(): Seq[(String, Double)] = probes(sfDir).collect {
-      case (n, _, run) if HeavyProbeAnchors.contains(n) => (n, time(run(spark)))
-    }
-    val heavyProbesPre =
-      if (allMode || changedMode) Nil else heavyProbeRun()
-    val heavyProbePre = heavyProbesPre.map(_._2).sum
-    // r16 (VERDICT r15 #1): the tier brackets also run the saturating
-    // probe, and heavy_host_factor is computed from THOSE passes — the
-    // tier is parallel-bound, so its normalizer must be too. The serial
-    // bracket probes stay recorded (heavy_host_factor_serial).
-    // Each bracket measurement discards one burst first. The aged-JVM
-    // slowdown itself is PERSISTENT (see ParallelProbeHeavyAnchorSec —
-    // a discard does not remove it; the late-session anchor is how it
-    // is handled), but the discard still absorbs one-off spikes (a
-    // pending ContextCleaner batch, a first-burst page-in) so the
-    // measured pass is the reproducible one the anchor was calibrated
-    // on.
-    def bracketParallel(): Double = {
-      parallelProbe(spark, sfDir, parallelThreads)
-      parallelProbe(spark, sfDir, parallelThreads)
-    }
-    val heavyParallelPre =
-      if (allMode || changedMode) -1.0 else bracketParallel()
-    val heavyResults =
-      if (allMode || changedMode) Nil
-      else {
-        spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
-        spark.conf.set("spark.graft.components.pairStrategy", "lsh")
+
+    if (heavyTierMode) {
+      // Child JVM: the heavy tier at the FRESH calibration condition.
+      // ANALYZE first (stats-informed plans, parity with the parent's
+      // strategy pins; also warms the parquet the serial warm anchors
+      // assume), then serial + saturating brackets, the conf-swapped
+      // scale arms, brackets again.
+      val outPath = heavyTierArg.get.split("=", 2)(1)
+      val setupSec = time(sources.CatalogStats.registerAndAnalyze(spark, sfDir))
+      def heavyProbeRun(): Seq[(String, Double)] = probes(sfDir).collect {
+        case (n, _, run) if HeavyProbeAnchors.contains(n) => (n, time(run(spark)))
+      }
+      val heavyProbesPre = heavyProbeRun()
+      val heavyProbePre = heavyProbesPre.map(_._2).sum
+      // Each bracket = one discarded warm-up burst (first-burst JIT,
+      // page-in) + BracketPasses measured passes, median taken (r17 —
+      // VERDICT r16 #1a); every pass rides the artifact for
+      // tools/artifact_check.py's spread gate.
+      def bracketParallel(): Seq[Double] = {
+        parallelProbe(spark, sfDir, parallelThreads)
+        Seq.fill(BracketPasses)(parallelProbe(spark, sfDir, parallelThreads))
+      }
+      val heavyParallelPre = bracketParallel()
+      // The tier benchmarks the conf-swapped SCALE arms of the two
+      // CC-backed entries (r11 — VERDICT r10 #1): pipeline_curate's
+      // banded-LSH pair stage and dedup_components over the LSH
+      // candidate stream (both parity/property-tested; the exact
+      // oracle arms stay in Verify and bench_all, where these confs
+      // are never set) — the tier prices the 100 TB composition, not
+      // the sf0.1 oracle stand-in.
+      spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
+      spark.conf.set("spark.graft.components.pairStrategy", "lsh")
+      val heavyResults =
         try runSuite(heavy.filter(SparkEntry.queries.contains))
         finally {
           spark.conf.unset("spark.graft.curate.pairStrategy")
           spark.conf.unset("spark.graft.components.pairStrategy")
         }
+      val heavyProbesPost = heavyProbeRun()
+      val heavyProbePost = heavyProbesPost.map(_._2).sum
+      val heavyParallelPost = bracketParallel()
+      val hq = heavyResults.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val hs = heavyResults.map { case (k, _, s, _, _) =>
+        "\"" + k + "\":\"" + s + "\"" }.mkString("{", ",", "}")
+      val hc = heavyResults.map { case (k, _, _, _, m) =>
+        "\"" + k + "\":" + (math.round(m.cpuShare * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+      // gc + spill per heavy entry (VERDICT r9 #1): a budget breach
+      // must self-attribute — high gc/spill with flat task_sec = memory
+      // stall; flat gc with grown task_sec = real plan regression.
+      val hg = heavyResults.map { case (k, _, _, g, _) =>
+        "\"" + k + "\":" + g }.mkString("{", ",", "}")
+      val hSpill = heavyResults.map { case (k, _, _, _, m) =>
+        "\"" + k + "\":" + (m.diskSpillBytes + m.memorySpillBytes) }
+        .mkString("{", ",", "}")
+      val hTask = heavyResults.map { case (k, _, _, _, m) =>
+        "\"" + k + "\":" + (m.executorRunMillis / 1e3) }
+        .mkString("{", ",", "}")
+      val hFailed = heavyResults.collect {
+        case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val hTotal = heavyResults.map(_._2).filter(_ >= 0).sum
+      // Same summed set as heavy_total (failed entries excluded), or
+      // the gc-vs-excess breach fingerprint in artifact_check would
+      // compare GC from N entries against elapsed from N−1.
+      val hGcTotal = heavyResults.collect {
+        case (_, v, _, g, _) if v >= 0 => g }.sum
+      // Tier-local host factors. Consumers (tools/artifact_check.py)
+      // normalize the budget gate by the parallel factor ONLY when it
+      // exceeds 1 AND the breach fingerprint is not self-inflicted —
+      // heavy_total_normalized below is ILLUSTRATIVE (unconditional
+      // division); read it next to heavy_total, never instead of it.
+      val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
+      val hHostFactorSerial = (heavyProbePre + heavyProbePost) / hProbeBaseline
+      // r17: mean of the two bracket MEDIANS over the single fresh
+      // anchor — this JVM is fresh, so the fresh calibration condition
+      // holds on both sides of the tier; artifact_check pins agreement
+      // with the parent's headline factor and the per-side pass spread.
+      val heavyParallelPreMed = median(heavyParallelPre)
+      val heavyParallelPostMed = median(heavyParallelPost)
+      val hHostFactor = (heavyParallelPreMed + heavyParallelPostMed) /
+        (2 * ParallelProbeAnchorSec)
+      val hErrors = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val frag =
+        s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
+          s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
+          s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +
+          s""""heavy_failed":$hFailed,"heavy_errors":$hErrors,""" +
+          s""""heavy_total":$hTotal,""" +
+          s""""heavy_probe_pre":$heavyProbePre,""" +
+          s""""heavy_probe_post":$heavyProbePost,""" +
+          s""""heavy_probes_pre":${heavyProbesPre.map { case (k, v) =>
+            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+          s""""heavy_probes_post":${heavyProbesPost.map { case (k, v) =>
+            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+          s""""heavy_probe_baseline":$hProbeBaseline,""" +
+          s""""heavy_jvm_setup_sec":$setupSec,""" +
+          s""""heavy_parallel_pre":$heavyParallelPreMed,""" +
+          s""""heavy_parallel_post":$heavyParallelPostMed,""" +
+          s""""heavy_parallel_pre_passes":${heavyParallelPre
+            .mkString("[", ",", "]")},""" +
+          s""""heavy_parallel_post_passes":${heavyParallelPost
+            .mkString("[", ",", "]")},""" +
+          s""""heavy_host_factor":$hHostFactor,""" +
+          s""""heavy_host_factor_serial":$hHostFactorSerial,""" +
+          s""""heavy_total_normalized":${hTotal / math.max(1.0, hHostFactor)},""" +
+          s""""heavy_budget_sec":$HeavyBudgetSec,"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), frag)
+      spark.stop()
+      return
+    }
+
+    val results = runSuite(suite)
+    // Heavy tier AFTER the headline, in a FRESH CHILD JVM (r17 —
+    // VERDICT r16 #1); skipped in --all mode where every registry
+    // entry runs anyway. Why a process, not a context restart: the
+    // post-suite JVM runs the 32-way saturating burst persistently
+    // slower than a fresh one even idle, and the r17 ProbeCalib
+    // aged-mode sweep (all conditions in ONE JVM, one host window)
+    // measured fresh 1.47 s → aged 2.30 → restarted-context 2.42 →
+    // after-3-full-GCs 2.58: neither a context restart nor explicit
+    // collection recovers the fresh state (it is JVM-level — JIT/
+    // allocation-path aging, not Spark state), so the r16 aged anchor
+    // could only ever be a high-variance statistical patch (its
+    // bracket passes spanned 2.0–3.2 s idle; the agreement gate read
+    // 1.37 of 1.5). A fresh JVM is the one condition under which the
+    // calibrated ParallelProbeAnchorSec actually holds — the tier's
+    // brackets then measure HOST contention and nothing else, both
+    // tiers normalize by the same constant, and the tier's raw cost
+    // returns to the fresh-session level (the headroom VERDICT r16 #1b
+    // asked for). The child inherits this JVM's flags/classpath/env,
+    // runs ONLY the tier (--heavy-tier mode above), and writes its
+    // JSON fields to a temp file the parent splices verbatim; child
+    // stdout is redirected to OUR stderr so the parent's one-line JSON
+    // contract stays clean. Spawn/exit anomalies surface as a
+    // "__heavy_tier_process" entry in heavy_failed — loud, never
+    // silently green.
+    def spawnHeavyTier(): String = {
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempFile("graft_heavy_", ".json")
+      val errFragment = {
+        val names = heavy.filter(SparkEntry.queries.contains)
+        val empty = names.map(n => "\"" + n + "\":-1").mkString("{", ",", "}")
+        s""""heavy":$empty,"heavy_strategies":{},"heavy_cpu_share":{},""" +
+          s""""heavy_gc_sec":{},"heavy_spill_bytes":{},"heavy_task_sec":{},""" +
+          s""""heavy_gc_total":-1,"heavy_failed":["__heavy_tier_process"],""" +
+          s""""heavy_errors":{},"heavy_total":-1.0,""" +
+          s""""heavy_budget_sec":$HeavyBudgetSec,"""
       }
-    val heavyProbesPost =
-      if (allMode || changedMode) Nil else heavyProbeRun()
-    val heavyProbePost = heavyProbesPost.map(_._2).sum
-    val heavyParallelPost =
-      if (allMode || changedMode) -1.0 else bracketParallel()
+      try {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq.filterNot(a =>
+            a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+          "-cp", System.getProperty("java.class.path"),
+          "graft.Bench", s"--heavy-tier=$tmp")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val drain = new Thread(() => {
+          val in = p.getInputStream
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { System.err.write(buf, 0, n); n = in.read(buf) }
+        })
+        drain.setDaemon(true)
+        drain.start()
+        val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); p.waitFor() }
+        val frag = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+        if (!done || p.exitValue() != 0 || frag.trim.isEmpty) {
+          System.err.println(s"[bench] heavy-tier child failed " +
+            s"(timedOut=${!done}, exit=${if (done) p.exitValue() else -1}, " +
+            s"fragBytes=${frag.length})")
+          errFragment
+        } else frag
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] heavy-tier spawn failed: $e")
+        errFragment
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Throwable => }
+      }
+    }
+    val heavyFragment =
+      if (allMode || changedMode) "" else spawnHeavyTier()
+    val heavyOk = changedMode || allMode ||
+      heavyFragment.contains("\"heavy_failed\":[]")
     val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
@@ -594,78 +794,8 @@ object Bench {
         val cf = changedFiles.map(f => "\"" + jsonEsc(f) + "\"")
           .mkString("[", ",", "]")
         s""""mode":"changed","changed_files":$cf,"""
-      } else if (allMode) s""""mode":"all",""" else {
-        val hq = heavyResults.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
-          .mkString("{", ",", "}")
-        val hs = heavyResults.map { case (k, _, s, _, _) =>
-          "\"" + k + "\":\"" + s + "\"" }.mkString("{", ",", "}")
-        val hc = heavyResults.map { case (k, _, _, _, m) =>
-          "\"" + k + "\":" + (math.round(m.cpuShare * 1000) / 1000.0) }
-          .mkString("{", ",", "}")
-        // gc + spill per heavy entry (VERDICT r9 #1): the r9 driver run
-        // breached the tier budget with only sec/strategy/cpu_share
-        // recorded, so the artifact could not say whether the plan got
-        // slower or the JVM stalled. gc_sec is the per-entry delta of
-        // cumulative collector time; spill is the stage-summed shuffle
-        // spill (disk+memory) from RunMetricsListener. A breach now
-        // self-reports: high gc/spill with flat task_sec = memory
-        // stall; flat gc with grown task_sec = real plan regression.
-        val hg = heavyResults.map { case (k, _, _, g, _) =>
-          "\"" + k + "\":" + g }.mkString("{", ",", "}")
-        val hSpill = heavyResults.map { case (k, _, _, _, m) =>
-          "\"" + k + "\":" + (m.diskSpillBytes + m.memorySpillBytes) }
-          .mkString("{", ",", "}")
-        val hTask = heavyResults.map { case (k, _, _, _, m) =>
-          "\"" + k + "\":" + (m.executorRunMillis / 1e3) }
-          .mkString("{", ",", "}")
-        val hFailed = heavyResults.collect {
-          case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
-          .mkString("[", ",", "]")
-        val hTotal = heavyResults.map(_._2).filter(_ >= 0).sum
-        // Same summed set as heavy_total (failed entries excluded), or
-        // the gc-vs-excess breach fingerprint in artifact_check would
-        // compare GC from N entries against elapsed from N−1.
-        val hGcTotal = heavyResults.collect {
-          case (_, v, _, g, _) if v >= 0 => g }.sum
-        // Tier-local host factor: mean of the pre/post probe passes
-        // over the warm anchors. Consumers (tools/artifact_check.py)
-        // normalize the budget gate by this ONLY when it exceeds 1 —
-        // a fast host never shrinks the gate. NOTE heavy_total_normalized
-        // below is ILLUSTRATIVE (unconditional division): the gate that
-        // counts is artifact_check's, which refuses to normalize
-        // self-inflicted breaches (JVM stall / plan regression) because
-        // their own heap/plan pressure inflates the post-tier probe pass
-        // — read that field next to heavy_total, never instead of it.
-        val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
-        val hHostFactorSerial = (heavyProbePre + heavyProbePost) / hProbeBaseline
-        // r16: the gated factor is the mean of the two saturating
-        // bracket passes over the LATE-SESSION idle anchor (see
-        // ParallelProbeHeavyAnchorSec — an aged JVM's 32-way burst is
-        // ~2.2× a fresh session's even idle, so the bracket gets its
-        // own warm anchor exactly as the serial HeavyProbeAnchors do);
-        // artifact_check pins agreement with the headline factor.
-        val hHostFactor = (heavyParallelPre + heavyParallelPost) /
-          (2 * ParallelProbeHeavyAnchorSec)
-        s""""heavy":$hq,"heavy_strategies":$hs,"heavy_cpu_share":$hc,""" +
-          s""""heavy_gc_sec":$hg,"heavy_spill_bytes":$hSpill,""" +
-          s""""heavy_task_sec":$hTask,"heavy_gc_total":$hGcTotal,""" +
-          s""""heavy_failed":$hFailed,"heavy_total":$hTotal,""" +
-          s""""heavy_probe_pre":$heavyProbePre,""" +
-          s""""heavy_probe_post":$heavyProbePost,""" +
-          s""""heavy_probes_pre":${heavyProbesPre.map { case (k, v) =>
-            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
-          s""""heavy_probes_post":${heavyProbesPost.map { case (k, v) =>
-            "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
-          s""""heavy_probe_baseline":$hProbeBaseline,""" +
-          s""""heavy_parallel_pre":$heavyParallelPre,""" +
-          s""""heavy_parallel_post":$heavyParallelPost,""" +
-          s""""heavy_host_factor":$hHostFactor,""" +
-          s""""heavy_host_factor_serial":$hHostFactorSerial,""" +
-          s""""heavy_total_normalized":${hTotal / math.max(1.0, hHostFactor)},""" +
-          s""""heavy_budget_sec":$HeavyBudgetSec,"""
-      }) +
-      s""""complete":${results.forall(_._2 >= 0) &&
-        heavyResults.forall(_._2 >= 0)},""" +
+      } else if (allMode) s""""mode":"all",""" else heavyFragment) +
+      s""""complete":${results.forall(_._2 >= 0) && heavyOk},""" +
       s""""sf":"$sfDir"}"""
     println(line)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

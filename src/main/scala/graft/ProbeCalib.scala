@@ -35,6 +35,49 @@ object ProbeCalib {
       times.map(t => f"$t%.3f").mkString(", "))
     println(f"steady median: ${steady.sorted.apply(steady.length / 2)}%.3f  " +
       f"anchor pinned: ${Bench.ParallelProbeAnchorSec}%.3f")
-    spark.stop()
+    // SPARK_GRAFT_CALIB_AGE=1 (r17 — VERDICT r16 #1a): the aged-mode
+    // sweep that calibrates the heavy-tier bracket condition. All
+    // conditions run in ONE JVM in one host window, so their ratios are
+    // window-free: (a) age the JVM with the full headline suite at
+    // sfDir (exactly Bench's pre-tier state), then measure passes;
+    // (b) restart the SparkContext (same JVM) and measure; (c) three
+    // explicit full GCs and measure. Whichever condition restores the
+    // fresh steady state is the design; if none does, the aged/restart
+    // median IS the tier anchor distribution.
+    if (sys.env.get("SPARK_GRAFT_CALIB_AGE").contains("1")) {
+      sources.CatalogStats.registerAndAnalyze(spark, sfDir)
+      var aged = spark
+      Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
+        try {
+          val df = SparkEntry.queries(name)(aged, sfDir)
+          df.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).collect()
+        } catch { case e: Throwable =>
+          System.err.println(s"[calib] $name failed: $e") }
+        aged.catalog.clearCache()
+        Q.drainCheckpoints(aged)
+        System.gc()
+      }
+      def sweep(label: String): Unit = {
+        val ts = (1 to passes).map(_ =>
+          Bench.parallelProbe(aged, sfDir, cpus.toInt))
+        println(s"$label passes: " + ts.map(t => f"$t%.3f").mkString(", ") +
+          f"  median ${ts.sorted.apply(ts.length / 2)}%.3f")
+      }
+      sweep("aged (post-headline)")
+      aged.stop()
+      aged = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      aged.sparkContext.setLogLevel("WARN")
+      sources.CatalogStats.registerAndAnalyze(aged, sfDir)
+      sweep("restarted context (same JVM)")
+      (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+      sweep("after 3 explicit full GCs")
+      aged.stop()
+    } else spark.stop()
   }
 }

@@ -545,6 +545,27 @@ if bench is not None:
                 f"{hhf_agree:.2f} disagree by {ratio:.2f}× (> 1.5) — "
                 f"contention changed mid-run; not canonical, re-run "
                 f"(VERDICT r15 #1)")
+    # r17 (VERDICT r16 #1a): heavy_host_factor is the median of
+    # BracketPasses=3 saturating passes per side; the artifact must
+    # carry every pass, and a wide within-side spread means the host
+    # changed UNDER the bracket — the median is then anchored to
+    # nothing and the run is not canonical. Threshold 2.0×: idle calib
+    # passes span 0.88–1.39 s (1.6×), a mid-bracket contention swing
+    # reads well past 2×.
+    if hhf_agree is not None:
+        for side in ("heavy_parallel_pre_passes", "heavy_parallel_post_passes"):
+            passes = bench.get(side)
+            if not isinstance(passes, list) or len(passes) < 3:
+                failures.append(
+                    f"bench.json: '{side}' absent or short ({passes}) — "
+                    f"heavy_host_factor predates the r17 median-of-3 "
+                    f"bracket; re-run Bench at HEAD")
+            elif min(passes) > 0 and max(passes) / min(passes) > 2.0:
+                failures.append(
+                    f"bench.json: {side} spread "
+                    f"{max(passes) / min(passes):.2f}× > 2.0 "
+                    f"({[round(p, 2) for p in passes]}) — host changed "
+                    f"under the bracket; not canonical, re-run")
     if bench.get("failed"):
         failures.append(f"bench.json: failed queries {bench['failed']}")
     if bench.get("heavy_failed"):
