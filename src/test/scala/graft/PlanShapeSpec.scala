@@ -344,7 +344,22 @@ class PlanShapeSpec extends SparkSpec {
       // (ORDER BY ...)); bounded by the n² exact-pair base it already
       // sits on. The scale arm is graph_diversity_select_nnd
       // (approx-quantile cutoff, zero global windows — swept here).
-      "graph_diversity_select")
+      "graph_diversity_select",
+      // r17 verdict arm: the centroid-rank window runs over the
+      // md5-smallest pivot frame AFTER .limit(VerdictPqK) — ≤ 8 rows
+      // at any sf by construction (it appears twice in the optimized
+      // tree because the centroid subtree feeds both the encode join
+      // and the probe-LUT join). Scale arm: ann_pq (k-means codebooks,
+      // per-probe-partitioned ADC window — swept here).
+      "ann_pq_verdict",
+      // r17 compaction planner: the NFD cumulative-chunking window is
+      // inherently a total order over the pack input, but that input
+      // is FILE METADATA — one row per date partition of events
+      // (thousands at 100 TB, growth ∝ calendar days × loads), never
+      // corpus rows; the corpus-scale work (sizes) is the upstream
+      // #partitions-group agg. Same bounded-frame class as the IVF
+      // centroid frames, so no separate scale arm exists or is needed.
+      "layout_compact")
     val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.optimizedPlan
@@ -355,6 +370,38 @@ class PlanShapeSpec extends SparkSpec {
       if (n > 0 && !allowed.contains(name)) Some(s"$name ($n)") else None
     }
     assert(bad.isEmpty, s"unpartitioned window(s) in: ${bad.mkString(", ")}")
+  }
+
+  test("allowlisted global windows are bounded BY PLAN, not by comment (r17)") {
+    // The two r17 allowlist entries above claim their unpartitioned
+    // windows never see corpus rows; pin that in the optimized tree so
+    // a refactor that widens the input re-fails the sweep.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LWindow, GlobalLimit => LGlobalLimit, Aggregate => LAggregate}
+    // ann_pq_verdict: every global window sits above a Limit(VerdictPqK).
+    val pq = SparkEntry.queries("ann_pq_verdict")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val pqWins = pq.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(pqWins.nonEmpty, "expected the pivot-rank window in the plan")
+    pqWins.foreach { w =>
+      val lims = w.child.collect { case l: LGlobalLimit => l }
+      assert(lims.nonEmpty,
+        "pivot-rank window input lost its limit — now corpus-sized")
+    }
+    spark.catalog.clearCache()
+    // layout_compact: the global window's input is the per-date
+    // metadata aggregate (one row per partition), not event rows.
+    val lc = SparkEntry.queries("layout_compact")(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val lcWins = lc.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(lcWins.nonEmpty, "expected the NFD cumulative window in the plan")
+    lcWins.foreach { w =>
+      val aggs = w.child.collect { case a: LAggregate
+        if a.groupingExpressions.nonEmpty => a }
+      assert(aggs.nonEmpty,
+        "NFD window input lost the per-partition metadata aggregate")
+    }
+    spark.catalog.clearCache()
   }
 
   test("ann_pq/ann_ivfpq: the ADC window's input is the narrow (probe_id, vec_id, adc) stream (ADVICE r9)") {

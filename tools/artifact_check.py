@@ -168,6 +168,17 @@ if stress is not None:
     # graph's scale series. r11 adds the NN-descent refinement arm on
     # the same scales (its claim: linear n·k² rounds over the blocked
     # seed — so its wall time should grow no faster than the seed's).
+    # Expected-class note for knn_graph_blocked's ABSOLUTE fit (VERDICT
+    # r16 #6, so no future round reads it as a regression): the arm is
+    # analytically n^1.75 (multi-probe over ~sqrt(n) cells of ~sqrt(n)
+    # vectors -> n^1.5 candidate pairs x n^0.25 growth in per-cell
+    # rerank width). Its committed s1-s3 e_time has drifted 1.217 (r13)
+    # -> 1.689 (r16) as fixed per-stage constants stopped dominating
+    # the short span - both readings are honest samples of the same
+    # class, the span is too short to pin the exponent absolutely, and
+    # that is WHY the gate below is RELATIVE to the co-measured refine
+    # arm rather than a ceiling on this fit. Treat absolute drift in
+    # this row as informational unless the relative gate fires.
     rows("knn_graph_blocked")
     rows("knn_graph_refine")
     # The refinement's whole point is a LOWER growth class than its
@@ -648,7 +659,10 @@ if ball is not None:
                    "graph_ppr_weighted", "graph_bfs_seeds",
                    "ann_ivf_verdict",
                    "minhash_lsh_verdict", "simhash_pairs_verdict",
-                   "embed_lshpairs_verdict"):
+                   "embed_lshpairs_verdict",
+                   # r17 rows
+                   "text_cms_topk_verdict", "ann_pq_verdict",
+                   "decontaminate_semantic", "layout_compact"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
