@@ -151,11 +151,13 @@ object Bench {
     * contributed measurably. Calibrated 2026-08-16,
     * idle host, ProbeCalib 8 steady passes: 1.39/1.20/1.03/0.97/0.99/
     * 0.95/1.01/0.88 after a 1.86 s warm-up — the measured Bench pass is
-    * the THIRD (two discarded warm-ups), ≈ 1.0–1.2 s. Since r17 the
-    * heavy tier's brackets run in a freshly restarted context (see the
-    * note below), so the SAME fresh anchor serves both tiers, both
-    * factors read ≈ 1.0 idle, and the artifact_check agreement pin
-    * (1.5× tolerance) gates contention, not session age. */
+    * the THIRD (two discarded warm-ups), ≈ 1.0–1.2 s. This anchor
+    * serves the HEADLINE tier only — its measurement point (session
+    * start, post-serial-probes) proved stable across run shapes at
+    * the r17 closeout (0.89 s even in a JVM that had just executed
+    * 183 verify queries; 1.07 s standalone). The heavy child's
+    * bracket lives in a different, wider envelope and normalizes by
+    * [[ParallelProbeChildAnchorSec]] below. */
   val ParallelProbeAnchorSec = 1.05
 
   /** r17 (VERDICT r16 #1): the heavy tier now runs in a FRESH CHILD
@@ -178,10 +180,36 @@ object Bench {
     * JVM-level (JIT/allocation-path aging), and no in-process reset
     * recovers it — so the VERDICT r16 suggestion of a context restart
     * is falsified by measurement, and a fresh process is the minimal
-    * condition under which the calibrated anchor actually holds. The
-    * child's session build + catalog ANALYZE cost is reported as
+    * condition that RECOVERS fresh throughput at all. The child's
+    * session build + catalog ANALYZE cost is reported as
     * `heavy_jvm_setup_sec`, outside every budget window — the same
     * accounting class as analyze_sec. */
+
+  /** Idle-host anchor for the CHILD's pre-tier bracket — the quantity
+    * [[heavyHostFactorOf]] divides by. NOT the parent's
+    * [[ParallelProbeAnchorSec]]: the r17 closeout measured, in one
+    * idle hour at one HEAD, that a fresh child's pre bracket reads
+    * ~1.55 s when the host has only booted a bench (standalone run)
+    * but ~2.36 s when it has just churned through the full
+    * verify-then-bench driver protocol (218 queries) — while the AGED
+    * parent of that same replica probed at 0.89 s. So the burst
+    * slowdown is NOT purely JVM age (a fresh process does not recover
+    * it on a churned host) and not parent contention (the parent was
+    * waiting): a host-window churn component survives the fork. The
+    * fresh-child design still buys the thing it was built for — the
+    * child starts at the SAME JVM-life point every run, removing the
+    * "aged by whatever happened to run before" variance of the r16
+    * in-process anchor — but its bracket lives in an irreducible
+    * idle-host envelope: 1.47 (ProbeCalib fresh steady), 1.55
+    * (standalone idle), 2.30 (r16 aged calib), 2.36 (driver-shaped
+    * idle). This anchor is that envelope's center; the
+    * artifact_check gate (heavy_host_factor ≤ 1.5) then trips only
+    * OUTSIDE the measured envelope (pre bracket ≳ 2.9 s), i.e. on
+    * genuine contention, and the within-tier post/pre drift gate —
+    * not a cross-JVM agreement pin — catches contention arriving
+    * mid-tier (idle drift reads 1.1–1.6× from within-tier aging; the
+    * r17 contended run read 6.5×). */
+  val ParallelProbeChildAnchorSec = 1.9
 
   /** One bracket measurement: a discarded warm-up burst, then
     * [[BracketPasses]] measured passes — the MEDIAN is the bracket
@@ -619,14 +647,19 @@ object Bench {
       // division); read it next to heavy_total, never instead of it.
       val hProbeBaseline = 2 * HeavyProbeAnchors.values.sum
       val hHostFactorSerial = (heavyProbePre + heavyProbePost) / hProbeBaseline
-      // r17: mean of the two bracket MEDIANS over the single fresh
-      // anchor — this JVM is fresh, so the fresh calibration condition
-      // holds on both sides of the tier; artifact_check pins agreement
-      // with the parent's headline factor and the per-side pass spread.
+      // r17 (redesigned at closeout — see ParallelProbeChildAnchorSec):
+      // the factor is the PRE bracket median over the child-condition
+      // anchor. Pre-only is deliberate: the pre bracket measures the
+      // one deterministic point in the child's life (post-setup, pre-
+      // tier), so it reads the HOST's condition; the post bracket
+      // additionally carries within-tier JVM aging (~1.5× idle), so
+      // folding it in would book aging as contention. The post bracket
+      // instead feeds artifact_check's post/pre DRIFT gate — the
+      // tripwire for contention arriving mid-tier — and both sides
+      // keep the per-pass spread gate.
       val heavyParallelPreMed = median(heavyParallelPre)
       val heavyParallelPostMed = median(heavyParallelPost)
-      val hHostFactor = (heavyParallelPreMed + heavyParallelPostMed) /
-        (2 * ParallelProbeAnchorSec)
+      val hHostFactor = heavyParallelPreMed / ParallelProbeChildAnchorSec
       val hErrors = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
       val frag =
@@ -671,12 +704,17 @@ object Bench {
     // allocation-path aging, not Spark state), so the r16 aged anchor
     // could only ever be a high-variance statistical patch (its
     // bracket passes spanned 2.0–3.2 s idle; the agreement gate read
-    // 1.37 of 1.5). A fresh JVM is the one condition under which the
-    // calibrated ParallelProbeAnchorSec actually holds — the tier's
-    // brackets then measure HOST contention and nothing else, both
-    // tiers normalize by the same constant, and the tier's raw cost
-    // returns to the fresh-session level (the headroom VERDICT r16 #1b
-    // asked for). The child inherits this JVM's flags/classpath/env,
+    // 1.37 of 1.5). The fork fixes the CONDITION, not the level: the
+    // child starts at the same JVM-life point every run, and the
+    // tier's raw cost returns to fresh-session level (the headroom
+    // VERDICT r16 #1b asked for) — but the closeout measurements
+    // showed a host-window churn component SURVIVES the fork (see
+    // ParallelProbeChildAnchorSec), so the tier normalizes by its own
+    // envelope-centered anchor rather than the parent's, and the
+    // mid-run tripwire is the within-tier post/pre drift gate, not a
+    // cross-JVM factor-agreement pin (which the measured inversion —
+    // aged parent 0.89 s vs fresh child 2.36 s in one idle hour —
+    // falsified). The child inherits this JVM's flags/classpath/env,
     // runs ONLY the tier (--heavy-tier mode above), and writes its
     // JSON fields to a temp file the parent splices verbatim; child
     // stdout is redirected to OUR stderr so the parent's one-line JSON

@@ -547,15 +547,36 @@ if bench is not None:
             f"anchors are calibrated at 32 (ProbeCalib) — host_factor/"
             f"total_normalized are miscalibrated; re-run with "
             f"SPARK_GRAFT_CPUS=32 (ADVICE r16)")
-    hhf_agree = bench.get("heavy_host_factor")
-    if hf is not None and hhf_agree is not None and hhf_agree > 0 and hf > 0:
-        ratio = max(hf, hhf_agree) / min(hf, hhf_agree)
-        if ratio > 1.5:
+    # r17 closeout: the r16-era cross-tier agreement pin (headline vs
+    # heavy factor within 1.5×) is GONE — measured in one idle hour it
+    # compared different physical conditions (aged parent probe 0.89 s
+    # vs fresh child pre bracket 2.36 s after the same driver-shaped
+    # churn; standalone child pre 1.55 s), so it gated host-window
+    # churn, not contention, and would have failed every realistic
+    # driver run. Its two replacements below gate what it was for:
+    # (1) heavy_host_factor ≤ 1.5 — the child's PRE bracket vs the
+    #     envelope-centered child anchor (Bench.scala
+    #     ParallelProbeChildAnchorSec = 1.9; measured idle envelope
+    #     1.47–2.36 s ⇒ factor 0.77–1.24): tripping requires a pre
+    #     bracket ≳ 2.9 s, outside every measured idle condition.
+    # (2) within-tier post/pre drift ≤ 2.2 — contention arriving UNDER
+    #     the tier; idle runs read 1.1–1.6× (within-tier JVM aging),
+    #     the r17 contended run read 6.5×.
+    hhf_gate = bench.get("heavy_host_factor")
+    if hhf_gate is not None and hhf_gate > 1.5:
+        failures.append(
+            f"bench.json: heavy_host_factor {hhf_gate:.2f} > 1.5 — child "
+            f"pre bracket outside the measured idle envelope; contended "
+            f"tier start, re-run idle (r17 closeout)")
+    hpre, hpost = bench.get("heavy_parallel_pre"), bench.get("heavy_parallel_post")
+    if hpre and hpost and hpre > 0:
+        drift = hpost / hpre
+        if drift > 2.2:
             failures.append(
-                f"bench.json: host_factor {hf:.2f} vs heavy_host_factor "
-                f"{hhf_agree:.2f} disagree by {ratio:.2f}× (> 1.5) — "
-                f"contention changed mid-run; not canonical, re-run "
-                f"(VERDICT r15 #1)")
+                f"bench.json: heavy tier bracket drift {drift:.2f}× "
+                f"(pre {hpre:.2f} s → post {hpost:.2f} s, > 2.2) — "
+                f"contention arrived mid-tier; not canonical, re-run "
+                f"(r17 closeout)")
     # r17 (VERDICT r16 #1a): heavy_host_factor is the median of
     # BracketPasses=3 saturating passes per side; the artifact must
     # carry every pass, and a wide within-side spread means the host
@@ -563,7 +584,7 @@ if bench is not None:
     # nothing and the run is not canonical. Threshold 2.0×: idle calib
     # passes span 0.88–1.39 s (1.6×), a mid-bracket contention swing
     # reads well past 2×.
-    if hhf_agree is not None:
+    if hhf_gate is not None:
         for side in ("heavy_parallel_pre_passes", "heavy_parallel_post_passes"):
             passes = bench.get(side)
             if not isinstance(passes, list) or len(passes) < 3:
