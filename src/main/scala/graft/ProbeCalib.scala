@@ -19,6 +19,26 @@ object ProbeCalib {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Inner mode of the CHILD-condition calibration (below): this IS
+    // the fresh forked JVM. Reproduce Bench's --heavy-tier pre-bracket
+    // condition exactly — ANALYZE, the tier's serial probes, one
+    // discarded warm-up burst — then print BracketPasses measured
+    // passes and their median: the number
+    // [[Bench.ParallelProbeChildAnchorSec]] pins.
+    if (sys.env.get("SPARK_GRAFT_CALIB_CHILD_INNER").contains("1")) {
+      sources.CatalogStats.registerAndAnalyze(spark, sfDir)
+      Bench.probes(sfDir).foreach { case (n, _, run) =>
+        if (Bench.HeavyProbeAnchors.contains(n)) run(spark) }
+      Bench.parallelProbe(spark, sfDir, cpus.toInt) // discarded warm-up
+      val ts = (1 to Bench.BracketPasses).map(_ =>
+        Bench.parallelProbe(spark, sfDir, cpus.toInt))
+      println("child pre-bracket passes: " +
+        ts.map(t => f"$t%.3f").mkString(", ") +
+        f"  median ${Bench.median(ts)}%.3f" +
+        f"  child anchor pinned: ${Bench.ParallelProbeChildAnchorSec}%.3f")
+      spark.stop()
+      return
+    }
     // SPARK_GRAFT_CALIB_ANALYZE=1 reproduces the LATE-session condition
     // (catalog registered+ANALYZEd, Tables.load dispatching through
     // spark.table) so the probe's catalog-contention sensitivity is
@@ -35,6 +55,52 @@ object ProbeCalib {
       times.map(t => f"$t%.3f").mkString(", "))
     println(f"steady median: ${steady.sorted.apply(steady.length / 2)}%.3f  " +
       f"anchor pinned: ${Bench.ParallelProbeAnchorSec}%.3f")
+    // Age this JVM (and the host window) with the full headline suite —
+    // exactly Bench's pre-tier state. Shared by the aged-mode sweep and
+    // the child-condition calibration below.
+    def churnHeadline(s: SparkSession): Unit = {
+      sources.CatalogStats.registerAndAnalyze(s, sfDir)
+      Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
+        try {
+          val df = SparkEntry.queries(name)(s, sfDir)
+          df.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1))).collect()
+        } catch { case e: Throwable =>
+          System.err.println(s"[calib] $name failed: $e") }
+        s.catalog.clearCache()
+        Q.drainCheckpoints(s)
+        System.gc()
+      }
+    }
+    // SPARK_GRAFT_CALIB_CHILD=1 (r17 closeout): calibrate
+    // [[Bench.ParallelProbeChildAnchorSec]] under the condition it
+    // normalizes — a FRESH forked JVM's pre-tier bracket. With
+    // SPARK_GRAFT_CALIB_CHILD_CHURN=1 the parent first runs the full
+    // headline suite, reproducing the driver-shaped host window (the
+    // canonical condition; the closeout measured the fork does NOT
+    // shed host-window churn — standalone 1.55 s vs driver-shaped
+    // 2.36 s in one idle hour). Run both variants idle to re-measure
+    // the envelope whose center the anchor pins.
+    if (sys.env.get("SPARK_GRAFT_CALIB_CHILD").contains("1")) {
+      if (sys.env.get("SPARK_GRAFT_CALIB_CHILD_CHURN").contains("1"))
+        churnHeadline(spark)
+      spark.stop()
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq.filterNot(a =>
+          a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ProbeCalib")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_CALIB_CHILD_INNER", "1")
+      pb.inheritIO()
+      val p = pb.start()
+      p.waitFor()
+      return
+    }
     // SPARK_GRAFT_CALIB_AGE=1 (r17 — VERDICT r16 #1a): the aged-mode
     // sweep that calibrates the heavy-tier bracket condition. All
     // conditions run in ONE JVM in one host window, so their ratios are
@@ -45,19 +111,8 @@ object ProbeCalib {
     // fresh steady state is the design; if none does, the aged/restart
     // median IS the tier anchor distribution.
     if (sys.env.get("SPARK_GRAFT_CALIB_AGE").contains("1")) {
-      sources.CatalogStats.registerAndAnalyze(spark, sfDir)
       var aged = spark
-      Bench.headline.filter(SparkEntry.queries.contains).foreach { name =>
-        try {
-          val df = SparkEntry.queries(name)(aged, sfDir)
-          df.agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1))).collect()
-        } catch { case e: Throwable =>
-          System.err.println(s"[calib] $name failed: $e") }
-        aged.catalog.clearCache()
-        Q.drainCheckpoints(aged)
-        System.gc()
-      }
+      churnHeadline(aged)
       def sweep(label: String): Unit = {
         val ts = (1 to passes).map(_ =>
           Bench.parallelProbe(aged, sfDir, cpus.toInt))

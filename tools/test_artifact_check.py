@@ -155,6 +155,38 @@ for label, shares, want_rc in (("plan-not-normalized", [0.97, 0.95], 1),
     finally:
         shutil.rmtree(tmp)
 
+# 8b. r17 closeout gates, end-to-end: (i) a heavy_host_factor outside
+#     the measured idle envelope (child pre bracket ≳ 2.9 s ⇒ factor
+#     > 1.5) and (ii) within-tier post/pre bracket drift past 2.2×
+#     must each fail BY NAME. Both doctor the committed canonical
+#     bench.json, so the fixtures also pin that the real artifact sits
+#     inside both gates.
+for label, patch, want in (
+        ("child-factor-contended", {"heavy_host_factor": 1.8},
+         "heavy_host_factor"),
+        ("mid-tier-drift", {"heavy_parallel_pre": 1.4,
+                            "heavy_parallel_post": 3.5}, "drift")):
+    tmp = tempfile.mkdtemp()
+    try:
+        for f in ("BENCH_stress.json", "bench_all.json"):
+            shutil.copy(os.path.join(repo, f), os.path.join(tmp, f))
+        doct = json.load(open(os.path.join(repo, "bench.json")))
+        doct.update(patch)
+        json.dump(doct, open(os.path.join(tmp, "bench.json"), "w"))
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "artifact_check.py"),
+             tmp],
+            capture_output=True, text=True)
+        if r.returncode == 0:
+            failures.append(f"{label}: doctored artifact passed the check")
+        elif want not in r.stdout:
+            failures.append(
+                f"{label}: failure output does not name '{want}':\n"
+                f"{r.stdout}")
+    finally:
+        shutil.rmtree(tmp)
+
 # 9. Stress-freshness gate (VERDICT r12 #2): a BENCH_stress.json whose
 #    sweep predates a stress-armed registry row must fail BY NAME —
 #    the silent-staleness class the bench_all newest-row pin already
