@@ -752,8 +752,73 @@ object Curate {
       .orderBy(col("sel_rank"))
   }
 
+  /** Epoch/shard geometry of the `pipeline_shard_plan` row: 2 epochs ×
+    * 8 shards — bounded manifest output (E·S rows) at any sf. At scale
+    * the shard count is the parallelism knob (hundreds of shards for a
+    * 100 TB corpus); the epoch count multiplies planned rows linearly
+    * and real pipelines run one epoch plan at a time. */
+  val ShardEpochs = 2
+  val ShardCount = 8
+
+  /**
+   * Deterministic epoch/shard TRAINING-ORDER planner (r17) — the last
+   * mile between a curated corpus and a data loader: every epoch needs
+   * its own reproducible global permutation of the docs, materialized
+   * as S shard files whose within-shard order the loader consumes
+   * sequentially. Seeded spelling: a doc's per-epoch order key is the
+   * first 15 hex nibbles of md5(doc_id ':e' epoch) decoded by ascii
+   * arithmetic (the [[Dedup.simhashVerdictSketch]] hex→int spelling —
+   * the one both engines share), its shard is that key mod S (balanced
+   * in expectation, load ratio pinned in LlmSpec), and its position is
+   * the rank of the key within the (epoch, shard) — which equals the
+   * seeded global order restricted to the shard, so concatenating
+   * shards in key order replays one global permutation per epoch, and
+   * different epochs get independent permutations from the same seed
+   * family. Every step is integer-deterministic in both engines.
+   *
+   * Scale shape: one E-way explode, per-row hash arithmetic, ONE
+   * window keyed by (epoch, shard) — the n/S-row in-shard sort is the
+   * irreducible cost of materializing a training order, and S is the
+   * knob that sizes it — and a final E·S-row aggregate. No joins, no
+   * global window, nothing driver-side.
+   */
+  def shardAssign(docs: DataFrame, epochs: Int, shards: Int): DataFrame = {
+    def dig(i: Int) = {
+      val a = ascii(substring(col("h"), i + 1, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+    }
+    val ordExpr = (0 until 15)
+      .map(i => dig(i) * lit(1L << (4 * (14 - i)))).reduce(_ + _)
+    val wPos = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"))
+      .withColumn("epoch",
+        explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
+      .withColumn("h", md5(concat(col("doc_id").cast("string"),
+        lit(":e"), col("epoch").cast("string"))))
+      .withColumn("ord", ordExpr)
+      .withColumn("shard", col("ord") % shards)
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shard"), col("ord"),
+        col("pos"))
+  }
+
+  /** The loader-facing manifest over [[shardAssign]]: per (epoch,
+    * shard) the doc count and a permutation checksum Σ pos·doc_id —
+    * additive (scale-safe distributive agg, never a collect of shard
+    * members) yet order-pinning: transposing docs a≠b between
+    * positions p≠q shifts the sum by (a−b)(p−q) ≠ 0, so the oracle
+    * hash certifies the entire permutation through E·S rows. */
+  def shardManifest(docs: DataFrame): DataFrame =
+    shardAssign(docs, ShardEpochs, ShardCount)
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("perm_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
+    "pipeline_shard_plan" -> ((s, d) => shardManifest(Tables.documents(s, d))),
     "curate_dsir" -> ((s, d) => dsirSelect(Tables.documents(s, d), DsirTargetLang, 0.25)),
     "pipeline_pack" -> ((s, d) => pack(Tables.documents(s, d))),
     "pipeline_rag" -> ((s, d) => ragPrep(Tables.documents(s, d))),
@@ -836,6 +901,34 @@ object Curate {
 
   val oracleSql: Map[String, String] = Map(
     "decontaminate_semantic" -> SemanticDecontOracleSql,
+
+    // The exact [[shardAssign]] spelling: per-epoch order key = 15-
+    // nibble ascii decode of md5(doc_id ':e' epoch), shard = key mod
+    // ShardCount, pos = rank within (epoch, shard), checksum =
+    // Σ pos·doc_id. Geometry interpolated from the Scala constants.
+    "pipeline_shard_plan" -> {
+      def dig(i: Int): String =
+        s"(CASE WHEN ASCII(SUBSTR(h,${i + 1},1)) >= 97 " +
+          s"THEN ASCII(SUBSTR(h,${i + 1},1)) - 87 " +
+          s"ELSE ASCII(SUBSTR(h,${i + 1},1)) - 48 END)"
+      val ordExpr = (0 until 15)
+        .map(i => s"CAST(${dig(i)} AS BIGINT) * ${1L << (4 * (14 - i))}")
+        .mkString(" + ")
+      val epochList = (0 until ShardEpochs).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT CAST(UNNEST($epochList) AS BIGINT) AS epoch),
+         | a AS (SELECT d.doc_id, e.epoch,
+         |    MD5(CAST(d.doc_id AS VARCHAR) || ':e' ||
+         |        CAST(e.epoch AS VARCHAR)) AS h
+         |   FROM documents d CROSS JOIN e),
+         | o AS (SELECT doc_id, epoch, $ordExpr AS ord FROM a),
+         | p AS (SELECT epoch, doc_id, ord % $ShardCount AS shard,
+         |    ROW_NUMBER() OVER (PARTITION BY epoch, ord % $ShardCount
+         |                       ORDER BY ord, doc_id) AS pos
+         |   FROM o)
+         |SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |   CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum
+         |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+    },
 
     // Sequential formulation of the same models + the same rounded
     // ranking key; the two-phase distributed rank is value-identical.

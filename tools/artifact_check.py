@@ -683,7 +683,8 @@ if ball is not None:
                    "embed_lshpairs_verdict",
                    # r17 rows
                    "text_cms_topk_verdict", "ann_pq_verdict",
-                   "decontaminate_semantic", "layout_compact"):
+                   "decontaminate_semantic", "layout_compact",
+                   "pipeline_shard_plan"):
         if newest not in qs:
             failures.append(
                 f"bench_all.json: registry row '{newest}' absent — sweep "
