@@ -816,6 +816,28 @@ object Curate {
         sum(col("pos") * col("doc_id")).as("perm_checksum"))
       .orderBy(col("epoch"), col("shard"))
 
+  /** Execute ONE epoch of the shard plan against a documents frame —
+    * the [[graft.operators.Layout.compactWrite]] symmetry (plan rows
+    * are oracle-checked; the write path is round-trip-tested): join
+    * each doc to its (shard, pos), hash-colocate every shard onto one
+    * task, and write hive-partitioned by shard with rows in pos order
+    * — each `shard=<k>/` directory gets exactly ONE file whose row
+    * order IS the epoch's planned training order restricted to that
+    * shard (two shards hashing to one task still split into one file
+    * each under partitionBy). The doc↔assignment self-join is a keyed
+    * equi join on doc_id — broadcastable at verify sf, shuffle at
+    * scale. Returns the shard count for the round-trip assertion. */
+  def shardWrite(docs: DataFrame, epoch: Int, path: String): Int = {
+    val assign = shardAssign(docs, epoch + 1, ShardCount)
+      .filter(col("epoch") === epoch)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    docs.join(assign, Seq("doc_id"))
+      .repartition(ShardCount, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    ShardCount
+  }
+
   val queries: Map[String, QFn] = Map(
     "pipeline_curate" -> ((s, d) => curate(Tables.documents(s, d))),
     "pipeline_shard_plan" -> ((s, d) => shardManifest(Tables.documents(s, d))),

@@ -1331,4 +1331,40 @@ class LlmSpec extends SparkSpec {
         s"epoch permutations nearly identical ($unchanged of $n fixed)")
     } finally assign.unpersist()
   }
+
+  test("shardWrite round trip: one file per shard, planned pos order " +
+    "materialized, corpus complete (r17)") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_")
+    try {
+      val s = Curate.shardWrite(docs, 0, dir.toString)
+      val shardDirs = dir.toFile.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      // Every shard present (non-emptiness at this geometry is pinned
+      // by the plan test above) and exactly ONE data file each — the
+      // loader contract: a shard is one sequential read.
+      assert(shardDirs.length == s, s"expected $s shard dirs")
+      shardDirs.foreach { sd =>
+        val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${sd.getName}: ${files.length} files (want 1)")
+      }
+      // Within each shard file, physical row order IS pos order (a
+      // single small file reads as one ordered split).
+      shardDirs.foreach { sd =>
+        val pos = spark.read.parquet(sd.toString)
+          .select(col("pos")).collect().map(_.getLong(0))
+        assert(pos.sameElements(pos.sorted),
+          s"${sd.getName}: rows not in planned pos order")
+      }
+      // The epoch covers the corpus exactly once.
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() == docs.count(), "row count changed in write")
+      assert(back.select(col("doc_id")).distinct().count() == docs.count(),
+        "duplicate docs across shards")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
 }
