@@ -56,8 +56,13 @@ object TimeOne {
       val m = metricsListener.snapshotAndReset()
       val strat = Bench.joinStrategies(agg.queryExecution.executedPlan.toString)
       timedLabel.foreach { lbl =>
+        // stages + shuffle bytes (r17): the optimization rounds' primary
+        // A/B evidence — "2 Exchange → 1" claims need the stage count
+        // and shuffled volume, not just wall seconds.
         println(f"[timeone] $lbl $query%-24s ${sec}%7.2f s rows=$rows%-9d " +
-          f"cpu=${m.cpuShare}%5.2f  $strat")
+          f"cpu=${m.cpuShare}%5.2f stages=${m.stages}%-4d " +
+          f"shufMB=${(m.shuffleReadBytes + m.shuffleWriteBytes) / 1e6}%8.1f  " +
+          f"$strat")
       }
       spark.catalog.clearCache()
       Q.drainCheckpoints(spark)
