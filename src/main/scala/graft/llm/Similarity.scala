@@ -487,6 +487,22 @@ object Similarity {
     * and the monotonicity property below is within-seed by nature. */
   private[graft] def refineRound(eOwned: graft.Q.Owned, edges: graft.Q.Owned,
       k: Int): graft.Q.Owned = {
+    val (plan, und) = refineRoundPlan(eOwned, edges, k)
+    val next = graft.Q.ownPersist(plan)
+    next.df.count()
+    und.release()
+    next
+  }
+
+  /** The round as a LAZY plan plus the round's internal adjacency cache
+    * (r17 optimization round; guide §1.2/§2.4). Split from
+    * [[refineRound]] so [[knnGraphNndBody]] can `localCheckpoint` the
+    * plan DIRECTLY — one materialization pass per round instead of the
+    * pre-r17 persist+count inside refineRound followed by a second
+    * cache-read pass into the checkpoint. The caller must release the
+    * returned adjacency cache once the plan is materialized. */
+  private[graft] def refineRoundPlan(eOwned: graft.Q.Owned,
+      edges: graft.Q.Owned, k: Int): (DataFrame, graft.Q.Owned) = {
     val wCap = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
     // Degree-capped undirected adjacency: ≤ 2k rows per node, ranked
@@ -494,9 +510,18 @@ object Similarity {
     // own out-edges outranked by ≥ 2k stronger in-pointers, which is
     // why the candidate pool below re-includes the uncapped current
     // edges; the cap's job is only to bound the closure join.
+    // ONE exchange for dedup + rank (r17, guide §2.4 "share one
+    // exchange"): an explicit repartition by src satisfies BOTH the
+    // (src, dst) grouped dedup (clustering by a key subset co-locates
+    // every (src, dst) group) and the per-src rank window — the
+    // pre-r17 shape paid two back-to-back exchanges, hash(src, dst)
+    // then hash(src), over the same 2·n·2k-row stream. Same rows out:
+    // the dedup and the (cos desc, dst)-ordered rank are deterministic
+    // under any physical layout.
     val und = graft.Q.ownPersist(edges.df
       .union(edges.df.select(col("dst").as("src"), col("src").as("dst"),
         col("cos_sim")))
+      .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
       .withColumn("cr", row_number().over(wCap))
       .filter(col("cr") <= 2 * k)
@@ -513,13 +538,21 @@ object Similarity {
     // exact-top-k — per-src recall is MONOTONE non-decreasing across
     // rounds by construction (r11 review pass; pinned by LlmSpec's
     // per-src monotonicity test).
+    // Candidate dedup + final rank share ONE exchange too (r17, same
+    // §2.4 move as `und` above): repartition the union by src, then
+    // the (src, dst) dedup AND the downstream per-src top-k window —
+    // the broadcast embedding attaches preserve partitioning — all run
+    // inside that one shuffle. The pre-r17 shape exchanged the widest
+    // frame of the round (the ≤ 4·n·k² candidate stream) twice:
+    // hash(src, dst) for distinct(), hash(src) for the window.
     val cand = und.df.as("x").join(und.df.as("y"),
         col("x.dst") === col("y.src"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .union(und.df)
       .union(edges.df.select(col("src"), col("dst")))
-      .distinct()
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
     // Embedding attach via Q.maybeBroadcast (r12, found at stress s30):
     // the per-vector side (~300 B/row) outgrows Spark's auto-broadcast
     // estimate from ~30 k vectors, so unhinted these joins sort-merge —
@@ -540,13 +573,11 @@ object Similarity {
           .as("cos_sim"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
-    val next = graft.Q.ownPersist(scored
+    val plan = scored
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .select(col("src"), col("dst"), col("cos_sim")))
-    next.df.count()
-    und.release()
-    next
+      .select(col("src"), col("dst"), col("cos_sim"))
+    (plan, und)
   }
 
   /**
@@ -733,18 +764,22 @@ object Similarity {
     scored.release()
     var r = 0
     while (r < rounds) {
-      val next = refineRound(eOwned, graft.Q.Owned(edges, owned = false),
-        kWork)
-      // Truncate the round's lineage off its own fresh cache (a cache
-      // read, not a recompute), then drop the persist. The new
-      // checkpoint is a complete snapshot, so the PREVIOUS round's
-      // checkpoint blocks are dead — unpersist them instead of leaking
-      // one edge frame per round for the session lifetime (ADVICE r13;
-      // clearCache cannot see checkpoint blocks).
-      val ck = next.df.localCheckpoint(true)
+      // One materialization per round (r17): checkpoint the round PLAN
+      // directly — the eager localCheckpoint both truncates lineage and
+      // materializes, so the pre-r17 persist+count inside refineRound
+      // followed by a cache-read pass into the checkpoint paid a whole
+      // extra pass over the edge frame every round. The new checkpoint
+      // is a complete snapshot, so the PREVIOUS round's checkpoint
+      // blocks are dead — unpersist them instead of leaking one edge
+      // frame per round for the session lifetime (ADVICE r13;
+      // clearCache cannot see checkpoint blocks); the round's internal
+      // adjacency cache is released once the checkpoint materializes.
+      val (plan, und) = refineRoundPlan(eOwned,
+        graft.Q.Owned(edges, owned = false), kWork)
+      val ck = plan.localCheckpoint(true)
+      und.release()
       org.apache.spark.sql.GraftShims.unpersistLeafRdd(edges)
       edges = ck
-      next.release()
       r += 1
     }
     // Same output shape/ordering as knnGraph/knnGraphBlocked/
@@ -1122,23 +1157,30 @@ object Similarity {
       .select(col("vec_id").cast("long")).collect().map(_.getLong(0))
     val seedRank = broadcast(
       seedIds.zipWithIndex.toSeq.toDF("vec_id", "cl"))
-    var centroids = emb
+    // Driver-held centroid relation (r17 optimization round; guide §1.2
+    // "remove unnecessary passes"): the centroid frame is ≤ k ≤ 4096
+    // rows and every round COLLECTS it anyway (the assign kernel packs
+    // a float matrix driver-side), so each round's means are collected
+    // straight off the aggregation plan and re-rooted as a LOCAL
+    // relation — one job per Lloyd round where the pre-r17 loop paid
+    // an eager localCheckpoint job (block-manager write of k rows)
+    // PLUS the collect that re-read it. meanByCluster's plan — and
+    // therefore every partial-aggregation add order — is unchanged, so
+    // the centroid doubles are bit-identical; the k-row driver hold is
+    // the same bounded class as the seed-id fetch above.
+    def localize(cdf: DataFrame): DataFrame = {
+      val rows = cdf.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), cdf.schema)
+    }
+    var centroids = localize(emb
       .join(seedRank, "vec_id")
       .select(col("cl"),
-        expr("transform(embedding, x -> cast(x as double))").as("centroid"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // truncate per-round lineage, as in connectedComponents; the new
-      // eager checkpoint supersedes the previous round's, whose blocks
-      // are unpersisted here (ADVICE r13 — clearCache can't see them)
-      val next = meanByCluster(assignClusters(emb, centroids))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftShims.unpersistLeafRdd(centroids)
-      centroids = next
-    }
-    // final checkpoint backs every downstream read of the trained
-    // centroids — reaped by the runner's post-materialization drain
-    graft.Q.registerCheckpoint(centroids)
+        expr("transform(embedding, x -> cast(x as double))").as("centroid")))
+    for (_ <- 1 to iters)
+      centroids = localize(meanByCluster(assignClusters(emb, centroids)))
+    // A local relation needs no checkpoint registration — there are no
+    // executor-side blocks for the runner drain to reap.
+    centroids
   }
 
   /**
