@@ -136,9 +136,21 @@ object Graph {
 
   private def pagerankImpl(edges: DataFrame, iters: Int,
       seeds: Option[DataFrame], weighted: Boolean = false): DataFrame = {
+    // Persisted PRE-PARTITIONED by src (r17 optimization round; guide
+    // §2.4 — the Scaladoc's "on a real cluster the edge table would be
+    // bucketed by src" realized in-session): every one of the `iters`
+    // contribution joins keys on src, and a cache that already carries
+    // hash(src) partitioning satisfies that join's distribution — the
+    // pre-r17 plan re-exchanged the whole cached edge table EVERY
+    // round (the only O(|E|) shuffle in the loop; the rank/info sides
+    // were already co-partitioned by node). One up-front shuffle at
+    // persist time buys `iters` exchange-free reads; outdeg's
+    // groupBy(src) reuses the same layout. Values are untouched —
+    // physical layout only, every oracle hash unchanged.
     val e = Q.ownPersist(
-      if (weighted) edges.select(col("src"), col("dst"), col("w"))
+      (if (weighted) edges.select(col("src"), col("dst"), col("w"))
       else edges.select(col("src"), col("dst")))
+        .repartition(col("src")))
     // Weighted mode: outdeg becomes the node's total out-WEIGHT, and
     // the per-edge contribution multiplies the floored per-weight-unit
     // share by the edge weight. Positive weights are a correctness
@@ -235,24 +247,50 @@ object Graph {
         s"(CASE WHEN is_seed THEN dm div ${nS}L ELSE 0L END)"
       case None => s"(dm div ${n}L)"
     }
-    var ranks = info.df.select(col("node"), lit(scale).as("rank"))
+    // r17 optimization round (guide §1.2 "remove unnecessary passes"):
+    // the STATIC node attributes (outdeg, is_seed) ride the iterated
+    // rank frame instead of being re-joined every round — the pre-r17
+    // loop paid two joins per round (ranks ⋈ info for the degree,
+    // nodeSpine ⋈ contribs for the verdict spine, where nodeSpine
+    // itself re-ran the seed broadcast join each round); now each
+    // round is ONE join of the rank frame with the edge cache plus the
+    // spine attach of the contribution aggregate. The recurrence is
+    // untouched — identical operands, identical floor arithmetic —
+    // so every oracle hash is unchanged; the checkpointed frame is
+    // two longs wider, a size: n·16-byte cost traded for ~2 plan
+    // stages (one broadcast build + one join) per round.
+    val hasDangling = info.df.filter(col("outdeg") === 0).limit(1).count() > 0
+    var ranks = nodeSpine.join(info.df, Seq("node"))
+      .select(col("node"), col("outdeg"), col("is_seed"),
+        lit(scale).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(info.df, Seq("node"))
-      val dangling = withDeg.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
-      val contribs = withDeg.filter(col("outdeg") > 0)
+      val contribs = ranks.filter(col("outdeg") > 0)
         .join(e.df, col("node") === col("src"))
         .select(col("dst"), expr(
           if (weighted) "(rank div outdeg) * w" else "rank div outdeg")
           .as("c"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+      val spine = ranks.select(col("node"), col("outdeg"), col("is_seed"))
+        .join(contribs, Seq("node"), "left")
+      // Dangling-free graphs (every kNN graph — outdeg is structurally
+      // k — and the symmetric co-purchase graphs) skip the per-round
+      // dangling aggregate + 1-row broadcast outright: with no node at
+      // outdeg 0, dm is identically 0 every round, so a constant 0
+      // column is bit-identical to the aggregate (r17; guide §1.2
+      // "don't compute things you throw away"). Graphs with real
+      // dangling mass (the purchase digraph's supplier side) keep the
+      // exact aggregate.
+      val withDm =
+        if (hasDangling) {
+          val dangling = ranks.filter(col("outdeg") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+          spine.crossJoin(broadcast(dangling))
+        } else spine.withColumn("dm", lit(0L))
       // Eager per-round localCheckpoint truncates the iterative lineage
       // (else the 10-round plan explodes, as every fixpoint here learned).
-      val next = nodeSpine
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"), (teleCol +
+      val next = withDm
+        .select(col("node"), col("outdeg"), col("is_seed"), (teleCol +
           expr(s"(85 * (coalesce(s, 0L) + $dangExpr)) div 100")).as("rank"))
         .localCheckpoint(true)
       // `next` is eagerly materialized (a complete snapshot), so the
@@ -265,8 +303,9 @@ object Graph {
     seedInfo.foreach(_._1.release())
     e.release(); info.release()
     // The FINAL checkpoint backs the returned (lazy) frame — reaped by
-    // the runner's post-materialization drain, not here.
-    Q.registerCheckpoint(ranks)
+    // the runner's post-materialization drain, not here; the static
+    // columns are projected away so the returned shape is unchanged.
+    Q.registerCheckpoint(ranks).select(col("node"), col("rank"))
   }
 
   /** Hop cap for [[bfsFrom]]: fixed so the output is deterministic and
@@ -518,12 +557,20 @@ object Graph {
       d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
+    // Pair-key dedup + weight count share ONE exchange (r17
+    // optimization round; guide §2.4): repartitioning the pair fan by
+    // (doc_a, doc_b) satisfies BOTH the (ok, doc_a, doc_b) distinct
+    // (clustering by a key subset co-locates every group) and the
+    // (doc_a, doc_b) weight aggregate — the pre-r17 shape exchanged
+    // the fan twice, hash(ok, doc_a, doc_b) then hash(doc_a, doc_b).
+    // Same rows out: dedup and count are layout-independent.
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_orderkey").as("ok"),
         col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
-      .distinct()
+      .repartition(col("doc_a"), col("doc_b"))
+      .dropDuplicates("ok", "doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
