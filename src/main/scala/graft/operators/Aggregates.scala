@@ -188,12 +188,21 @@ object Aggregates {
       // Exact interpolated percentiles (DuckDB QUANTILE_CONT twin); both
       // engines interpolate linearly — rounded 4dp since the two
       // formulations differ in final-ulp arithmetic.
+      // ONE multi-percentile aggregate (r17 optimization round; guide
+      // §1.2 per-task work): three separate percentile() calls are
+      // three ImperativeAggregates, each buffering and sorting EVERY
+      // group value — the array form shares one buffer and one sort,
+      // and Spark's Percentile evaluates single and multiple
+      // percentages through the same interpolation, so the rounded
+      // values (and the oracle hash) are bit-identical.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(
-          Q.r4(percentile(col("l_extendedprice"), lit(0.25))).as("p25"),
-          Q.r4(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
-          Q.r4(percentile(col("l_extendedprice"), lit(0.95))).as("p95"))
+        .agg(expr(
+          "percentile(l_extendedprice, array(0.25D, 0.5D, 0.95D))").as("ps"))
+        .select(col("l_returnflag"),
+          Q.r4(element_at(col("ps"), 1)).as("p25"),
+          Q.r4(element_at(col("ps"), 2)).as("p50"),
+          Q.r4(element_at(col("ps"), 3)).as("p95"))
         .orderBy(col("l_returnflag"))
     }),
 
