@@ -619,14 +619,22 @@ object Similarity {
    */
   def knnGraphRefine(emb: DataFrame, k: Int, rounds: Int = 2): DataFrame = {
     val eOwned = graft.Q.ownPersist(refineEmbFrame(emb))
-    var edges = graft.Q.ownPersist(knnGraphBlocked(emb, k)
-      .select(col("src"), col("dst"), col("cos_sim")))
-    edges.df.count()
+    // One materialization per round (r17, the knnGraphNndBody shape):
+    // seed and rounds are eager localCheckpoints — the pre-r17 loop
+    // persisted+counted each round inside refineRound, a second full
+    // pass per round; checkpointing the round PLAN materializes once
+    // and truncates the (blocked-seed-sized) lineage as a bonus.
+    var edges = knnGraphBlocked(emb, k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+      .localCheckpoint(true)
     var r = 0
     while (r < rounds) {
-      val next = refineRound(eOwned, edges, k)
-      edges.release()
-      edges = next
+      val (plan, und) = refineRoundPlan(eOwned,
+        graft.Q.Owned(edges, owned = false), k)
+      val ck = plan.localCheckpoint(true)
+      und.release()
+      org.apache.spark.sql.GraftShims.unpersistLeafRdd(edges)
+      edges = ck
       r += 1
     }
     // Final ranking only — the rounds carry exact cos_sim with them, so
@@ -634,14 +642,13 @@ object Similarity {
     // knnGraphBlocked, making the three arms drop-in twins.
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos_sim").desc, col("dst"))
-    val out = edges.df
+    // The final checkpoint backs the returned lazy frame — registered
+    // for the runner's post-materialization drain (ADVICE r13); the
+    // embedding cache is runner-released per the documented handle-leak
+    // convention (ADVICE r10), as is knnGraphBlocked's assigned cache.
+    graft.Q.registerCheckpoint(edges)
       .withColumn("rn", row_number().over(w).cast("long"))
       .orderBy(col("src"), col("rn"))
-    // The result is consumed (materialized) by the caller; the two live
-    // caches (final edges, embeddings) are released by the runner's
-    // per-query clearCache — documented handle leak, same convention as
-    // knnGraphBlocked's assigned cache (ADVICE r10).
-    out
   }
 
   /**
