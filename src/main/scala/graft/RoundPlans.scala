@@ -58,11 +58,76 @@ object RoundPlans {
         roundPlan.queryExecution.explainString(
           ExplainMode.fromString("formatted")))
     und.release()
+    // (a') the PRE-r17 round spelling, reconstructed VERBATIM from git
+    // history (commit 8f0c024: groupBy(src,dst) then window(src) — two
+    // exchanges — on both the adjacency and the candidate pool) so the
+    // committed before/after plan pair shows the exchange sharing.
+    if (suffix == "before") {
+      import org.apache.spark.sql.expressions.Window
+      val k = 3
+      val wCap = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst"))
+      val undOld = Q.ownPersist(seed
+        .union(seed.select(col("dst").as("src"), col("src").as("dst"),
+          col("cos_sim")))
+        .groupBy(col("src"), col("dst")).agg(max(col("cos_sim")).as("cos_sim"))
+        .withColumn("cr", row_number().over(wCap))
+        .filter(col("cr") <= 2 * k)
+        .select(col("src"), col("dst")))
+      undOld.df.count()
+      val candOld = undOld.df.as("x").join(undOld.df.as("y"),
+          col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(undOld.df)
+        .union(seed.select(col("src"), col("dst")))
+        .distinct()
+      val sidesA = Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("sq").as("sqa")))
+      val sidesB = Q.maybeBroadcast(eOwned.df.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("sq").as("sqb")))
+      val scoredOld = candOld.join(sidesA, Seq("src")).join(sidesB, Seq("dst"))
+        .select(col("src"), col("dst"),
+          llm.Similarity.cos4Pre(
+            graft.plans.VectorExprs.dotF32(col("ea"), col("eb")),
+            col("sqa"), col("sqb")).as("cos_sim"))
+      val planOld = scoredOld
+        .withColumn("rn", row_number().over(wCap).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("src"), col("dst"), col("cos_sim"))
+      write("refine_round",
+        "== PRE-r17 refineRound spelling (reconstructed verbatim from " +
+          "commit 8f0c024) over the same checkpointed exact-kNN seed, " +
+          "k=3 ==\n" +
+          planOld.queryExecution.explainString(
+            ExplainMode.fromString("formatted")))
+      undOld.release()
+    }
     // (b) the co-purchase edge build.
     write("copurchase_edges",
       "== Graph.copurchaseEdges plan ==\n" +
         llm.Graph.copurchaseEdges(spark, sfDir).queryExecution
           .explainString(ExplainMode.fromString("formatted")))
+    // (b') the PRE-r17 co-purchase spelling (distinct then groupBy, two
+    // exchanges), reconstructed verbatim for the same comparison.
+    if (suffix == "before") {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val oldEdges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("ok"),
+          col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
+        .distinct()
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      write("copurchase_edges",
+        "== PRE-r17 copurchaseEdges spelling (reconstructed verbatim " +
+          "from commit 8f0c024) ==\n" +
+          oldEdges.queryExecution.explainString(
+            ExplainMode.fromString("formatted")))
+    }
     spark.catalog.clearCache()
     Q.drainCheckpoints(spark)
     spark.stop()

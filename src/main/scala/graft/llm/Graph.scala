@@ -557,20 +557,23 @@ object Graph {
       d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
-    // Pair-key dedup + weight count share ONE exchange (r17
-    // optimization round; guide §2.4): repartitioning the pair fan by
-    // (doc_a, doc_b) satisfies BOTH the (ok, doc_a, doc_b) distinct
-    // (clustering by a key subset co-locates every group) and the
-    // (doc_a, doc_b) weight aggregate — the pre-r17 shape exchanged
-    // the fan twice, hash(ok, doc_a, doc_b) then hash(doc_a, doc_b).
-    // Same rows out: dedup and count are layout-independent.
+    // Plan-audited r17 (optimization round, guide §2.4) and left in the
+    // ORIGINAL spelling deliberately: the (ok, doc_a, doc_b) distinct
+    // already runs EXCHANGE-FREE — the within-order join's
+    // hash(l_orderkey) output clustering satisfies the distinct's
+    // (ok, …) requirement by the key-subset rule — so the fan is
+    // DEDUPED before the only real exchange (hash(doc_a, doc_b) into
+    // the weight agg). An attempted repartition(doc_a, doc_b)-shared
+    // spelling shipped the RAW fan through that exchange instead of
+    // the deduped one (plans/r17/copurchase_edges_{before,after}.txt:
+    // 3 exchanges either way, strictly more bytes repartitioned) and
+    // was reverted.
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_orderkey").as("ok"),
         col("a.l_partkey").as("doc_a"), col("b.l_partkey").as("doc_b"))
-      .repartition(col("doc_a"), col("doc_b"))
-      .dropDuplicates("ok", "doc_a", "doc_b")
+      .distinct()
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
