@@ -685,20 +685,39 @@ object Dedup {
     // unpersisted when its successor checkpoint materializes; the last
     // one is registered for the runner's drain (ADVICE r13).
     var pendingCkpt: org.apache.spark.sql.DataFrame = null
-    // One fixpoint step: build the round's candidate-label union via
-    // `branches`, hash-agg the min per doc, count how many labels
-    // strictly decreased, and swap the label cache. The old label
-    // rides the union as a tagged third column (candidate branches
-    // carry null), so the step's own hash agg yields BOTH the new min
-    // label and the label it replaced — the changed-count never needs
-    // a second join+count action over the full label set (VERDICT r8
-    // item 4): each step is exactly one job, one shuffle round.
+    // One fixpoint step: hash-agg the round's candidate labels from
+    // `branches` to a per-doc min, LEFT-JOIN that onto the label frame
+    // keyed on doc, take the least of (own, candidate) label, count how
+    // many strictly decreased, and swap the label cache. r18 (VERDICT
+    // r17 #3): the pre-r18 spelling unioned the full label frame into
+    // the candidate agg, which forced the step's one exchange to carry
+    // candidates PLUS all n label rows — a union's output has no
+    // partitioning, so the labels' own hash(doc) layout (preserved
+    // across steps by the flattenToLeaf/localCheckpoint partitioning
+    // claim in GraftShims) was re-shuffled every step. The join form
+    // exchanges only the candidate stream: the label side streams
+    // exchange-free on its claimed layout, and the SHUFFLE_HASH hint
+    // keeps the probe sort-free and broadcast-free (one build of the
+    // candidate min per partition — the same per-partition hash-map
+    // class as the old agg; a broadcast here would both add a per-step
+    // build job and hold the n-row label min on the driver). Outputs
+    // are identical: every doc appears exactly once either way (the
+    // old self-leg / the left join), candidate docs are a subset of the
+    // label universe (propagate emits edge srcs; jump emits label docs;
+    // hook emits label VALUES, which are themselves doc ids), min over
+    // union-with-self ≡ least(own, min-of-candidates), and the old
+    // label rides the join's left side directly instead of as a tagged
+    // union column. The changed-count still needs no second action
+    // (VERDICT r8 item 4): each step is exactly one job, one shuffle
+    // round — now over candidate rows only.
     def advance(branches: DataFrame => DataFrame): Long = {
-      val self = labels.select(col("doc"), col("lbl"),
-        col("lbl").as("old"))
-      val next = branches(labels).union(self)
+      val candMin = branches(labels)
         .groupBy(col("doc"))
-        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+        .agg(min(col("lbl")).as("cand"))
+      val next = labels.join(candMin.hint("shuffle_hash"), Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
         .withColumn("chg", (col("lbl") < col("old")).cast("long"))
         .persist()
       val chgRow = next.agg(sum(col("chg"))).first()
@@ -728,7 +747,11 @@ object Dedup {
           // checkpoint is a complete snapshot, so the previous one's
           // blocks are dead — unpersist instead of leaking one label
           // frame per 8 steps for the session lifetime (ADVICE r13).
-          val ck = flat.localCheckpoint(true)
+          // r18: the partitioning-preserving spelling — a stock
+          // localCheckpoint would drop the label layout and re-insert
+          // the per-step label exchange for the following 8 steps.
+          val ck = org.apache.spark.sql.GraftShims
+            .localCheckpointKeepPartitioning(flat)
           if (pendingCkpt != null)
             org.apache.spark.sql.GraftShims.unpersistLeafRdd(pendingCkpt)
           pendingCkpt = ck
@@ -750,21 +773,18 @@ object Dedup {
     // graph).
     val propagate = (l: DataFrame) =>
       edges.join(l, col("dst") === col("doc"))
-        .select(col("src").as("doc"), col("lbl"),
-          lit(null).cast("long").as("old"))
+        .select(col("src").as("doc"), col("lbl"))
     val jump = (l: DataFrame) => {
       val parents = l.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
       l.join(parents, col("lbl") === col("p_doc"))
-        .select(col("doc"), col("p_lbl").as("lbl"),
-          lit(null).cast("long").as("old"))
+        .select(col("doc"), col("p_lbl").as("lbl"))
     }
     val hook = (l: DataFrame) => {
       val ls = l.select(col("doc").as("s_doc"), col("lbl").as("s_lbl"))
       val ld = l.select(col("doc").as("d_doc"), col("lbl").as("d_lbl"))
       edges.join(ls, col("src") === col("s_doc"))
         .join(ld, col("dst") === col("d_doc"))
-        .select(col("s_lbl").as("doc"), col("d_lbl").as("lbl"),
-          lit(null).cast("long").as("old"))
+        .select(col("s_lbl").as("doc"), col("d_lbl").as("lbl"))
     }
     // The fixpoint (see the Scaladoc). Phase 1: pure min-label for up
     // to `ccJumpAfter` rounds — tiny-diameter near-dup graphs converge

@@ -260,10 +260,23 @@ object Graph {
     // two longs wider, a size: n·16-byte cost traded for ~2 plan
     // stages (one broadcast build + one join) per round.
     val hasDangling = info.df.filter(col("outdeg") === 0).limit(1).count() > 0
-    var ranks = nodeSpine.join(info.df, Seq("node"))
-      .select(col("node"), col("outdeg"), col("is_seed"),
-        lit(scale).as("rank"))
-      .localCheckpoint(true)
+    // r18 (VERDICT r17 #3): the rank frame is seeded hash(node)-
+    // partitioned and every round's checkpoint PRESERVES that layout
+    // (GraftShims.localCheckpointKeepPartitioning — a stock
+    // localCheckpoint leaf reports UnknownPartitioning, so each round
+    // re-exchanged the n-row rank frame it had just written out on the
+    // very key it was already laid out on). With the claim in place the
+    // round's two rank-side consumers — the contribution join against
+    // the hash(src) edge cache and the spine attach of the hash(node)
+    // contribution aggregate — are exchange-free on the rank side when
+    // they plan as shuffle joins (the 100 TB shape; at sf0.1 they
+    // broadcast and the claim simply rides along). One up-front n-row
+    // exchange buys `iters` exchange-free rounds.
+    var ranks = org.apache.spark.sql.GraftShims.localCheckpointKeepPartitioning(
+      nodeSpine.join(info.df, Seq("node"))
+        .select(col("node"), col("outdeg"), col("is_seed"),
+          lit(scale).as("rank"))
+        .repartition(col("node")))
     for (_ <- 1 to iters) {
       val contribs = ranks.filter(col("outdeg") > 0)
         .join(e.df, col("node") === col("src"))
@@ -287,12 +300,14 @@ object Graph {
             .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
           spine.crossJoin(broadcast(dangling))
         } else spine.withColumn("dm", lit(0L))
-      // Eager per-round localCheckpoint truncates the iterative lineage
-      // (else the 10-round plan explodes, as every fixpoint here learned).
-      val next = withDm
-        .select(col("node"), col("outdeg"), col("is_seed"), (teleCol +
-          expr(s"(85 * (coalesce(s, 0L) + $dangExpr)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      // Eager per-round checkpoint truncates the iterative lineage
+      // (else the 10-round plan explodes, as every fixpoint here
+      // learned); the partitioning-preserving spelling keeps the
+      // spine join's hash(node) layout on the leaf (r18 — see the
+      // seed checkpoint above).
+      val next = org.apache.spark.sql.GraftShims.localCheckpointKeepPartitioning(
+        withDm.select(col("node"), col("outdeg"), col("is_seed"), (teleCol +
+          expr(s"(85 * (coalesce(s, 0L) + $dangExpr)) div 100")).as("rank")))
       // `next` is eagerly materialized (a complete snapshot), so the
       // previous round's checkpoint blocks are dead — unpersist them
       // instead of leaking one rank frame per round for the session

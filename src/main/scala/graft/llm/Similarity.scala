@@ -624,14 +624,23 @@ object Similarity {
     // persisted+counted each round inside refineRound, a second full
     // pass per round; checkpointing the round PLAN materializes once
     // and truncates the (blocked-seed-sized) lineage as a bonus.
-    var edges = knnGraphBlocked(emb, k)
-      .select(col("src"), col("dst"), col("cos_sim"))
-      .localCheckpoint(true)
+    var edges = org.apache.spark.sql.GraftShims.localCheckpointKeepPartitioning(
+      knnGraphBlocked(emb, k)
+        .select(col("src"), col("dst"), col("cos_sim")))
     var r = 0
     while (r < rounds) {
+      // r18 (VERDICT r17 #3): partitioning-preserving checkpoints — the
+      // round plan ends in the per-src top-k window, so the leaf's rows
+      // are hash(src)-laid-out; claiming that layout makes the FINAL
+      // ranking window below (and any hash(src)-keyed consumer of the
+      // returned graph) exchange-free. The within-round union legs
+      // still repartition — a union output carries no partitioning
+      // regardless of its legs, so the round-internal exchanges are
+      // genuine re-keying, not claim losses.
       val (plan, und) = refineRoundPlan(eOwned,
         graft.Q.Owned(edges, owned = false), k)
-      val ck = plan.localCheckpoint(true)
+      val ck = org.apache.spark.sql.GraftShims
+        .localCheckpointKeepPartitioning(plan)
       und.release()
       org.apache.spark.sql.GraftShims.unpersistLeafRdd(edges)
       edges = ck
@@ -762,11 +771,11 @@ object Similarity {
     // the blocked seed's, and refineRound references its edge frame ~4×
     // per round — without lineage truncation the round-3 plan is ~5³ ×
     // seed and the per-action explainString alone OOMs the heap.
-    var edges = sym
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= kWork)
-      .select(col("src"), col("dst"), col("cos_sim"))
-      .localCheckpoint(true)
+    var edges = org.apache.spark.sql.GraftShims.localCheckpointKeepPartitioning(
+      sym
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= kWork)
+        .select(col("src"), col("dst"), col("cos_sim")))
     sigs.release()
     scored.release()
     var r = 0
@@ -783,7 +792,11 @@ object Similarity {
       // adjacency cache is released once the checkpoint materializes.
       val (plan, und) = refineRoundPlan(eOwned,
         graft.Q.Owned(edges, owned = false), kWork)
-      val ck = plan.localCheckpoint(true)
+      // r18: partitioning-preserving checkpoint (see knnGraphRefine's
+      // loop comment) — the final kWork→k ranking window below runs
+      // exchange-free on the claimed hash(src) layout.
+      val ck = org.apache.spark.sql.GraftShims
+        .localCheckpointKeepPartitioning(plan)
       und.release()
       org.apache.spark.sql.GraftShims.unpersistLeafRdd(edges)
       edges = ck

@@ -94,11 +94,103 @@ object GraftShims {
     * otherwise double their logical plan every round. The physical RDD
     * is captured AFTER planning, so a persisted input reads its cache;
     * rows are defensively copied exactly as `checkpoint` does (columnar
-    * cache scans emit reused row buffers). */
+    * cache scans emit reused row buffers).
+    *
+    * r18: the leaf CLAIMS the executed plan's output partitioning (see
+    * [[preservedPartitioning]]) — `LogicalRDD.fromDataset` rewrites
+    * stats and constraints but drops partitioning on the floor
+    * (UnknownPartitioning(0) in every captured r17 fixpoint plan), so
+    * every fixpoint round re-exchanged an iterated frame whose rows
+    * were already laid out on the round key. */
   def flattenToLeaf(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
-    val leaf = execution.LogicalRDD.fromDataset(
-      ds.queryExecution.toRdd.map(_.copy()), ds, isStreaming = false)
-    classic.Dataset.ofRows(ds.sparkSession, leaf)
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    classic.Dataset.ofRows(ds.sparkSession, partitionedLeaf(ds, rdd))
+  }
+
+  /** `Dataset.localCheckpoint(eager = true)` with the executed plan's
+    * output partitioning preserved on the checkpoint leaf (r18 —
+    * VERDICT r17 #3). Identical materialization semantics to the
+    * built-in (same `execute().map(_.copy())` + RDD localCheckpoint +
+    * eager count); only the leaf's partitioning METADATA differs, so a
+    * downstream consumer keyed on the same columns skips its Exchange.
+    * Safe by construction: the claim is read from the SAME executed
+    * plan instance that produced the checkpointed RDD, and is dropped
+    * (UnknownPartitioning, today's behavior) whenever it cannot be
+    * rewritten onto the leaf output 1:1 — see [[preservedPartitioning]]. */
+  def localCheckpointKeepPartitioning(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    classic.Dataset.ofRows(ds.sparkSession, partitionedLeaf(ds, rdd))
+  }
+
+  /** Build the flat `LogicalRDD` leaf for `ds` over `rdd`, claiming
+    * [[preservedPartitioning]]. Mirrors `LogicalRDD.fromDataset`'s
+    * stats/constraints rewrite (the leaf keeps CBO cardinality). */
+  private def partitionedLeaf(ds: classic.Dataset[_],
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow])
+      : execution.LogicalRDD = {
+    val analyzed = ds.queryExecution.analyzed
+    val part = preservedPartitioning(ds, rdd.getNumPartitions)
+    val (stats, constraints) = execution.LogicalRDD
+      .rewriteStatsAndConstraints(analyzed, ds.queryExecution.optimizedPlan)
+    execution.LogicalRDD(analyzed.output, rdd, part, Nil,
+      isStreaming = false, None)(
+      ds.sparkSession.asInstanceOf[classic.SparkSession], stats, constraints)
+  }
+
+  /** The partitioning an eagerly executed frame's rows ACTUALLY carry,
+    * rewritten onto the analyzed output's attribute ids — or
+    * `UnknownPartitioning` when that cannot be done soundly. The claim
+    * is taken from the FINAL physical plan (post-AQE: `toRdd` on an
+    * `AdaptiveSparkPlanExec` finalizes before returning the RDD), whose
+    * partition layout is exactly the captured RDD's; it is kept only
+    * when (a) it is hash-shaped (`HashPartitioningLike` — plain or
+    * AQE-coalesced — possibly inside a join's `PartitioningCollection`)
+    * or `SinglePartition`, (b) every attribute it references maps onto
+    * the leaf output positionally (`buildOutputAssocForRewrite`, the
+    * same assoc `fromDataset` uses for stats), and (c) its partition
+    * count equals the RDD's real partition count (tripwire against a
+    * plan/RDD mismatch). Anything else degrades to Unknown — i.e. to
+    * the stock `localCheckpoint` behavior, never to a wrong claim. */
+  private def preservedPartitioning(ds: classic.Dataset[_],
+      rddPartitions: Int): catalyst.plans.physical.Partitioning = {
+    import catalyst.plans.physical._
+    import catalyst.expressions.{Attribute, AttributeMap}
+    val unknown = UnknownPartitioning(0)
+    try {
+      val finalPlan = ds.queryExecution.executedPlan match {
+        case a: execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val assocOpt = execution.LogicalRDD.buildOutputAssocForRewrite(
+        finalPlan.output, ds.queryExecution.analyzed.output)
+      def rewrite(p: Partitioning): Partitioning = p match {
+        case SinglePartition => SinglePartition
+        case h: HashPartitioningLike =>
+          assocOpt match {
+            case Some(assoc) =>
+              val attrMap = AttributeMap(assoc)
+              val refsMapped = h.references.forall(attrMap.contains)
+              if (refsMapped && h.numPartitions == rddPartitions)
+                h.transformUp {
+                  case a: Attribute => attrMap(a)
+                }.asInstanceOf[Partitioning]
+              else unknown
+            case None => unknown
+          }
+        case PartitioningCollection(ps) =>
+          // A join output is partitioned by EVERY member simultaneously;
+          // claim the first member that survives the rewrite.
+          ps.map(rewrite).find(_ != unknown).getOrElse(unknown)
+        case _ => unknown
+      }
+      rewrite(finalPlan.outputPartitioning)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] partitioning not preserved: $e")
+      unknown
+    }
   }
 }

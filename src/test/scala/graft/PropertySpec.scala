@@ -181,4 +181,97 @@ class PropertySpec extends SparkSpec {
     assert(obs.drop(5).sum > obs.take(5).sum,
       s"top-weight half not over-sampled: obs=$obs")
   }
+
+  test("partitioning-preserving checkpoint: joins/aggs identical with and " +
+    "without the claim, and the claim is real (r18 — VERDICT r17 #3)") {
+    val s = spark
+    import s.implicits._
+    // Generated frames with skewed keys (dupes, negatives, a hot key) so
+    // a WRONG partitioning claim — rows not actually laid out by
+    // hash(key) — would surface as split groups / dropped join matches.
+    val rowsGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(50, 400)
+      ks <- Gen.listOfN(n, Gen.frequency(
+        (3, Gen.choose(-40L, 40L)), (1, Gen.const(7L))))
+    } yield ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    samples(rowsGen, 6).foreach { rows =>
+      val base = rows.toDF("k", "v").repartition(col("k"))
+      val stock = base.localCheckpoint(true)
+      val shim = org.apache.spark.sql.GraftShims
+        .localCheckpointKeepPartitioning(base)
+      // The shim must actually claim a hash layout on the leaf (else
+      // this test silently passes while preserving nothing).
+      val claimed = shim.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.outputPartitioning
+      }
+      assert(claimed.nonEmpty &&
+        claimed.head.toString.toLowerCase.contains("hashpartitioning"),
+        s"shim leaf lost the layout claim: $claimed")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      // Aggregation keyed on the claimed column: a false claim makes the
+      // exchange-free hash agg emit one group per partition-fragment.
+      val aggS = stock.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      val aggP = shim.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+      assert(canon(aggS) === canon(aggP), "groupBy diverged under the claim")
+      // Join keyed on the claimed column (inner + left): a false claim
+      // mis-co-locates probe rows and silently drops matches.
+      val other = rows.take(rows.length / 2).map { case (k, v) => (k, v * 3) }
+        .toDF("k", "w")
+      val jS = stock.join(other, Seq("k"))
+      val jP = shim.join(other, Seq("k"))
+      assert(canon(jS) === canon(jP), "inner join diverged under the claim")
+      val ljS = stock.join(other, Seq("k"), "left")
+      val ljP = shim.join(other, Seq("k"), "left")
+      assert(canon(ljS) === canon(ljP), "left join diverged under the claim")
+      // Window partitioned on the claimed column — the NND/refine final
+      // top-k shape.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("v"))
+      val wS = stock.withColumn("rn", row_number().over(w))
+      val wP = shim.withColumn("rn", row_number().over(w))
+      assert(canon(wS) === canon(wP), "window rank diverged under the claim")
+      shim.unpersist(); stock.unpersist()
+    }
+  }
+
+  test("connectedComponents join-form step: parity with a naive min-label " +
+    "reference on random graphs (r18 — VERDICT r17 #3)") {
+    val s = spark
+    import s.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 60)
+      m <- Gen.choose(1, 120)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield es.filter { case (a, b) => a != b }
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { es =>
+      val pairs = es.toDF("doc_a", "doc_b")
+      val got = llm.Dedup.connectedComponents(pairs)
+        .select("doc_id", "component_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // Driver-side reference: min label to closure over the symmetric
+      // edge set.
+      val sym = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var lbl = sym.keys.map(k => k -> k).toMap
+      var moved = true
+      while (moved) {
+        moved = false
+        val nxt = lbl.map { case (d, l) =>
+          val cand = (sym(d).map(lbl) + l).min
+          if (cand < l) moved = true
+          d -> cand
+        }
+        lbl = nxt
+      }
+      // Reference labels are stable fixpoints of neighbor-min, hence the
+      // component min — exactly connectedComponents' contract.
+      assert(got === lbl,
+        s"CC labels diverged from naive reference on ${es.length} edges")
+      spark.catalog.clearCache()
+      Q.drainCheckpoints(spark)
+    }
+  }
 }
