@@ -221,11 +221,108 @@ object Bench {
     * under the bracket and the run is not canonical. */
   val BracketPasses = 3
 
+  /** r18 (VERDICT r17 #1): PER-ROW heavy-tier normalization. The r17
+    * driver breach (107.9 s raw ≡ normalized vs the 90 s budget) was
+    * ONE row — pipeline_curate at 65.8 s vs 15–21 s in every replica,
+    * its task CPU tripled — under a contention wave that lived
+    * entirely INSIDE the row: the pre bracket's median read healthy
+    * (its own first pass read 6.9 s — the wave — and the median
+    * discarded it), the post bracket ran after the wave had passed,
+    * and heavy_host_factor came out 0.66 ("fast host") while the tier
+    * ran ~2× slow. Start/end brackets are structurally blind to
+    * mid-row waves, so the tier now measures contention per row, from
+    * two independent in-window signals, and normalizes each row by the
+    * larger of the two (never both — they overlap; max of two lower
+    * bounds is still a lower bound of the true slowdown):
+    *
+    *  1. EXTERNAL-CPU SHARE (`heavy_ext_share`): /proc/stat deltas
+    *     bracketing the row. In this Firecracker sandbox a noisy
+    *     neighbor appears as STEAL jiffies (hypervisor time taken from
+    *     our vCPUs — measured live on this host: an idle window reads
+    *     ~1%, the contention waves the r17 ledger documents read tens
+    *     of %) plus any non-self busy jiffies (other local processes —
+    *     ~0 during a canonical run, the parent JVM is blocked in
+    *     waitFor). ext = steal_share + max(0, busy_share − own_share),
+    *     own from the JVM's process-CPU clock, all shares HZ-free
+    *     ratios of the same /proc/stat capacity delta. The row credit
+    *     is the LINEAR machine-share model — normalized = raw ×
+    *     (1 − ext) — deliberately conservative: SMT-sibling and
+    *     frequency interference make real damage superlinear in ext,
+    *     and a linear credit can never over-correct an idle host
+    *     (ext ≈ 0 ⇒ factor 1). Unreadable /proc/stat degrades to 0.
+    *  2. BOUNDARY PROBES (`heavy_probe_mid_passes`): one saturating
+    *     probe pass between consecutive rows; a row's probe factor is
+    *     min(pass before, pass after) / [[BoundaryProbeAnchorSec]] —
+    *     min, so a wave that only grazed a boundary cannot credit the
+    *     row; the anchor is the mid-tier idle level (in-tier JVM aging
+    *     inflates mid-tier passes over the fresh-child 1.9 s anchor:
+    *     the r17 idle post brackets span 1.88–2.66 s), so an idle run
+    *     earns no credit from aging. Catches in-guest slowdown modes
+    *     steal cannot see (JIT starvation, cache pollution) when they
+    *     persist across a boundary.
+    *
+    * Per-row factor = max(1, ext-based, probe-based); the artifact
+    * carries every ingredient (shares, passes, factors) so the
+    * normalization is auditable, `heavy_total_normalized` =
+    * Σ raw_i / factor_i, and a clean run normalizes to exactly its raw
+    * total. `heavy_norm_suspect` flags the signals DISAGREEING
+    * (VERDICT r17 #1's "fail loudly" ask): a probe factor > 1.5 on a
+    * row whose ext share read < 2% (an in-guest anomaly, not measured
+    * external load) — consumers should treat the run as non-canonical
+    * rather than trust either signal. The child JVM's setup cost
+    * stays outside every budget window (`heavy_jvm_setup_sec`), as
+    * before. */
+  val BoundaryProbeAnchorSec = 2.4
+
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
     else if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+  }
+
+  /** One /proc/stat + process-CPU snapshot for the per-row external-load
+    * measurement (see [[BoundaryProbeAnchorSec]]'s design note). `ok`
+    * false (non-Linux, masked /proc) degrades every share to 0 — the
+    * normalization then falls back to the probe signal alone. */
+  final case class StatSnap(ok: Boolean, busy: Long, steal: Long,
+    total: Long, ownNanos: Long, wallNanos: Long)
+
+  def readStatSnap(): StatSnap = {
+    val wall = System.nanoTime()
+    val own = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+    try {
+      val line = java.nio.file.Files
+        .lines(java.nio.file.Paths.get("/proc/stat")).findFirst().orElse("")
+      val v = line.trim.split("\\s+").drop(1).map(_.toLong)
+      if (v.length < 8 || own < 0) StatSnap(ok = false, 0, 0, 0, own, wall)
+      else {
+        // user nice system idle iowait irq softirq steal
+        val busy = v(0) + v(1) + v(2) + v(5) + v(6)
+        StatSnap(ok = true, busy, v(7), busy + v(7) + v(3) + v(4), own, wall)
+      }
+    } catch { case scala.util.control.NonFatal(_) =>
+      StatSnap(ok = false, 0, 0, 0, own, wall)
+    }
+  }
+
+  /** Fraction of machine capacity consumed OUTSIDE this JVM between two
+    * snapshots: hypervisor steal plus non-self busy. All terms are
+    * ratios of the same /proc/stat capacity delta (HZ-free: own CPU is
+    * converted through the wall-clock share of the same window). */
+  def extShare(a: StatSnap, b: StatSnap, cpus: Int): Double = {
+    if (!a.ok || !b.ok) return 0.0
+    val cap = (b.total - a.total).toDouble
+    val wallSec = (b.wallNanos - a.wallNanos) / 1e9
+    if (cap <= 0 || wallSec <= 0) return 0.0
+    val stealShare = (b.steal - a.steal) / cap
+    val busyShare = (b.busy - a.busy) / cap
+    val ownShare = ((b.ownNanos - a.ownNanos) / 1e9) / (wallSec * cpus)
+    math.max(0.0, stealShare) + math.max(0.0, busyShare - ownShare)
   }
 
   def parallelProbe(spark: SparkSession, sfDir: String, threads: Int): Double = {
@@ -604,8 +701,24 @@ object Bench {
       // the sf0.1 oracle stand-in.
       spark.conf.set("spark.graft.curate.pairStrategy", "lsh")
       spark.conf.set("spark.graft.components.pairStrategy", "lsh")
+      // r18: per-row instrumentation (see BoundaryProbeAnchorSec's
+      // design note) — a /proc/stat+own-CPU snapshot brackets each
+      // row's window (probes and GC excluded), and one saturating
+      // probe pass runs between consecutive rows. Neither is inside
+      // any timed window.
+      val heavyNames = heavy.filter(SparkEntry.queries.contains)
+      val midPasses = scala.collection.mutable.ArrayBuffer[Double]()
+      val extShares = scala.collection.mutable.ArrayBuffer[Double]()
       val heavyResults =
-        try runSuite(heavy.filter(SparkEntry.queries.contains))
+        try heavyNames.zipWithIndex.map { case (name, i) =>
+          val s0 = readStatSnap()
+          val res = runSuite(Seq(name)).head
+          val s1 = readStatSnap()
+          extShares += extShare(s0, s1, parallelThreads)
+          if (i < heavyNames.length - 1)
+            midPasses += parallelProbe(spark, sfDir, parallelThreads)
+          res
+        }
         finally {
           spark.conf.unset("spark.graft.curate.pairStrategy")
           spark.conf.unset("spark.graft.components.pairStrategy")
@@ -660,6 +773,39 @@ object Bench {
       val heavyParallelPreMed = median(heavyParallelPre)
       val heavyParallelPostMed = median(heavyParallelPost)
       val hHostFactor = heavyParallelPreMed / ParallelProbeChildAnchorSec
+      // r18 per-row normalization factors (BoundaryProbeAnchorSec doc):
+      // each row is bracketed by the probe passes on its two sides
+      // (row 0's lead-in is the pre bracket on its own fresh-child
+      // anchor; the last row's tail is the post bracket median), takes
+      // min(before, after) as its probe factor, an ext-share-based
+      // factor from the linear machine-share model, and normalizes by
+      // the max of the two, floored at 1.
+      val preRatio = heavyParallelPreMed / ParallelProbeChildAnchorSec
+      val postRatio = heavyParallelPostMed / BoundaryProbeAnchorSec
+      val midRatios = midPasses.map(_ / BoundaryProbeAnchorSec).toIndexedSeq
+      val rowFactors = heavyResults.indices.map { i =>
+        val before = if (i == 0) preRatio else midRatios(i - 1)
+        val after = if (i == midRatios.length) postRatio else midRatios(i)
+        val fProbe = math.min(before, after)
+        val ext = if (i < extShares.length) extShares(i) else 0.0
+        val fExt = 1.0 / math.max(0.1, 1.0 - math.min(0.9, ext))
+        math.max(1.0, math.max(fProbe, fExt))
+      }
+      val hNormTotal = heavyResults.zip(rowFactors).collect {
+        case ((_, v, _, _, _), f) if v >= 0 => v / f }.sum
+      val hNormSuspect = heavyResults.indices.exists { i =>
+        val before = if (i == 0) preRatio else midRatios(i - 1)
+        val after = if (i == midRatios.length) postRatio else midRatios(i)
+        val ext = if (i < extShares.length) extShares(i) else 0.0
+        math.min(before, after) > 1.5 && ext < 0.02
+      }
+      val hExtJson = heavyResults.map(_._1).zipWithIndex.map { case (k, i) =>
+        "\"" + k + "\":" + (math.round(
+          (if (i < extShares.length) extShares(i) else 0.0) * 10000) / 10000.0)
+      }.mkString("{", ",", "}")
+      val hFactorJson = heavyResults.map(_._1).zip(rowFactors).map {
+        case (k, f) => "\"" + k + "\":" + (math.round(f * 1000) / 1000.0)
+      }.mkString("{", ",", "}")
       val hErrors = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
       val frag =
@@ -684,7 +830,12 @@ object Bench {
             .mkString("[", ",", "]")},""" +
           s""""heavy_host_factor":$hHostFactor,""" +
           s""""heavy_host_factor_serial":$hHostFactorSerial,""" +
-          s""""heavy_total_normalized":${hTotal / math.max(1.0, hHostFactor)},""" +
+          s""""heavy_probe_mid_passes":${midPasses.mkString("[", ",", "]")},""" +
+          s""""heavy_probe_mid_anchor":$BoundaryProbeAnchorSec,""" +
+          s""""heavy_ext_share":$hExtJson,""" +
+          s""""heavy_row_factor":$hFactorJson,""" +
+          s""""heavy_norm_suspect":$hNormSuspect,""" +
+          s""""heavy_total_normalized":$hNormTotal,""" +
           s""""heavy_budget_sec":$HeavyBudgetSec,"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), frag)
       spark.stop()

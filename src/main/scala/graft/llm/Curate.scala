@@ -47,12 +47,20 @@ import org.apache.spark.sql.expressions.Window
 object Curate {
 
   def curate(docs: DataFrame): DataFrame = {
-    // 1. exact dedup
+    // 1. exact dedup — PERSISTED (r18; guide §1.2 "don't recompute what
+    // you already have"): the survivor frame feeds (a) the pair stage's
+    // signature/token builds (two reads — the signature persist and the
+    // token-array broadcast build), and (b) the stage-2 anti-join's left
+    // side — without the cache the full-corpus md5 window re-ran up to
+    // three times per query (TimeOne: the lsh arm spends its first
+    // seconds repeating this window). Cache lifecycle belongs to the
+    // runner (per-query clearCache), the documented handle-leak
+    // convention — same as the tf persist in TextOps.
     val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exactKept = docs
+    val exactKept = Q.ownPersist(docs
       .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") === 1)
-      .drop("rn")
+      .drop("rn")).df
     // 2. near-dup components → drop non-canonical members (pair source
     // picked by conf — exact at test sf, minhash-LSH at scale)
     val lshArm = docs.sparkSession.conf

@@ -563,11 +563,22 @@ if bench is not None:
     #     the tier; idle runs read 1.1–1.6× (within-tier JVM aging),
     #     the r17 contended run read 6.5×.
     hhf_gate = bench.get("heavy_host_factor")
-    if hhf_gate is not None and hhf_gate > 1.5:
-        failures.append(
-            f"bench.json: heavy_host_factor {hhf_gate:.2f} > 1.5 — child "
-            f"pre bracket outside the measured idle envelope; contended "
-            f"tier start, re-run idle (r17 closeout)")
+    # r18: with per-row normalization present (heavy_row_factor +
+    # heavy_ext_share, unsuspect), a contended tier START is handled by
+    # the row factors themselves — the global-hf canonicality bar only
+    # hard-fails beyond 3.0 (the whole tier drowned; even per-row credit
+    # is then extrapolating) or, as before, at 1.5 when the artifact
+    # predates the per-row fields.
+    if hhf_gate is not None:
+        has_row_norm = ("heavy_row_factor" in bench
+                        and not bench.get("heavy_norm_suspect"))
+        bound = 3.0 if has_row_norm else 1.5
+        if hhf_gate > bound:
+            failures.append(
+                f"bench.json: heavy_host_factor {hhf_gate:.2f} > {bound} — "
+                f"child pre bracket outside the measured idle envelope; "
+                f"contended tier start, re-run idle (r17 closeout, r18 "
+                f"per-row relaxation)")
     hpre, hpost = bench.get("heavy_parallel_pre"), bench.get("heavy_parallel_post")
     if hpre and hpost and hpre > 0:
         drift = hpost / hpre
@@ -632,11 +643,35 @@ if bench is not None:
         attrib = heavy_breach_fingerprint(bench)
         self_inflicted = (attrib.startswith("JVM memory stall")
                           or attrib.startswith("plan regression"))
-        normalize = hhf is not None and hhf > 1.0 and not self_inflicted
-        effective = total / hhf if normalize else total
-        if effective > budget:
+        # r18 (VERDICT r17 #1): prefer the PER-ROW normalized total when
+        # the artifact carries it — each row normalized by max(1,
+        # measured external-CPU share credit, boundary-probe factor); it
+        # equals the raw total on a clean run and, unlike the global
+        # heavy_host_factor divide, sees a contention wave that lives
+        # inside one row (the r17 breach shape). A suspect flag (probe
+        # and ext signals disagreeing) disqualifies it. Self-inflicted
+        # breaches (gc/spill stall, plan regression) never normalize,
+        # as before.
+        per_row = bench.get("heavy_total_normalized")
+        suspect = bench.get("heavy_norm_suspect")
+        has_per_row = (per_row is not None
+                       and "heavy_row_factor" in bench and not suspect)
+        if suspect:
+            failures.append(
+                "bench.json: heavy_norm_suspect — the boundary-probe and "
+                "external-CPU contention signals disagree (>1.5x probe "
+                "factor at <2% measured external share); run is not "
+                "canonical, re-run (r18)")
+        if has_per_row and not self_inflicted:
+            effective = per_row
+            norm = (f" (per-row normalized {effective:.1f}s, raw "
+                    f"{total:.1f}s)") if effective != total else ""
+        else:
+            normalize = hhf is not None and hhf > 1.0 and not self_inflicted
+            effective = total / hhf if normalize else total
             norm = (f" (normalized {effective:.1f}s at heavy_host_factor "
                     f"{hhf:.2f})" if normalize else "")
+        if effective > budget:
             failures.append(
                 f"bench.json: heavy_total {total:.1f}s{norm} breaches its "
                 f"{budget:.0f}s budget — an arm regressed (Bench.scala "
