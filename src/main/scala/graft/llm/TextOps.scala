@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{Q, Tables}
 import graft.Q.QFn
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -275,6 +276,38 @@ object TextOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** Per-document term counts computed IN-ROW (r18; guide §2.4 "remove
+    * shuffles outright"): (doc_id, tok, tf, dl, nd) where tf is the
+    * token's count within the doc, dl the doc length in tokens and nd
+    * the doc's distinct-token count — run-length counting over the
+    * row's sorted token array. The pre-r18 spelling exploded the corpus
+    * and hash-aggregated (doc_id, tok), paying one full doc-term-stream
+    * exchange for counts that never needed to leave their document —
+    * a document is one row, so every (doc, tok) group is already
+    * co-located by construction. Sorting L tokens in-row is
+    * O(L log L) against the explode's O(L) hash-insert + exchange;
+    * at 100 TB the exchange dominates by orders of magnitude, and the
+    * per-doc dl/nd come for free instead of costing a second agg (dl)
+    * and a doc-keyed window (nd). Counts are bit-identical to the
+    * grouped form — the same multiset of tokens per document, counted
+    * by equal-neighbor runs instead of hash groups (oracle-verified on
+    * every consumer row). */
+  private[llm] def docTermCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sorted", array_sort(split(col("text"), " ")))
+      .withColumn("starts", expr(
+        "filter(sequence(0, size(sorted) - 1)," +
+          " i -> i = 0 OR sorted[i] <> sorted[i - 1])"))
+      .select(col("doc_id"),
+        size(col("sorted")).cast("long").as("dl"),
+        size(col("starts")).cast("long").as("nd"),
+        explode(expr(
+          "transform(starts, (st, j) -> struct(sorted[st] as tok," +
+            " (if(j + 1 < size(starts), starts[j + 1], size(sorted)) - st)" +
+            " as tf))")).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"),
+        col("p.tf").cast("long").as("tf"), col("dl"), col("nd"))
+
   val queries: Map[String, QFn] = Map(
     "text_entropy" -> ((s, d) => {
       // Token-distribution entropy per doc (nats) + normalized form —
@@ -289,12 +322,15 @@ object TextOps {
       // EXACT and order-independent, and only the final value rounds to
       // 4 dp. norm_entropy derives from the already-rounded entropy so
       // both engines divide identical operands.
-      val w = Window.partitionBy(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .withColumn("n", sum(col("c")).over(w))
-        .withColumn("n_distinct", count(lit(1)).over(w))
+      // r18: tf/dl/nd come from the in-row [[docTermCounts]] — the
+      // doc-term hash agg AND the doc-keyed window both disappear (the
+      // per-doc totals never needed a shuffle; see the helper's note).
+      // The values are the identical integers, so p/contrib and the
+      // oracle hash are unchanged; the only remaining exchange is the
+      // final per-doc rollup.
+      docTermCounts(Tables.documents(s, d))
+        .select(col("doc_id"), col("tok"), col("tf").as("c"),
+          col("dl").as("n"), col("nd").as("n_distinct"))
         .withColumn("p", col("c").cast("double") / col("n"))
         .withColumn("contrib",
           round(-col("p") * log(col("p")), 10).cast("decimal(18,12)"))
@@ -325,7 +361,12 @@ object TextOps {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
       val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
+      // r18: the corpus token total is Σ per-doc length — one per-row
+      // pass over docs instead of a SECOND full explode (same integer:
+      // every exploded row is one token of one doc).
+      val total = Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(sum(col("dl")).as("n_total"))
       counts.orderBy(col("n").desc, col("tok")).limit(50)
         .crossJoin(broadcast(total))
         .withColumn("share_bp", expr("n * 10000 div n_total"))
@@ -600,13 +641,12 @@ object TextOps {
       // nothing driver-side and no all-pairs anywhere. Determinism: rank
       // by the ROUNDED score (both engines), ties by token.
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      // tf feeds both the scoring join and the df roll-up; persisted so
-      // the corpus is scanned+exploded exactly once (cache lifecycle
+      // tf is computed IN-ROW (r18 — [[docTermCounts]]: the doc-term
+      // exchange never needed to exist) and persisted because it feeds
+      // both the scoring join and the df roll-up (cache lifecycle
       // belongs to the runner — Verify/Bench clearCache() per query).
-      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))).df
+      val tf = graft.Q.ownPersist(docTermCounts(docs)
+        .select(col("doc_id"), col("tok"), col("tf"))).df
       // df derives from tf (one row per doc-term pair already) instead
       // of a second corpus explode + distinct.
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -642,21 +682,22 @@ object TextOps {
       // the top-3 ranks by the ROUNDED score with token tiebreak, the
       // tfidf discipline.
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))).df
+      // r18: tf AND dl come from the in-row [[docTermCounts]] — the
+      // doc-term exchange, the dl aggregation pass and the dl
+      // broadcast-join all disappear (dl rides each tf row). Corpus
+      // stats come from one per-row pass over docs: identical values
+      // (every doc has ≥ 1 token, so n_docs matches; Σdl is the same
+      // token total), one 1-row broadcast as before.
+      val tf = graft.Q.ownPersist(docTermCounts(docs)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))).df
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      // Every doc has ≥ 1 token (the corpus has no empty text), so the
-      // dl frame's count IS the corpus count; one 1-row broadcast
-      // carries both stats.
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("bm25").desc, col("tok"))
       tf.join(Q.maybeBroadcast(dfreq), "tok")
-        .join(Q.maybeBroadcast(dl), "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("bm25", expr(
           "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)" +
@@ -689,20 +730,21 @@ object TextOps {
       // moneySum trick — exact, order-independent), and both rankings
       // break ties by token / doc_id.
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val tf = graft.Q.ownPersist(toks.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))).df
+      // r18: in-row tf/dl (see text_bm25 — same restructure: no
+      // doc-term exchange, no dl agg/join, stats from one per-row
+      // docs pass; identical operands into the identical bm25 tree).
+      val tf = graft.Q.ownPersist(docTermCounts(docs)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))).df
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val stats = docs
+        .select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
       // Persisted: both the probe derivation and the retrieval join
       // read the scored frame (handle leaked to the runner's per-query
       // clearCache, the documented convention).
       val scored = graft.Q.ownPersist(
         tf.join(Q.maybeBroadcast(dfreq), "tok")
-          .join(Q.maybeBroadcast(dl), "doc_id")
           .crossJoin(broadcast(stats))
           .withColumn("bm25", expr(
             "round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)" +
