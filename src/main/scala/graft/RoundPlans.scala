@@ -128,6 +128,96 @@ object RoundPlans {
           oldEdges.queryExecution.explainString(
             ExplainMode.fromString("formatted")))
     }
+    // (c) r18 (VERDICT r17 #3): the partitioning-preserving checkpoint's
+    // effect on ONE fixpoint round, captured at the SCALE shape — the
+    // claim forced on (size gate zeroed; at 100 TB it fires on its own)
+    // and broadcast joins disabled so the round plans the shuffle joins
+    // a cluster-scale frame uses. `after` = shim checkpoint (claimed
+    // hash layout), `before` = stock localCheckpoint (UnknownPartitioning
+    // leaf). The delta to read: the Exchange above the ITERATED frame's
+    // leaf — present in before, absent in after.
+    {
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevGate = spark.conf.get(Q.BroadcastSideThresholdKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(Q.BroadcastSideThresholdKey, "0")
+      spark.conf.set("spark.graft.checkpointClaimMinPartBytes", "0")
+      try {
+        val sp = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // PageRank round: rank frame (node, outdeg, rank) iterated via
+        // contribution join + per-node aggregate + spine attach — the
+        // pagerankImpl round body, reconstructed on a small node spine.
+        val e = Q.ownPersist(Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+          .filter(col("src") < 2000).repartition(col("src")))
+        e.df.count()
+        val spine = e.df.select(col("src").as("node"))
+          .union(e.df.select(col("dst").as("node"))).distinct()
+        val outdeg = e.df.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("outdeg"))
+        val ranks0 = spine.join(outdeg, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+            lit(1000000L).as("rank"))
+          .repartition(sp, col("node"))
+        def roundPlan(ranks: org.apache.spark.sql.DataFrame) = {
+          val contribs = ranks.filter(col("outdeg") > 0)
+            .join(e.df, col("node") === col("src"))
+            .select(col("dst"), expr("rank div outdeg").as("c"))
+            .groupBy(col("dst").as("node")).agg(sum(col("c")).as("s"))
+          ranks.select(col("node"), col("outdeg"))
+            .join(contribs, Seq("node"), "left")
+            .select(col("node"), col("outdeg"),
+              expr("coalesce(s, 0L)").as("rank"))
+        }
+        for ((mode, ck) <- Seq(
+          ("before", ranks0.localCheckpoint(true)),
+          ("after", org.apache.spark.sql.GraftShims
+            .localCheckpointKeepPartitioning(ranks0)))) {
+          val p = roundPlan(ck)
+          p.write.format("noop").mode("overwrite").save()
+          write(s"pagerank_round_scale_${mode}_claim",
+            s"== one pagerank round over a ${if (mode == "before") "stock"
+              else "partitioning-claimed"} checkpointed rank frame — " +
+              "broadcast disabled (scale shuffle-join shape), claim size " +
+              "gate zeroed ==\n" +
+              p.queryExecution.explainString(
+                ExplainMode.fromString("formatted")))
+          org.apache.spark.sql.GraftShims.unpersistLeafRdd(ck)
+        }
+        // CC step: label frame iterated via candidate-min agg + left
+        // join (the r18 join-form advance over a claimed flat leaf).
+        val labels0 = e.df.select(col("src").as("doc"))
+          .union(e.df.select(col("dst").as("doc"))).distinct()
+          .withColumn("lbl", col("doc"))
+          .repartition(sp, col("doc"))
+        for ((mode, lck) <- Seq(
+          ("before", labels0.localCheckpoint(true)),
+          ("after", org.apache.spark.sql.GraftShims
+            .localCheckpointKeepPartitioning(labels0)))) {
+          val candMin = e.df.join(lck, col("dst") === col("doc"))
+            .select(col("src").as("doc"), col("lbl"))
+            .groupBy(col("doc")).agg(min(col("lbl")).as("cand"))
+          val step = lck.join(candMin.hint("shuffle_hash"), Seq("doc"), "left")
+            .select(col("doc"),
+              least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+          step.write.format("noop").mode("overwrite").save()
+          write(s"cc_step_scale_${mode}_claim",
+            s"== one connectedComponents join-form step over a ${if (
+              mode == "before") "stock" else "partitioning-claimed"} " +
+              "checkpointed label frame — broadcast disabled, claim size " +
+              "gate zeroed ==\n" +
+              step.queryExecution.explainString(
+                ExplainMode.fromString("formatted")))
+          org.apache.spark.sql.GraftShims.unpersistLeafRdd(lck)
+        }
+        e.release()
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set(Q.BroadcastSideThresholdKey, prevGate)
+        spark.conf.unset("spark.graft.checkpointClaimMinPartBytes")
+      }
+    }
     spark.catalog.clearCache()
     Q.drainCheckpoints(spark)
     spark.stop()

@@ -272,11 +272,22 @@ object Graph {
     // they plan as shuffle joins (the 100 TB shape; at sf0.1 they
     // broadcast and the claim simply rides along). One up-front n-row
     // exchange buys `iters` exchange-free rounds.
+    //
+    // The seed count is EXPLICIT (the session shuffle-partition conf,
+    // never a literal): an N-less repartition is AQE-coalescible, and
+    // at test scale it collapsed the tiny rank frame to ~1 partition —
+    // a layout the claim then faithfully PRESERVED across all ten
+    // rounds, serializing every round's window/join work (measured:
+    // graph_ppr +1.5 s). An explicit count is exempt from coalescing,
+    // so the claim carries full parallelism instead; at 100 TB the
+    // conf is sized to the cluster and the same spelling holds.
+    val seedParts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     var ranks = org.apache.spark.sql.GraftShims.localCheckpointKeepPartitioning(
       nodeSpine.join(info.df, Seq("node"))
         .select(col("node"), col("outdeg"), col("is_seed"),
           lit(scale).as("rank"))
-        .repartition(col("node")))
+        .repartition(seedParts, col("node")))
     for (_ <- 1 to iters) {
       val contribs = ranks.filter(col("outdeg") > 0)
         .join(e.df, col("node") === col("src"))

@@ -527,6 +527,18 @@ object Similarity {
       .filter(col("cr") <= 2 * k)
       .select(col("src"), col("dst")))
     und.df.count()
+    // Self-join over a FLAT LEAF of the materialized cache, not the
+    // persisted plan (r18): when `edges` is a partitioning-claimed
+    // checkpoint leaf, the analyzer's self-join dedup rewrites one
+    // branch's attribute ids and the claimed HashPartitioning's ids no
+    // longer canonicalize against the CacheManager entry — that branch
+    // silently RECOMPUTED the whole adjacency build inline (measured:
+    // +2 stages, +2x0.7 MB shuffle per round; the only repo instance of
+    // the hazard, now documented on the shim). A leaf self-join shares
+    // one RDD on both sides, so no cache lookup can miss; the leaf also
+    // carries the cache's hash(src) layout for the closure join's y
+    // side and the downstream dedup/window.
+    val undLeaf = org.apache.spark.sql.GraftShims.flattenToLeaf(und.df)
     // Candidate pool = the capped closure ∪ the capped adjacency ∪
     // the UNCAPPED current edges: the cap may evict a node's own
     // out-edges (≥ 2k stronger in-pointers outrank its weakest
@@ -545,11 +557,11 @@ object Similarity {
     // inside that one shuffle. The pre-r17 shape exchanged the widest
     // frame of the round (the ≤ 4·n·k² candidate stream) twice:
     // hash(src, dst) for distinct(), hash(src) for the window.
-    val cand = und.df.as("x").join(und.df.as("y"),
+    val cand = undLeaf.as("x").join(undLeaf.as("y"),
         col("x.dst") === col("y.src"))
       .select(col("x.src").as("src"), col("y.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .union(und.df)
+      .union(undLeaf)
       .union(edges.df.select(col("src"), col("dst")))
       .repartition(col("src"))
       .dropDuplicates("src", "dst")

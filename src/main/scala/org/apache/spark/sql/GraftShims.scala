@@ -105,7 +105,16 @@ object GraftShims {
   def flattenToLeaf(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
-    classic.Dataset.ofRows(ds.sparkSession, partitionedLeaf(ds, rdd))
+    // Same size gate as localCheckpointKeepPartitioning, from the plan's
+    // size ESTIMATE (nothing is materialized here to weigh).
+    val minPerPart = ds.sparkSession.conf
+      .get("spark.graft.checkpointClaimMinPartBytes", (1L << 20).toString)
+      .toLong
+    val est = ds.queryExecution.optimizedPlan.stats.sizeInBytes
+    val claimWorthwhile =
+      est >= BigInt(minPerPart) * math.max(1, rdd.getNumPartitions)
+    classic.Dataset.ofRows(ds.sparkSession,
+      partitionedLeaf(ds, rdd, claim = claimWorthwhile))
   }
 
   /** `Dataset.localCheckpoint(eager = true)` with the executed plan's
@@ -117,23 +126,61 @@ object GraftShims {
     * Safe by construction: the claim is read from the SAME executed
     * plan instance that produced the checkpointed RDD, and is dropped
     * (UnknownPartitioning, today's behavior) whenever it cannot be
-    * rewritten onto the leaf output 1:1 — see [[preservedPartitioning]]. */
+    * rewritten onto the leaf output 1:1 — see [[preservedPartitioning]].
+    *
+    * KNOWN HAZARD (performance, not correctness — measured r18): a
+    * frame that is `persist()`ed, whose plan CONTAINS a claimed leaf,
+    * and is then SELF-JOINED, silently loses CacheManager matching on
+    * the join branch the analyzer deduplicates — `newInstance()`
+    * rewrites the branch's attribute ids and the claimed
+    * HashPartitioning's ids no longer canonicalize against the cache
+    * entry, so that branch recomputes the persisted subtree inline.
+    * (UnknownPartitioning leaves are id-free, which is why the stock
+    * checkpoint never hits this.) Consumers that self-join such a
+    * persisted frame must flatten it to its own leaf first
+    * ([[flattenToLeaf]] — a leaf self-join shares one RDD on both
+    * sides, no cache lookup involved); refineRoundPlan's capped
+    * adjacency is the pattern's one in-repo instance. */
   def localCheckpointKeepPartitioning(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[_]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
     rdd.count()
-    classic.Dataset.ofRows(ds.sparkSession, partitionedLeaf(ds, rdd))
+    // SIZE GATE (r18, measured): preserving a layout pins the NEXT
+    // round's work to this leaf's partition count, where a dropped
+    // claim lets the round re-exchange through an AQE-coalescible
+    // shuffle. For frames below ~1 MB/partition the re-exchange is the
+    // cheaper side — AQE collapses the tiny round to a handful of
+    // tasks, while a preserved full-width layout launches
+    // numPartitions near-empty tasks per round stage (measured on
+    // graph_ppr at sf0.1: +3 s over 10 rounds). At 100 TB scale the
+    // iterated frames hold orders of magnitude more than the floor per
+    // partition and the claim always survives — the same
+    // bytes-per-partition logic AQE's own coalescing applies, pointed
+    // the other way. The floor is conf-able
+    // (spark.graft.checkpointClaimMinPartBytes; 0 forces the claim —
+    // used by the plan captures and the property tests).
+    val bytes = ds.sparkSession.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+    val minPerPart = ds.sparkSession.conf
+      .get("spark.graft.checkpointClaimMinPartBytes", (1L << 20).toString)
+      .toLong
+    val claimWorthwhile =
+      bytes >= minPerPart * math.max(1, rdd.getNumPartitions)
+    classic.Dataset.ofRows(ds.sparkSession,
+      partitionedLeaf(ds, rdd, claim = claimWorthwhile))
   }
 
   /** Build the flat `LogicalRDD` leaf for `ds` over `rdd`, claiming
     * [[preservedPartitioning]]. Mirrors `LogicalRDD.fromDataset`'s
     * stats/constraints rewrite (the leaf keeps CBO cardinality). */
   private def partitionedLeaf(ds: classic.Dataset[_],
-      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow])
-      : execution.LogicalRDD = {
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      claim: Boolean = true): execution.LogicalRDD = {
     val analyzed = ds.queryExecution.analyzed
-    val part = preservedPartitioning(ds, rdd.getNumPartitions)
+    val part =
+      if (claim) preservedPartitioning(ds, rdd.getNumPartitions)
+      else catalyst.plans.physical.UnknownPartitioning(0)
     val (stats, constraints) = execution.LogicalRDD
       .rewriteStatsAndConstraints(analyzed, ds.queryExecution.optimizedPlan)
     execution.LogicalRDD(analyzed.output, rdd, part, Nil,
@@ -160,6 +207,12 @@ object GraftShims {
     import catalyst.plans.physical._
     import catalyst.expressions.{Attribute, AttributeMap}
     val unknown = UnknownPartitioning(0)
+    // Safety valve + A/B lever: claims off restores the stock
+    // localCheckpoint behavior everywhere (used by the r18 measurements
+    // to attribute plan deltas to the claim alone).
+    if (ds.sparkSession.conf
+        .get("spark.graft.keepCheckpointPartitioning", "true") == "false")
+      return unknown
     try {
       val finalPlan = ds.queryExecution.executedPlan match {
         case a: execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
@@ -182,9 +235,15 @@ object GraftShims {
             case None => unknown
           }
         case PartitioningCollection(ps) =>
-          // A join output is partitioned by EVERY member simultaneously;
-          // claim the first member that survives the rewrite.
-          ps.map(rewrite).find(_ != unknown).getOrElse(unknown)
+          // The frame is partitioned by EVERY member simultaneously
+          // (join outputs; alias-propagated projections) — keep every
+          // member that survives the rewrite, so a consumer keyed on
+          // ANY of the equivalent spellings matches.
+          ps.map(rewrite).filter(_ != unknown) match {
+            case Seq() => unknown
+            case Seq(one) => one
+            case many => PartitioningCollection(many)
+          }
         case _ => unknown
       }
       rewrite(finalPlan.outputPartitioning)

@@ -186,6 +186,10 @@ class PropertySpec extends SparkSpec {
     "without the claim, and the claim is real (r18 — VERDICT r17 #3)") {
     val s = spark
     import s.implicits._
+    // Force the claim on these deliberately tiny frames (the size gate
+    // would otherwise drop it — at production sizes it fires on its own).
+    s.conf.set("spark.graft.checkpointClaimMinPartBytes", "0")
+    try {
     // Generated frames with skewed keys (dupes, negatives, a hot key) so
     // a WRONG partitioning claim — rows not actually laid out by
     // hash(key) — would surface as split groups / dropped join matches.
@@ -234,6 +238,7 @@ class PropertySpec extends SparkSpec {
       assert(canon(wS) === canon(wP), "window rank diverged under the claim")
       shim.unpersist(); stock.unpersist()
     }
+    } finally s.conf.unset("spark.graft.checkpointClaimMinPartBytes")
   }
 
   test("connectedComponents join-form step: parity with a naive min-label " +
