@@ -25,6 +25,7 @@ object JobLogProbe {
     sources.CatalogStats.registerAndAnalyze(spark, sfDir)
     val stageWrite = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val listener = new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stageWrite.put(e.stageInfo.stageId,
@@ -32,8 +33,12 @@ object JobLogProbe {
         stageName.put(e.stageInfo.stageId,
           e.stageInfo.name.take(60))
       }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit = {}
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        val t0 = jobStart.getOrDefault(e.jobId, e.time)
+        println(f"[job ${e.jobId}%3d end] ${(e.time - t0) / 1e3}%6.2f s")
+      }
       override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobStart.put(e.jobId, e.time)
         println(s"[job ${e.jobId}] stages=${e.stageIds.mkString(",")} " +
           Option(e.properties.getProperty("callSite.short")).getOrElse(""))
       }

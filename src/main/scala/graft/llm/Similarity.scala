@@ -526,7 +526,14 @@ object Similarity {
       .withColumn("cr", row_number().over(wCap))
       .filter(col("cr") <= 2 * k)
       .select(col("src"), col("dst")))
-    und.df.count()
+    // No eager count (r18): the flat leaf below captures the PERSISTED
+    // plan's RDD, so the first consumer inside the round's one
+    // materialization job computes-and-caches each partition and every
+    // later reference reads the cache — the pre-r18 count() was a whole
+    // extra pass over the adjacency per round (5 rounds × nk rows) that
+    // bought nothing but eagerness (guide §5: one materialization pass
+    // per round). Release ordering is unchanged: the caller releases
+    // `und` only after the round's checkpoint materializes.
     // Self-join over a FLAT LEAF of the materialized cache, not the
     // persisted plan (r18): when `edges` is a partitioning-claimed
     // checkpoint leaf, the analyzer's self-join dedup rewrites one
