@@ -28,10 +28,17 @@ object TimeOne {
     val confs = args.zipWithIndex.collect {
       case ("-c", i) if i + 1 < args.length => args(i + 1) }
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    // Core count honors --cpus=N, then $SPARK_GRAFT_CPUS like Bench
+    // (r18 — so the s10 core-scaling probe can run the same harness at
+    // 8 vs 32; the flag exists because a warm sbt server pins the env).
+    val cpus = args.find(_.startsWith("--cpus="))
+      .map(_.stripPrefix("--cpus="))
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS"))
+      .getOrElse("32")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .appName("graft-timeone")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
