@@ -186,45 +186,31 @@ object RoundPlans {
           org.apache.spark.sql.GraftShims.unpersistLeafRdd(ck)
         }
         // CC step: label frame iterated via candidate-min agg + left
-        // join (the r18 join-form advance over a claimed flat leaf),
-        // captured in the r18 2-HOP-BATCH shape over the dst-
-        // partitioned edge cache connectedComponents actually builds
-        // (both propagate joins must read the cache exchange-free).
-        val e2 = Q.ownPersist(Tables.lineitem(spark, sfDir)
-          .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
-          .filter(col("src") < 2000).repartition(col("dst")))
-        e2.df.count()
-        val labels0 = e2.df.select(col("src").as("doc"))
-          .union(e2.df.select(col("dst").as("doc"))).distinct()
+        // join (the r18 join-form advance over a claimed flat leaf).
+        val labels0 = e.df.select(col("src").as("doc"))
+          .union(e.df.select(col("dst").as("doc"))).distinct()
           .withColumn("lbl", col("doc"))
           .repartition(sp, col("doc"))
-        def hop(l: org.apache.spark.sql.DataFrame) =
-          e2.df.join(l, col("dst") === col("doc"))
-            .select(col("src").as("doc"), col("lbl"))
         for ((mode, lck) <- Seq(
           ("before", labels0.localCheckpoint(true)),
           ("after", org.apache.spark.sql.GraftShims
             .localCheckpointKeepPartitioning(labels0)))) {
-          val m1 = hop(lck).groupBy(col("doc")).agg(min(col("lbl")).as("c1"))
-          val n1 = lck.join(m1.hint("shuffle_hash"), Seq("doc"), "left")
-            .select(col("doc"),
-              least(col("lbl"), coalesce(col("c1"), col("lbl"))).as("lbl"))
-          val candMin = hop(n1)
+          val candMin = e.df.join(lck, col("dst") === col("doc"))
+            .select(col("src").as("doc"), col("lbl"))
             .groupBy(col("doc")).agg(min(col("lbl")).as("cand"))
           val step = lck.join(candMin.hint("shuffle_hash"), Seq("doc"), "left")
             .select(col("doc"),
               least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
           step.write.format("noop").mode("overwrite").save()
           write(s"cc_step_scale_${mode}_claim",
-            s"== one connectedComponents 2-hop-batched step over a ${if (
+            s"== one connectedComponents join-form step over a ${if (
               mode == "before") "stock" else "partitioning-claimed"} " +
-              "checkpointed label frame and a hash(dst)-partitioned edge " +
-              "cache — broadcast disabled, claim size gate zeroed ==\n" +
+              "checkpointed label frame — broadcast disabled, claim size " +
+              "gate zeroed ==\n" +
               step.queryExecution.explainString(
                 ExplainMode.fromString("formatted")))
           org.apache.spark.sql.GraftShims.unpersistLeafRdd(lck)
         }
-        e2.release()
         e.release()
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)

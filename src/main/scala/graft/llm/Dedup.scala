@@ -668,19 +668,9 @@ object Dedup {
       if (inputPersisted) Q.Owned(pairs0, owned = false)
       else Q.ownPersist(pairs0)
     val pairs = pairsOwned.df
-    // r18 (VERDICT r17 #4 groundwork): the edge CACHE is hash(dst)-
-    // partitioned. Every propagate hop joins edges on dst = doc, and an
-    // InMemoryRelation preserves its child's partitioning, so one
-    // repartition at build time deletes the per-hop hash(dst) Exchange
-    // of the full edge set that every captured step plan showed (guide
-    // §2: shuffle once, not once per iteration). The label side of that
-    // join was already exchange-free via the checkpoint partitioning
-    // claim; the candidate-min agg exchange is the hop's real transfer
-    // and stays.
     val edgesOwned = Q.ownPersist(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(col("dst")))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val edges = edgesOwned.df
     // Initial label frame: ownPersist — a repeated CC over the same
     // edge set (test sequences) would otherwise re-persist an
@@ -781,52 +771,13 @@ object Dedup {
     // a 1-hop wavefront because a member's discovery never reaches
     // its root (measured: 88 steps vs 24 on the id-permuted s1 kNN
     // graph).
-    // No join hint here: at verify sf the label side broadcasts (the
-    // hop is a BHJ over the edge cache with ZERO shuffle — hinting
-    // shuffle_hash was measured to force a 6 MB edge exchange per hop,
-    // +20 MB shuffled on pipeline_curate); at scale, where labels
-    // outgrow the broadcast threshold, the dst-partitioned cache keeps
-    // the edge side of the planner's shuffle join exchange-free.
     val propagate = (l: DataFrame) =>
       edges.join(l, col("dst") === col("doc"))
         .select(col("src").as("doc"), col("lbl"))
-    // TWO hops per materialization (r18 — VERDICT r17 #4): min-label
-    // propagation is associative/idempotent, so k batched hops inside
-    // one plan equal k sequential steps EXACTLY: with n1 the hop-1
-    // label map (own ∧ neighbor min), the sequential hop-2 result is
-    // min(n1(u), min_{v∈N(u)} n1(v)), and since n1(v) ≤ l(v) pointwise
-    // while every u has a neighbor (symmetric edges define the node
-    // universe), min over the candidate stream already dominates
-    // n1(u)'s neighbor term — least(l(u), candMin) is the identical
-    // value, which is what advance computes. One persist + one
-    // changed-count action now covers two graph hops: half the
-    // fixpoint's materialized label frames (and at scale half the
-    // n-row cache writes), for the same total join/agg work. The
-    // inner hop is a lazy subplan over the two caches — both its
-    // joins run exchange-free on the dst-partitioned edge cache and
-    // the claimed label layout.
-    val propagate2 = (l: DataFrame) => {
-      val m1 = propagate(l).groupBy(col("doc")).agg(min(col("lbl")).as("c1"))
-      val n1 = l.join(m1.hint("shuffle_hash"), Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("lbl"), coalesce(col("c1"), col("lbl"))).as("lbl"))
-      propagate(n1)
-    }
-    // THREE-chase pointer jump (r18, same VERDICT item): labels are
-    // monotone non-increasing with l(x) ≤ x (init = own id; every
-    // advance takes a min with the current value), so label chains
-    // strictly descend and l∘l∘l is well-defined through the inner
-    // joins (every label VALUE is some doc's id, hence present on the
-    // probe side — the invariant the 2-chase already relied on). A
-    // no-change 3-chase step still certifies flatness: l³ = l with
-    // l² ≤ l forces l² = l. Depth divides by 3 per materialization
-    // instead of 2 — closure lands in ⌈log₃ d⌉ + 1 steps.
     val jump = (l: DataFrame) => {
       val parents = l.select(col("doc").as("p_doc"), col("lbl").as("p_lbl"))
-      val grands = l.select(col("doc").as("g_doc"), col("lbl").as("g_lbl"))
       l.join(parents, col("lbl") === col("p_doc"))
-        .join(grands, col("p_lbl") === col("g_doc"))
-        .select(col("doc"), col("g_lbl").as("lbl"))
+        .select(col("doc"), col("p_lbl").as("lbl"))
     }
     val hook = (l: DataFrame) => {
       val ls = l.select(col("doc").as("s_doc"), col("lbl").as("s_lbl"))
@@ -852,18 +803,9 @@ object Dedup {
     // diameter or id layout.
     var changed = 1L
     var rounds = 0
-    // `rounds` counts HOPS (the CcJumpAfterKey contract — "rounds of
-    // pure min-label propagation"), not materializations; a 2-hop
-    // batch advances it by 2. An odd remaining budget (conf-set) gets
-    // a single-hop final step so the phase never over-runs the knob.
     while (changed > 0 && rounds < ccJumpAfter) {
-      if (ccJumpAfter - rounds >= 2) {
-        changed = advance(propagate2)
-        rounds += 2
-      } else {
-        changed = advance(propagate)
-        rounds += 1
-      }
+      changed = advance(propagate)
+      rounds += 1
     }
     if (changed > 0) {
       def closure(): Unit = {

@@ -1209,28 +1209,23 @@ class LlmSpec extends SparkSpec {
     assert(chainOut.forall { case (_, comp, size) =>
       comp === 0L && size === n.toLong },
       "chain must collapse to one component labeled 0")
-    // 4 propagate hops (2 batched materializations since r18) leave
-    // labels v → v-4 (a depth-256 path in label space); the first
-    // closure divides that depth by 3 per 3-chase step (~6 productive
-    // + 1 no-change), landing every label at 0, and the final hook
-    // observes no change: ~10 steps total. Slack to 16 for the
-    // id-layout-independent bound (and so the pre-batching shape
-    // would still pass — the pin is on the O(log) CLASS).
+    // 4 propagate steps leave labels v → v-4 (a depth-256 path in
+    // label space); the first closure halves that depth per jump
+    // (8 productive jumps + 1 no-change), landing every label at 0,
+    // and the final hook observes no change: ~14 steps total. Slack
+    // to 16 for the id-layout-independent bound.
     assert(jumpRounds <= 16,
-      s"SV arm took $jumpRounds steps on a 1024-chain (expect ~10)")
+      s"SV arm took $jumpRounds steps on a 1024-chain (expect ~14)")
     info(s"1024-chain: SV closure+hook fixpoint in $jumpRounds steps")
 
     // Contrast: the pure min-label arm on a short chain measures its
-    // O(diameter) class — 32 nodes, ~31 hops to converge. Since r18 a
-    // materialization batches TWO hops, so the step counter reads
-    // ~⌈31/2⌉ + 1; the pin is on the linear-in-diameter class (vs the
-    // SV arm's log), not the exact constant.
+    // O(diameter) class — 32 nodes, ~32 rounds (31 to converge + 1).
     val short = (0 until 31).map(i => (i.toLong, i.toLong + 1))
       .toDF("doc_a", "doc_b")
     withJumpAfter(Int.MaxValue.toString)(run(short))
     val minLabelRounds = Dedup.lastCcRounds
-    assert(minLabelRounds >= 15,
-      s"min-label on a 32-chain should pay ~diameter/2 steps, got $minLabelRounds")
+    assert(minLabelRounds >= 31,
+      s"min-label on a 32-chain should pay ~diameter rounds, got $minLabelRounds")
     info(s"32-chain: min-label fixpoint in $minLabelRounds rounds")
 
     // Parity: jump-from-round-0 output must be IDENTICAL to pure
