@@ -66,9 +66,14 @@ object TimeOne {
         // stages + shuffle bytes (r17): the optimization rounds' primary
         // A/B evidence — "2 Exchange → 1" claims need the stage count
         // and shuffled volume, not just wall seconds.
+        // taskSec (r18): total executor task wall — the DUPLICATED-WORK
+        // signal. Concurrent broadcast-build futures racing on a cold
+        // cache each recompute the subtree; that waste overlaps on idle
+        // local cores (invisible in `sec`) but shows up here.
         println(f"[timeone] $lbl $query%-24s ${sec}%7.2f s rows=$rows%-9d " +
           f"cpu=${m.cpuShare}%5.2f stages=${m.stages}%-4d " +
-          f"shufMB=${(m.shuffleReadBytes + m.shuffleWriteBytes) / 1e6}%8.1f  " +
+          f"shufMB=${(m.shuffleReadBytes + m.shuffleWriteBytes) / 1e6}%8.1f " +
+          f"taskSec=${m.executorRunMillis / 1e3}%7.1f  " +
           f"$strat")
       }
       spark.catalog.clearCache()
